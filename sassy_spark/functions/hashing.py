@@ -1,0 +1,141 @@
+"""Hash-sketch functions: MinHash, SimHash, winnowing fingerprints.
+
+All implemented as Arrow-batched pandas UDFs over numpy (no per-row
+Python objects in the loop bodies beyond a thin per-document dispatch;
+the inner work is vectorized uint64 math) — the same batch-vectorization
+discipline as the scoring kernel. Deterministic: hash mixers are fixed
+constants, permutations derive from a seed, so blocking keys are stable
+across runs/partitions (required for resumable checkpoints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PRIME = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _PRIME) & _MASK
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """uint64 hashes of all char n-grams (UTF-8 bytes), vectorized."""
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+    pw = np.uint64(1099511628211) ** np.arange(n, dtype=np.uint64)  # FNV prime
+    raw = (win * pw[::-1]).sum(axis=1, dtype=np.uint64)
+    return _splitmix64(raw)
+
+
+def minhash_signature(
+    text: str, n_hashes: int, ngram: int, seed: int
+) -> np.ndarray:
+    h = np.unique(shingle_hashes(text, ngram))
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, n_hashes, dtype=np.uint64)
+    # (a*h + b) over uint64 wraparound is a fine universal-ish family here
+    vals = (h[:, None] * a[None, :] + b[None, :]) & _MASK
+    return vals.min(axis=0)
+
+
+def make_minhash_udf(n_hashes: int = 128, ngram: int = 5, seed: int = 42):
+    """pandas UDF: text -> array<bigint> minhash signature (length n_hashes)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, n_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = np.unique(shingle_hashes(t, ngram))
+            vals = (h[:, None] * a[None, :] + b[None, :]) & _MASK
+            out.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash
+
+
+def make_simhash_udf(seed: int = 42):
+    """pandas UDF: text -> bigint 64-bit SimHash over token hashes."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = _splitmix64(
+                np.array(
+                    [hash_bytes(w.encode("utf-8", "surrogatepass")) for w in toks],
+                    dtype=np.uint64,
+                )
+                + np.uint64(seed)
+            )
+            onbits = (hs[:, None] & bits[None, :]) != 0
+            votes = onbits.sum(axis=0) * 2 - len(hs)
+            fp = bits[votes > 0].sum(dtype=np.uint64) if (votes > 0).any() else np.uint64(0)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def hash_bytes(b: bytes) -> np.uint64:
+    """FNV-1a 64 over bytes — deterministic across processes (unlike
+    Python's builtin hash)."""
+    h = np.uint64(0xCBF29CE484222325)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    for x in arr:  # words are short; fine
+        h = ((h ^ x) * np.uint64(1099511628211)) & _MASK
+    return h
+
+
+def make_fingerprint_udf(ngram: int = 8, window: int = 16):
+    """pandas UDF: text -> array<bigint> winnowing fingerprint (the
+    rolling-hash document fingerprint: per sliding window of ngram-hashes,
+    keep the minimum — standard winnowing, robust to local edits)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = shingle_hashes(t, ngram)
+            if len(h) <= window:
+                out.append(np.unique(h).astype(np.int64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = win.min(axis=1)
+            out.append(np.unique(mins).astype(np.int64))
+        return pd.Series(out)
+
+    return fingerprint
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints — pure Catalyst
+    (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

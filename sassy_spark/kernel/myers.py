@@ -133,16 +133,26 @@ def _advance(peq, pv, mv, chars, score, top_word, top_bit, hin0, active):
 
 
 def edit_distances(
+    a_list: list, b_list: list, k=None
+) -> np.ndarray:
+    """Global Levenshtein distance per pair, vectorized over the batch.
+
+    ``k`` (scalar or per-pair array) switches to the *banded* kernel:
+    exact for distances <= k, reports k+1 otherwise, and only computes
+    the ~(2k+64)-wide diagonal word window per column — O(n * k/64)
+    instead of O(n * m/64), the bit-parallel form of the Ukkonen band
+    (the role sassy's early row termination plays,
+    reference src/search.rs:1131-1162).
+    """
+    if k is not None:
+        return banded_edit_distances(a_list, b_list, k)
+    return _full_edit_distances(a_list, b_list, None)
+
+
+def _full_edit_distances(
     a_list: list, b_list: list, k: int | None = None
 ) -> np.ndarray:
-    """Global (NW) Levenshtein distance for each pair, vectorized over the batch.
-
-    ``k`` is an optional early-exit bound: once every still-active pair
-    provably exceeds k (score - remaining_text > k, the Ukkonen-style
-    cutoff mirroring sassy's early row termination,
-    reference src/search.rs:1131-1162), iteration stops and those pairs
-    report k+1. Exact distances <= k are always exact.
-    """
+    """Unbanded reference path (also used when k >= pattern length)."""
     bsz = len(a_list)
     if bsz == 0:
         return np.zeros(0, dtype=np.int64)
@@ -281,6 +291,228 @@ def semiglobal_search(
         else:
             idx = local_minima(costs, k)
         out.append(((idx + 1).astype(np.int64), costs[idx].astype(np.int32)))
+    return out
+
+
+# ------------------------------------------------------------ banded kernel
+
+
+def _peq_word(pmat: np.ndarray, w: int) -> np.ndarray:
+    """Positional-equality masks for pattern word w only (lazy build: the
+    banded kernel touches ~(2k+64)/64 words per column, so materializing
+    the full (B, W, 256) tensor would waste both time and memory)."""
+    b = pmat.shape[0]
+    peqw = np.zeros((b, 256), dtype=np.uint64)
+    lo = w * 64
+    hi = min(pmat.shape[1], lo + 64)
+    if hi <= lo:
+        return peqw
+    chunk = pmat[:, lo:hi]
+    bits = (U1 << np.arange(hi - lo, dtype=np.uint64))
+    rows = np.arange(b)[:, None]
+    np.bitwise_or.at(peqw, (rows, chunk), bits[None, :])
+    # bits scattered for padding char 0 beyond each pattern's end sit above
+    # the tracked row and never propagate downward — harmless by the same
+    # argument as unbanded padding.
+    return peqw
+
+
+def _window_column_min(
+    pv: np.ndarray,
+    mv: np.ndarray,
+    lo_w: int,
+    track_row: np.ndarray,
+    score: np.ndarray,
+) -> np.ndarray:
+    """Min DP value in the current column across the computed window.
+
+    Unpacks the vertical-delta bitmasks (pv bit r => D[row r+2]-D[row r+1]
+    = +1, mv => -1) and walks down from the tracked row whose value is
+    known — the batch analog of sassy's prefix_min lane scan
+    (reference src/minima.rs:62-92), done only at 64-column boundaries so
+    the amortized cost is < 1 op per column per word.
+    """
+    tw_max = int(track_row.max()) >> 6
+    sel = slice(lo_w, tw_max + 1)
+    pbits = np.unpackbits(
+        np.ascontiguousarray(pv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    mbits = np.unpackbits(
+        np.ascontiguousarray(mv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    delta = pbits - mbits
+    rows = np.arange(lo_w * 64, (tw_max + 1) * 64)
+    invalid = rows[None, :] > track_row[:, None]
+    delta[invalid] = 0
+    # V[r] = D[DP row r+1]; V[track_row] = score;
+    # V[r] = score - sum_{q > r} delta[q]
+    suffix = np.cumsum(delta[:, ::-1], axis=1)[:, ::-1]
+    v = score[:, None] - (suffix - delta)
+    big = np.int32(1 << 20)
+    v[invalid] = big
+    colmin = v.min(axis=1)
+    bottom = v[:, 0] - delta[:, 0]  # DP row lo_w*64 itself
+    return np.minimum(colmin, bottom)
+
+
+def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
+    """Banded bit-parallel global edit distance (the edlib-style moving
+    word window over Myers' recurrence).
+
+    Per pair: exact distance if <= k_i, else k_i + 1. ``k`` scalar or
+    per-pair array. Work per column is O(band_words) instead of
+    O(pattern_words); finished and provably-hopeless pairs are compacted
+    out of the batch as the scan advances (the batch analog of sassy's
+    per-lane early termination, reference src/search.rs:952-975).
+    """
+    bsz = len(a_list)
+    out = np.zeros(bsz, dtype=np.int64)
+    if bsz == 0:
+        return out
+    k_arr = np.broadcast_to(np.asarray(k, dtype=np.int64), (bsz,)).copy()
+
+    pats, texts = [], []
+    for a, b in zip(a_list, b_list):
+        ab, bb = _as_bytes(a), _as_bytes(b)
+        if len(ab) > len(bb):
+            ab, bb = bb, ab
+        pats.append(ab)
+        texts.append(bb)
+    mlens = np.array([len(p) for p in pats], dtype=np.int64)
+    nlens = np.array([len(t) for t in texts], dtype=np.int64)
+
+    # trivial / prefiltered pairs
+    hopeless0 = (nlens - mlens) > k_arr
+    empty_p = mlens == 0
+    out[hopeless0] = k_arr[hopeless0] + 1
+    out[empty_p & ~hopeless0] = nlens[empty_p & ~hopeless0]
+    live0 = ~(hopeless0 | empty_p)
+    idx = np.nonzero(live0)[0]
+    if len(idx) == 0:
+        return out
+
+    # dense per-alive arrays; pv/mv are (W, B) so each word's lane vector is
+    # contiguous (column-major over words would stride by W and thrash cache)
+    def compress(sel):
+        nonlocal idx, pmat, tmat, mlens_a, tlens, k_a, pv, mv
+        nonlocal score, track_row, top_row, peq_cache
+        idx = idx[sel]
+        pmat = pmat[sel]
+        tmat = np.ascontiguousarray(tmat[:, sel])
+        mlens_a = mlens_a[sel]
+        tlens = tlens[sel]
+        k_a = k_a[sel]
+        pv = np.ascontiguousarray(pv[:, sel])
+        mv = np.ascontiguousarray(mv[:, sel])
+        score = score[sel]
+        track_row = track_row[sel]
+        top_row = top_row[sel]
+        peq_cache = {w: np.ascontiguousarray(p[sel]) for w, p in peq_cache.items()}
+
+    m_max = int(mlens[idx].max())
+    n_max = int(nlens[idx].max())
+    w_count = (m_max + 63) // 64
+    pmat = np.zeros((len(idx), m_max), dtype=np.uint8)
+    tmat = np.zeros((n_max, len(idx)), dtype=np.uint8)  # column-major scan
+    for row, orig in enumerate(idx):
+        pb = np.frombuffer(pats[orig], dtype=np.uint8)
+        tb = np.frombuffer(texts[orig], dtype=np.uint8)
+        pmat[row, : len(pb)] = pb
+        tmat[: len(tb), row] = tb
+    mlens_a = mlens[idx]
+    tlens = nlens[idx]
+    k_a = k_arr[idx]
+
+    pv = np.full((w_count, len(idx)), UFULL, dtype=np.uint64)
+    mv = np.zeros((w_count, len(idx)), dtype=np.uint64)
+    top_row = mlens_a - 1  # bit-space row of D[m]
+    peq_cache: dict[int, np.ndarray] = {}
+
+    kmax = int(k_a.max())
+    hi_w = min(w_count - 1, (63 + kmax) >> 6)
+    lo_w = 0
+    win_top = (hi_w + 1) * 64 - 1
+    track_row = np.minimum(top_row, win_top)
+    score = track_row + 1
+    bi = np.arange(len(idx))
+
+    jb = 0
+    while jb < n_max and len(idx):
+        if jb > 0:
+            new_hi = min(w_count - 1, (jb + 63 + kmax) >> 6)
+            if new_hi > hi_w:
+                # virgin words above carry pv=all-ones (D grows +1 per row),
+                # so the tracked score moves up by the row delta exactly
+                hi_w = new_hi
+                win_top = (hi_w + 1) * 64 - 1
+                new_track = np.minimum(top_row, win_top)
+                score += new_track - track_row
+                track_row = new_track
+            lo_w = max(lo_w, (jb - kmax) >> 6)
+        for w in range(lo_w, hi_w + 1):
+            if w not in peq_cache:
+                peq_cache[w] = _peq_word(pmat, w)
+
+        track_word = (track_row >> 6).astype(np.int64)
+        track_bit = (U1 << (track_row & 63).astype(np.uint64))
+        # per-word selection masks are stable within the block
+        sel_by_word = {
+            w: track_word == w
+            for w in range(lo_w, hi_w + 1)
+            if bool((track_word == w).any())
+        }
+        j_end = min(jb + 64, n_max)
+        for j in range(jb, j_end):
+            act = tlens > j
+            if not act.any():
+                break
+            chars = tmat[j]
+            hin_p = np.ones(len(idx), dtype=np.uint64)  # band-bottom/global +1
+            hin_m = np.zeros(len(idx), dtype=np.uint64)
+            for w in range(lo_w, hi_w + 1):
+                pvw = pv[w]
+                mvw = mv[w]
+                eqw = peq_cache[w][bi[: len(idx)], chars]
+                xv = eqw | mvw
+                eqw |= hin_m
+                xh = (((eqw & pvw) + pvw) ^ pvw) | eqw
+                ph = mvw | ~(xh | pvw)
+                mh = pvw & xh
+                sel = sel_by_word.get(w)
+                if sel is not None:
+                    sa = sel & act
+                    tb = track_bit[sa]
+                    score[sa] += ((ph[sa] & tb) != 0).astype(np.int64)
+                    score[sa] -= ((mh[sa] & tb) != 0).astype(np.int64)
+                hout_p = ph >> U63
+                hout_m = mh >> U63
+                ph = (ph << U1) | hin_p
+                mh = (mh << U1) | hin_m
+                pv[w] = mh | ~(xv | ph)
+                mv[w] = ph & xv
+                hin_p = hout_p
+                hin_m = hout_m
+            fin = tlens == j + 1
+            if fin.any():
+                out[idx[fin]] = np.minimum(score[fin], k_a[fin] + 1)
+        jb = j_end
+        # prune: any full path crosses every column; cells computed by the
+        # banded recurrence are >= true and exact whenever true <= kmax, so
+        # "entire computed column > k_a" proves the true final distance
+        # > k_a (rows outside the window have |i - j| > kmax >= k_a).
+        colmin = _window_column_min(pv, mv, lo_w, track_row, score)
+        hopeless = colmin > k_a
+        done = (tlens <= jb) | hopeless
+        if done.any():
+            h = hopeless & (tlens > jb)
+            out[idx[h]] = k_a[h] + 1
+            keep = ~done
+            if not keep.any():
+                break
+            compress(keep)
+            new_kmax = int(k_a.max())
+            if new_kmax < kmax:
+                kmax = new_kmax  # narrows future lo_w; hi_w never shrinks
     return out
 
 

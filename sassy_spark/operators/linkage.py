@@ -1,0 +1,335 @@
+"""Record-linkage pipeline: blocking -> candidate pairs -> pairwise scoring.
+
+This re-bases the reference engine's two-stage shape — cheap hierarchical
+prefilter gating an expensive exact verify (sassy's hierarchical_search,
+reference src/pattern_tiling/general.rs:60-102) — onto Spark:
+
+  stage 1 (blocking)    = candidate *generation*: URL-host keys + char
+                          n-gram MinHash-LSH band keys. Hot keys (the
+                          skew problem: one host with 10^6 pages would
+                          imply 10^12 pairs) are capped with explicit
+                          accounting, the analog of sassy's batch-size
+                          bounds (bin/input_iterator.rs:7-9).
+  stage 2 (scoring)     = candidate *verification*: banded Myers global
+                          edit distance in an Arrow-batched numpy UDF,
+                          with the cheap length-difference prefilter
+                          |len_a - len_b| <= k pushed BEFORE the text
+                          join/UDF (the relational analog of sassy's
+                          early row termination, src/search.rs:1131-1162).
+
+Every shuffle is on an equi-join key; the small side (nothing here) is
+never broadcast-joined by hand — AQE handles skew splits; we handle the
+quadratic self-join skew at the algorithmic level (caps/refinement),
+which AQE cannot.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize, url_host
+from ..kernel import myers
+
+
+# --------------------------------------------------------------- stage 1
+
+
+def host_block_keys(pages: DataFrame, url: str = "url") -> DataFrame:
+    """(url, block_key) from the URL host — the cheap structural block."""
+    return pages.select(
+        F.col(url).alias("url"),
+        F.concat(F.lit("host:"), url_host(F.col(url))).alias("block_key"),
+    )
+
+
+def minhash_band_keys(
+    pages: DataFrame,
+    text_col: str = "text",
+    url: str = "url",
+    n_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(url, block_key) LSH band keys: minhash signature split into
+    ``bands`` bands of n_hashes/bands rows; band key = hash(band index +
+    band slice). Two docs share a band key iff all rows in that band
+    agree — the classic LSH S-curve. Deterministic across runs (seeded
+    permutations) so checkpoints are resumable."""
+    rows_per_band = n_hashes // bands
+    from ..functions.hashing import _MASK, _splitmix64, shingle_hashes
+
+    rng = np.random.default_rng(seed)
+    a_perm = rng.integers(1, 1 << 61, n_hashes, dtype=np.uint64) | np.uint64(1)
+    b_perm = rng.integers(0, 1 << 61, n_hashes, dtype=np.uint64)
+
+    # one Python pass computes signature AND band keys (expressing the
+    # bands as Catalyst transform() over a UDF column re-evaluates the
+    # UDF per band — measured 60x; mapInPandas evaluates once)
+    def bandify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, keys_out = [], []
+            for u, t in zip(pdf["url"], pdf["_norm"]):
+                if not t:
+                    continue
+                h = np.unique(shingle_hashes(t, ngram))
+                sig = ((h[:, None] * a_perm[None, :] + b_perm[None, :]) & _MASK).min(
+                    axis=0
+                )
+                bands_m = sig.reshape(bands, rows_per_band)
+                # order-dependent band hash: mix each row then combine
+                bh = bands_m[:, 0]
+                for c in range(1, rows_per_band):
+                    bh = _splitmix64(bh ^ bands_m[:, c])
+                for bidx in range(bands):
+                    urls.append(u)
+                    keys_out.append(f"band:{bidx}:{bh[bidx]:016x}")
+            yield pd.DataFrame({"url": urls, "block_key": keys_out})
+
+    src = pages.select(
+        F.col(url).alias("url"), normalize(F.col(text_col)).alias("_norm")
+    )
+    return src.mapInPandas(bandify, schema="url string, block_key string")
+
+
+def blocking_keys(
+    pages: DataFrame,
+    text_col: str = "text",
+    use_host: bool = True,
+    use_minhash: bool = True,
+    n_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    parts = []
+    if use_host:
+        parts.append(host_block_keys(pages))
+    if use_minhash:
+        parts.append(
+            minhash_band_keys(
+                pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------- stage 1.5
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    max_block_size: int = 256,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Self-join within block keys -> canonical (url_a < url_b) pairs.
+
+    Skew strategy (explicit, per north rule):
+      * block keys with more than ``max_block_size`` members are *refined*,
+        not joined: members are salted into ``n_salt`` sub-blocks by a
+        deterministic hash, so a hot key of size S produces S^2/n_salt
+        intra-salt pairs instead of S^2 (recall loss is confined to hot
+        boilerplate blocks and is recovered by the other keys of the same
+        pair — every page carries ~bands+1 keys).
+      * singleton blocks are dropped before the join (no pairs possible).
+      * the pair set is deduped across keys (a pair found under 5 band
+        keys is scored once).
+    """
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("bs"))
+    k2 = (
+        keys.join(sizes, "block_key")
+        .where(F.col("bs") >= 2)
+        .withColumn(
+            "jkey",
+            F.when(
+                F.col("bs") > max_block_size,
+                F.concat(
+                    F.col("block_key"),
+                    F.lit("#"),
+                    F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("string"),
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .select("url", "jkey")
+    )
+    a = k2.alias("a")
+    b = k2.alias("b")
+    pairs = (
+        a.join(b, "jkey")
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return pairs
+
+
+# --------------------------------------------------------------- stage 2
+
+
+def score_pairs(
+    pairs: DataFrame,
+    pages: DataFrame,
+    k: int | None = 8,
+    k_frac: float | None = None,
+    text_col: str = "text",
+    url: str = "url",
+    score_partitions: int | None = None,
+) -> DataFrame:
+    """Attach texts and score each candidate pair with the Myers kernel.
+
+    Output: url_a, url_b, len_a, len_b, k_eff, cost, normalized_cost,
+    is_match. ``k_frac`` resolves k per pair as ceil(k_frac * max_len)
+    (the reference's fractional-k eval mode,
+    evals/src/sassy2/text_scaling.rs:9-13).
+
+    The length-difference prefilter runs BEFORE the expensive UDF —
+    Catalyst evaluates it as a plain WHERE on already-joined ints.
+    """
+    t = pages.select(
+        F.col(url), F.col(text_col).alias("_t"), F.length(text_col).alias("_l")
+    )
+    df = (
+        pairs.join(
+            t.select(
+                F.col(url).alias("url_a"),
+                F.col("_t").alias("text_a"),
+                F.col("_l").alias("len_a"),
+            ),
+            "url_a",
+        )
+        .join(
+            t.select(
+                F.col(url).alias("url_b"),
+                F.col("_t").alias("text_b"),
+                F.col("_l").alias("len_b"),
+            ),
+            "url_b",
+        )
+    )
+    if k_frac is not None:
+        k_eff = F.ceil(F.greatest("len_a", "len_b") * F.lit(k_frac)).cast("int")
+    else:
+        k_eff = F.lit(int(k)).cast("int")
+    df = df.withColumn("k_eff", k_eff)
+    # cheap prefilter: global distance >= |len_a - len_b|
+    df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("k_eff"))
+    if score_partitions:
+        df = df.repartition(score_partitions)
+
+    out_schema = (
+        "url_a string, url_b string, len_a int, len_b int, k_eff int, "
+        "cost int, normalized_cost double, is_match boolean"
+    )
+
+    # ~1024 pairs/kernel call: the Peq gather tables of a larger batch
+    # fall out of L3 and the kernel goes memory-bound (measured 2x slowdown
+    # at 4096) — the numpy analog of sassy's 1 MiB task-batch bound
+    # (bin/input_iterator.rs:7-9)
+    chunk_rows = 1024
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # sort by text length: kernel chunks become length-homogeneous
+            # -> less padding waste (the reference's length-sorting advice,
+            # src/search.rs:326-334)
+            order = np.argsort(pdf["len_b"].to_numpy(), kind="stable")
+            pdf = pdf.iloc[order]
+            for lo in range(0, len(pdf), chunk_rows):
+                ch = pdf.iloc[lo : lo + chunk_rows]
+                k_eff_arr = ch["k_eff"].to_numpy()
+                cost = myers.edit_distances(
+                    ch["text_a"].tolist(), ch["text_b"].tolist(), k=k_eff_arr
+                )
+                maxlen = np.maximum(
+                    ch["len_a"].to_numpy(), ch["len_b"].to_numpy()
+                ).clip(min=1)
+                yield pd.DataFrame(
+                    {
+                        "url_a": ch["url_a"].to_numpy(),
+                        "url_b": ch["url_b"].to_numpy(),
+                        "len_a": ch["len_a"].to_numpy().astype("int32"),
+                        "len_b": ch["len_b"].to_numpy().astype("int32"),
+                        "k_eff": k_eff_arr.astype("int32"),
+                        "cost": cost.astype("int32"),
+                        "normalized_cost": cost / maxlen,
+                        "is_match": cost <= k_eff_arr,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------- pipeline
+
+
+def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
+    """Materialize a pipeline stage exactly once.
+
+    With a checkpoint dir: write-then-read a parquet snapshot (stage-level
+    resumability — rerunning `link` with the same dir skips completed
+    stages; the meta file is written after the data so a torn write is
+    re-done, the same discipline as the CC iteration checkpoints). Without:
+    spark persist(), so multi-consumer stages (the blocking keys feed both
+    the block-size agg and the self-join twice) don't recompute the
+    Python sketch UDFs 4x.
+    """
+    import json
+    import os
+
+    if checkpoint_dir is None:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    path = os.path.join(checkpoint_dir, f"stage={name}")
+    meta_p = os.path.join(path, "_stage_meta.json")
+    spark = df.sparkSession
+    if not os.path.exists(meta_p):
+        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        n = spark.read.parquet(os.path.join(path, "data")).count()
+        with open(meta_p, "w") as f:
+            json.dump({"stage": name, "rows": n}, f)
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def link(
+    pages: DataFrame,
+    k: int | None = 8,
+    k_frac: float | None = None,
+    text_col: str = "text",
+    max_block_size: int = 256,
+    bands: int = 16,
+    n_hashes: int = 128,
+    ngram: int = 5,
+    seed: int = 42,
+    score_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end: pages -> scored candidate pairs (matches + non-matches;
+    filter on is_match for the edge list feeding connected components)."""
+    keys = blocking_keys(
+        pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
+    )
+    keys = _stage(keys, checkpoint_dir, "block_keys")
+    pairs = candidate_pairs(keys, max_block_size=max_block_size)
+    pairs = _stage(pairs, checkpoint_dir, "candidate_pairs")
+    return score_pairs(
+        pairs,
+        pages,
+        k=k,
+        k_frac=k_frac,
+        text_col=text_col,
+        score_partitions=score_partitions,
+    )

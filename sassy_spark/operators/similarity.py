@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring the engine-wide cheap-gate/exact-verify design:
+  * brute-force cosine top-k — exact baseline, a broadcast join of the
+    (small) query set against the corpus with the dot product computed
+    JVM-side via zip_with/aggregate (no Python in the scan);
+  * LSH-bucketed (random hyperplane signs) — the scale path: corpus and
+    queries hash to sign-pattern buckets; candidates only within bucket
+    (+ optional multi-probe), exact cosine re-rank after.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """JVM-side cosine similarity of two float arrays (zip_with dot product
+    + aggregate norms; stays in codegen, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (dot / F.greatest(na * nb, F.lit(1e-12))).cast("double")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query set, window top-k per
+    query. One corpus scan, no shuffle of the corpus (only of the
+    (n_queries x k)-sized result)."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qv")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv")
+    ).crossJoin(F.broadcast(q)).select(
+        query_id,
+        id_col,
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Append a random-hyperplane sign bucket (int) for cosine LSH.
+
+    The plane matrix is tiny (n_planes x dim floats) and is inlined as a
+    literal array column — the sign pattern is then computed JVM-side with
+    zip_with/aggregate: no Python worker in the bucketing scan at all.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        arr = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket (+ multiprobe:
+    also probe buckets at Hamming distance 1 up to ``multiprobe`` flipped
+    bits), exact cosine re-rank within candidates. At 100 TB the bucket
+    join replaces the full cross product with a hash shuffle on bucket."""
+    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    c = hyperplane_bucket(corpus, vec_col, n_planes, seed, dim).select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), "bucket"
+    )
+    qb = hyperplane_bucket(queries, vec_col, n_planes, seed, dim)
+    probes = [F.col("bucket")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    q = qb.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = c.join(q, "bucket").select(
+        query_id,
+        id_col,
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    ).dropDuplicates([query_id, id_col])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

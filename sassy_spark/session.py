@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the sandbox (single JVM, N threads); the same
+settings are what we would submit with ``spark-submit --py-files`` on a
+real cluster — partitioning/shuffle sizing is expressed relative to
+parallelism so it survives the jump from local[32] to 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "sassy_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Rule of thumb: ~2 shuffle tasks per core locally; on a real cluster
+    # AQE coalesces anyway, so this is a starting hint, not a commitment.
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large Arrow batches amortize Python worker round-trips; the
+        # scoring UDF re-batches internally by (word-count, text length)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SASSY_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_all() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
