@@ -37,13 +37,17 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 
 def large_star(edges: DataFrame) -> DataFrame:
-    """Connect every larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every larger neighbor of u to min(N(u) ∪ {u}).
+
+    One shuffle (window over src) instead of groupBy-then-join — the
+    neighborhood minimum rides along each row."""
+    from pyspark.sql import Window
+
     sym = _sym(edges)
-    mins = sym.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
     return (
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -53,20 +57,18 @@ def large_star(edges: DataFrame) -> DataFrame:
 
 def small_star(edges: DataFrame) -> DataFrame:
     """Orient edges to the smaller endpoint; connect all small neighbors
-    (and u itself) to the minimum."""
+    (and u itself) to the minimum. Window form, one shuffle."""
+    from pyspark.sql import Window
+
     o = edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
-    a = (
-        o.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    b = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return (
-        a.union(b).where(F.col("src") != F.col("dst")).distinct()
-    )
+    w = Window.partitionBy("src")
+    o = o.withColumn("m", F.min("dst").over(w))
+    a = o.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    b = o.select(F.col("src"), F.col("m").alias("dst"))
+    return a.union(b).where(F.col("src") != F.col("dst")).distinct()
 
 
 def _edge_state(df: DataFrame) -> tuple[int, int]:

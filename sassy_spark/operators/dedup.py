@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     hamming64,
     make_fingerprint_udf,
-    make_minhash_udf,
     make_simhash_udf,
 )
 from ..functions.text import char_ngrams, normalize
@@ -75,26 +74,25 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via shingle->minhash->band->bucket-join, with an
     exact n-gram Jaccard verify on candidates. Output:
     (id_a, id_b, jaccard)."""
-    rows_per_band = n_hashes // bands
-    mh = make_minhash_udf(n_hashes=n_hashes, ngram=ngram, seed=seed)
-    sig = df.select(
-        F.col(id_col).alias("id"), mh(normalize(F.col(text_col))).alias("sig")
+    from pyspark import StorageLevel
+
+    from .linkage import minhash_band_keys
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    band_keys = minhash_band_keys(
+        df.select(F.col(id_col).cast("string").alias("url"), F.col(text_col)),
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+    ).select(
+        F.col("url").cast(id_type).alias("id"),
+        F.col("block_key").alias("bucket"),
     )
-    band_keys = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat(
-                    b.cast("string"),
-                    F.lit(":"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).cast("string"),
-                ),
-            )
-        ).alias("bucket"),
-    )
+    # persist: the bucket table feeds a size agg + both sides of the
+    # self-join — without it the sketch UDF runs 4x
+    band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = band_keys.groupBy("bucket").agg(F.count("*").alias("bs"))
     bk = band_keys.join(sizes, "bucket").where(
         (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
@@ -163,21 +161,19 @@ def simhash_pairs(
     bits = 64 // n_chunks
     sh = make_simhash_udf(seed=seed)
     fp = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("fp"))
+    # shiftrightunsigned needs a literal shift — build the chunk-key array
+    # with a Python loop over the (statically known) chunk count
+    chunk_cols = [
+        F.concat(
+            F.lit(f"{c}:"),
+            F.shiftrightunsigned(F.col("fp"), c * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            .cast("string"),
+        )
+        for c in range(n_chunks)
+    ]
     chunks = fp.select(
-        "id",
-        "fp",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.concat(
-                    c.cast("string"),
-                    F.lit(":"),
-                    F.shiftrightunsigned(F.col("fp"), c * bits)
-                    .bitwiseAND(F.lit((1 << bits) - 1))
-                    .cast("string"),
-                ),
-            )
-        ).alias("bucket"),
+        "id", "fp", F.explode(F.array(*chunk_cols)).alias("bucket")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (

@@ -1,0 +1,75 @@
+"""Connected-components correctness vs a pure-Python union-find oracle,
+plus checkpoint/resume semantics."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sassy_spark.operators.cluster import connected_components
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _random_graph(seed, n_nodes=200, n_edges=150):
+    rng = random.Random(seed)
+    nodes = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    ]
+    return nodes, [e for e in edges if e[0] != e[1]]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_matches_union_find(spark, seed):
+    nodes, edges = _random_graph(seed)
+    oracle = _uf_components(edges, {a for e in edges for a in e})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {n: c for n, c in oracle.items()}
+
+
+def test_cc_long_chain(spark):
+    """A path graph exercises the O(log n) star contraction (label
+    propagation would need n iterations)."""
+    n = 128
+    edges = [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = connected_components(df, max_iter=15).collect()
+    assert {r["cluster_id"] for r in got} == {"c0000"}
+    assert len(got) == n
+
+
+def test_cc_checkpoint_resume(spark, tmp_path):
+    nodes, edges = _random_graph(9)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ck = str(tmp_path / "cc")
+    a = {r["url"]: r["cluster_id"] for r in connected_components(df, checkpoint_dir=ck).collect()}
+    # resume from converged checkpoint: same labels, no extra iterations
+    b = {r["url"]: r["cluster_id"] for r in connected_components(df, checkpoint_dir=ck).collect()}
+    assert a == b
+
+
+def test_cc_self_loops_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("c", "c")], ["src", "dst"]
+    )
+    got = {r["url"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got["a"] == "a" and got["b"] == "a" and got["c"] == "c"

@@ -1,0 +1,90 @@
+"""Dedup operator family: exact, minhash-LSH, simhash, fingerprint,
+embedding cosine — verified on constructed corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sassy_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while the rain falls softly on the leaves"
+    )
+    near = base.replace("quick", "quik").replace("rain", "snow")
+    far = (
+        "completely different content about databases and distributed "
+        "query engines running aggregations over columnar storage files"
+    )
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1
+        (4, far),
+        (5, far + " extra trailing words here"),  # near dup of 4
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+    assert groups[0]["n_dups"] == 2
+
+
+def test_dedup_keep_first(docs):
+    kept = dedup.dedup_exact_keep_first(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always collide
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert all(a < b for a, b in got)
+
+
+def test_ngram_jaccard_values(docs, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    j = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_verify(pairs, docs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert j[(1, 4)] < 0.3
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=12)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    hams = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert hams[(1, 2)] == 0
+
+
+def test_fingerprint_overlap(docs):
+    pairs = dedup.fingerprint_overlap_pairs(docs, min_shared=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (4, 5) in got  # containment (prefix copy) detected
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v1 = rng.standard_normal(16)
+    v2 = v1 + rng.standard_normal(16) * 0.01  # near dup
+    v3 = rng.standard_normal(16)
+    rows = [
+        (1, [float(x) for x in v1]),
+        (2, [float(x) for x in v2]),
+        (3, [float(x) for x in v3]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.98, n_planes=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}

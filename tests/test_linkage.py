@@ -1,0 +1,105 @@
+"""End-to-end linkage pipeline tests on the synthetic pages corpus
+(planted duplicate clusters = ground truth). Mirrors the reference's
+planted-mutation property tests at DataFrame level (SURVEY §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sassy_spark.operators import cluster, linkage
+from sassy_spark.sources.pages import labeled_pairs
+
+
+@pytest.fixture(scope="module")
+def scored(pages):
+    inp = pages.drop("cluster_id")
+    df = linkage.link(inp, k=None, k_frac=0.05).cache()
+    df.count()
+    return df
+
+
+def test_blocking_keys_shape(pages):
+    keys = linkage.blocking_keys(pages.drop("cluster_id"))
+    assert keys.columns == ["url", "block_key"]
+    n_pages = pages.count()
+    # every page gets exactly 1 host key + 16 band keys
+    assert keys.count() == n_pages * 17
+
+
+def test_candidate_pairs_canonical(scored):
+    bad = scored.where(F.col("url_a") >= F.col("url_b")).count()
+    assert bad == 0
+
+
+def test_scoring_matches_truth_distance(pages, scored):
+    """Matched pairs must be genuine intra-cluster duplicates (no false
+    merges across clusters)."""
+    truth = pages.select("url", "cluster_id")
+    j = (
+        scored.where("is_match")
+        .join(truth.withColumnRenamed("url", "url_a").withColumnRenamed("cluster_id", "ca"), "url_a")
+        .join(truth.withColumnRenamed("url", "url_b").withColumnRenamed("cluster_id", "cb"), "url_b")
+    )
+    cross = j.where("ca != cb").count()
+    assert cross == 0
+
+
+def test_pair_recall(pages, scored):
+    """Blocking + scoring recovers nearly all intra-cluster pairs whose
+    true distance is within k (the F1>=0.99 pin at pair level)."""
+    truth = labeled_pairs(pages).where("label")
+    pred = scored.where("is_match").select("url_a", "url_b")
+    found = truth.join(pred, ["url_a", "url_b"], "left_semi").count()
+    total = truth.count()
+    # the raw label is same-cluster; chained mutations can exceed k for
+    # distant members, so require >= 0.95 here (cluster-level test below
+    # requires exact recovery via transitivity)
+    assert found / total >= 0.95, (found, total)
+
+
+def test_cluster_recovery(pages, scored):
+    """Transitive clustering must reproduce the planted clusters exactly
+    (pairwise agreement, labels up to renaming)."""
+    ents = cluster.resolve_entities(pages.drop("cluster_id"), scored)
+    truth = pages.select("url", F.col("cluster_id").alias("t"))
+    j = ents.join(truth, "url").cache()
+    pairs = (
+        j.alias("a")
+        .join(j.alias("b"), F.col("a.url") < F.col("b.url"))
+        .select(
+            (F.col("a.cluster_id") == F.col("b.cluster_id")).alias("p"),
+            (F.col("a.t") == F.col("b.t")).alias("t"),
+        )
+    )
+    fp = pairs.where("p and not t").count()
+    fn = pairs.where("t and not p").count()
+    tp = pairs.where("p and t").count()
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_checkpoint_resume(pages, tmp_path):
+    inp = pages.drop("cluster_id")
+    ck = str(tmp_path / "ck")
+    s1 = linkage.link(inp, k=None, k_frac=0.05, checkpoint_dir=ck)
+    n1 = s1.count()
+    s2 = linkage.link(inp, k=None, k_frac=0.05, checkpoint_dir=ck)
+    assert s2.count() == n1
+
+
+def test_length_prefilter_is_pushed(pages):
+    """The |len_a-len_b| <= k predicate must appear in the plan BEFORE the
+    Python scoring UDF (predicate ahead of the expensive kernel — the
+    relational analog of sassy's early termination)."""
+    inp = pages.drop("cluster_id")
+    keys = linkage.host_block_keys(inp)
+    pairs = linkage.candidate_pairs(keys)
+    scored = linkage.score_pairs(pairs, inp, k=5)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    udf_pos = plan.find("MapInPandas")
+    filt_pos = plan.find("Filter")
+    assert udf_pos != -1 and filt_pos != -1
+    # physical plans print top-down: the UDF node must appear ABOVE (before
+    # in string order) the length filter it consumes from
+    assert udf_pos < filt_pos, plan[:2000]

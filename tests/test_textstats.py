@@ -1,0 +1,84 @@
+"""Text-analysis operators: profile features, quality gate, lang ID,
+multimodal plumbing, html extraction invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sassy_spark.functions.text import extract_text, lang_id
+from sassy_spark.operators import multimodal, textstats
+
+
+def test_profile_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog."), (2, "12345 67890 !!!")],
+        ["doc_id", "text"],
+    )
+    p = {r.doc_id: r for r in textstats.profile_documents(docs).collect()}
+    assert p[1].n_tokens == 8
+    assert p[1].stopword_ratio > 0
+    assert p[2].digit_ratio > 0.5
+    assert p[1].quality > p[2].quality
+
+
+def test_quality_filter_drops_junk(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    junk = "\x01\x02\x03\x04" * 30
+    docs = spark.createDataFrame([(1, good), (2, junk)], ["doc_id", "text"])
+    kept = textstats.quality_filter(docs)
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_lang_id_votes(spark):
+    rows = [
+        (1, "the cat is on the mat and it is happy with all of this"),
+        (2, "der hund ist in dem haus und das ist nicht ein problem für sich"),
+        (3, "le chat est dans la maison et les enfants sont pour une surprise"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "unknown"
+
+
+def test_html_extraction_byte_identical(pages):
+    """The graft's per-row invariant: text recovered from html must be
+    byte-identical to the stored text for every url."""
+    bad = pages.where(
+        extract_text(F.col("html")) != F.col("text")
+    ).count()
+    assert bad == 0
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synthesize_media(spark, 30).cache()
+    f1 = multimodal.extract_features(media).collect()
+    f2 = multimodal.extract_features(media).collect()
+    m1 = {r.media_id: list(r.feature) for r in f1}
+    m2 = {r.media_id: list(r.feature) for r in f2}
+    assert m1 == m2
+    assert all(len(v) == 32 for v in m1.values())
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) > 0
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in per.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) <= 4
+
+
+def test_fingerprint_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 20), (2, "abcdefghij" * 20)], ["doc_id", "text"]
+    )
+    fps = {r.doc_id: list(r.fingerprint) for r in textstats.fingerprint_documents(docs).collect()}
+    assert fps[1] == fps[2]
+    assert len(fps[1]) > 0
