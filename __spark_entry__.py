@@ -392,7 +392,7 @@ def _q21_simhash_near_dup(spark, sf):
     from sassy_spark.operators.dedup import simhash_pairs
 
     d = _load(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=12)
+    return simhash_pairs(d, max_hamming=3)
 
 
 def _q22_connected_components(spark, sf):

@@ -297,12 +297,17 @@ def semiglobal_search(
 # ------------------------------------------------------------ banded kernel
 
 
-def _peq_word(pmat: np.ndarray, w: int) -> np.ndarray:
+def _peq_word(pmat: np.ndarray, w: int, alphabet_size: int = 256) -> np.ndarray:
     """Positional-equality masks for pattern word w only (lazy build: the
     banded kernel touches ~(2k+64)/64 words per column, so materializing
-    the full (B, W, 256) tensor would waste both time and memory)."""
+    the full (B, W, 256) tensor would waste both time and memory).
+
+    ``alphabet_size``: inputs remapped to a dense alphabet keep this table
+    small enough to live in L2 even with 32 concurrent workers — the
+    engine's version of sassy's compile-time alphabet profiles
+    (reference src/profiles.rs:13-66: Dna=4, Iupac=16, Ascii=256)."""
     b = pmat.shape[0]
-    peqw = np.zeros((b, 256), dtype=np.uint64)
+    peqw = np.zeros((b, alphabet_size), dtype=np.uint64)
     lo = w * 64
     hi = min(pmat.shape[1], lo + 64)
     if hi <= lo:
@@ -315,6 +320,22 @@ def _peq_word(pmat: np.ndarray, w: int) -> np.ndarray:
     # the tracked row and never propagate downward — harmless by the same
     # argument as unbanded padding.
     return peqw
+
+
+def _compact_alphabet(pmat: np.ndarray, tmat: np.ndarray) -> int:
+    """Remap both matrices in place to a dense 0..A-1 alphabet; returns A.
+
+    Web text uses a few dozen distinct bytes; a (B, A) gather table at
+    A~32 is 8x smaller than (B, 256) — the difference between the inner
+    gather hitting L2 or thrashing shared L3 across 32 workers."""
+    used = np.zeros(256, dtype=bool)
+    used[0] = True  # padding char stays 0
+    used[np.unique(pmat)] = True
+    used[np.unique(tmat)] = True
+    amap = np.cumsum(used).astype(np.uint8) - 1
+    pmat[...] = amap[pmat]
+    tmat[...] = amap[tmat]
+    return int(used.sum())
 
 
 def _window_column_min(
@@ -422,6 +443,7 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
     mlens_a = mlens[idx]
     tlens = nlens[idx]
     k_a = k_arr[idx]
+    alphabet_size = _compact_alphabet(pmat, tmat)
 
     pv = np.full((w_count, len(idx)), UFULL, dtype=np.uint64)
     mv = np.zeros((w_count, len(idx)), dtype=np.uint64)
@@ -451,7 +473,7 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
             lo_w = max(lo_w, (jb - kmax) >> 6)
         for w in range(lo_w, hi_w + 1):
             if w not in peq_cache:
-                peq_cache[w] = _peq_word(pmat, w)
+                peq_cache[w] = _peq_word(pmat, w, alphabet_size)
 
         track_word = (track_row >> 6).astype(np.int64)
         track_bit = (U1 << (track_row & 63).astype(np.uint64))

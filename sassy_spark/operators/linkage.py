@@ -128,22 +128,24 @@ def blocking_keys(
 def candidate_pairs(
     keys: DataFrame,
     max_block_size: int = 256,
-    n_salt: int = 8,
 ) -> DataFrame:
     """Self-join within block keys -> canonical (url_a < url_b) pairs.
 
     Skew strategy (explicit, per north rule):
       * block keys with more than ``max_block_size`` members are *refined*,
-        not joined: members are salted into ``n_salt`` sub-blocks by a
-        deterministic hash, so a hot key of size S produces S^2/n_salt
-        intra-salt pairs instead of S^2 (recall loss is confined to hot
-        boilerplate blocks and is recovered by the other keys of the same
-        pair — every page carries ~bands+1 keys).
+        not joined: members are salted into ceil(bs/max_block_size)^2
+        deterministic sub-blocks, capping any single block's pair yield at
+        ~max_block_size^2 regardless of its size — a zipf-hot host with
+        10^6 pages contributes 65k pairs, not 10^12 (recall loss is
+        confined to hot boilerplate blocks and is recovered by the other
+        ~bands+1 keys every page carries).
       * singleton blocks are dropped before the join (no pairs possible).
       * the pair set is deduped across keys (a pair found under 5 band
         keys is scored once).
     """
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("bs"))
+    n_salt = F.ceil(F.col("bs") / F.lit(max_block_size))
+    n_salt = (n_salt * n_salt).cast("long")
     k2 = (
         keys.join(sizes, "block_key")
         .where(F.col("bs") >= 2)
@@ -154,7 +156,7 @@ def candidate_pairs(
                 F.concat(
                     F.col("block_key"),
                     F.lit("#"),
-                    F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("string"),
+                    F.pmod(F.xxhash64("url"), n_salt).cast("string"),
                 ),
             ).otherwise(F.col("block_key")),
         )
@@ -196,24 +198,20 @@ def score_pairs(
     The length-difference prefilter runs BEFORE the expensive UDF —
     Catalyst evaluates it as a plain WHERE on already-joined ints.
     """
-    t = pages.select(
-        F.col(url), F.col(text_col).alias("_t"), F.length(text_col).alias("_l")
-    )
+    # two-phase join: the narrow length table joins first and the
+    # |len_a - len_b| <= k prefilter runs on it, so the wide text payload
+    # is only shuffled for surviving pairs (at web scale the raw candidate
+    # set is ~10x the survivor set — this is the difference between
+    # shuffling 10x the corpus and 1x)
+    lens = pages.select(F.col(url), F.length(text_col).alias("_l"))
+    texts = pages.select(F.col(url), F.col(text_col).alias("_t"))
     df = (
         pairs.join(
-            t.select(
-                F.col(url).alias("url_a"),
-                F.col("_t").alias("text_a"),
-                F.col("_l").alias("len_a"),
-            ),
+            lens.select(F.col(url).alias("url_a"), F.col("_l").alias("len_a")),
             "url_a",
         )
         .join(
-            t.select(
-                F.col(url).alias("url_b"),
-                F.col("_t").alias("text_b"),
-                F.col("_l").alias("len_b"),
-            ),
+            lens.select(F.col(url).alias("url_b"), F.col("_l").alias("len_b")),
             "url_b",
         )
     )
@@ -222,8 +220,14 @@ def score_pairs(
     else:
         k_eff = F.lit(int(k)).cast("int")
     df = df.withColumn("k_eff", k_eff)
-    # cheap prefilter: global distance >= |len_a - len_b|
     df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("k_eff"))
+    df = df.join(
+        texts.select(F.col(url).alias("url_a"), F.col("_t").alias("text_a")),
+        "url_a",
+    ).join(
+        texts.select(F.col(url).alias("url_b"), F.col("_t").alias("text_b")),
+        "url_b",
+    )
     if score_partitions:
         df = df.repartition(score_partitions)
 
@@ -233,10 +237,13 @@ def score_pairs(
     )
 
     # ~1024 pairs/kernel call: the Peq gather tables of a larger batch
-    # fall out of L3 and the kernel goes memory-bound (measured 2x slowdown
-    # at 4096) — the numpy analog of sassy's 1 MiB task-batch bound
-    # (bin/input_iterator.rs:7-9)
-    chunk_rows = 1024
+    # fall out of cache and the kernel goes memory-bound (measured 2x
+    # slowdown at 4096) — the numpy analog of sassy's 1 MiB task-batch
+    # bound (bin/input_iterator.rs:7-9). Tunable for concurrency-level
+    # cache-pressure experiments.
+    import os
+
+    chunk_rows = int(os.environ.get("SASSY_CHUNK_ROWS", "512"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

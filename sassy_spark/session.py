@@ -20,6 +20,12 @@ def build_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # The scoring kernel allocates/frees multi-MB numpy arrays per batch;
+    # with default glibc thresholds those are mmap'd and munmap'd, and the
+    # resulting TLB-shootdown IPIs serialize all 32 workers (measured 4x
+    # wall-time on the scoring stage). Keep big allocations on the heap.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "2147483647")
     # Rule of thumb: ~2 shuffle tasks per core locally; on a real cluster
     # AQE coalesces anyway, so this is a starting hint, not a commitment.
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
@@ -40,6 +46,14 @@ def build_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ["MALLOC_TRIM_THRESHOLD_"],
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
