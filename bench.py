@@ -56,7 +56,7 @@ def main() -> None:
     n_pages = pages.count()
     t0 = time.time()
     scored = linkage.link(
-        pages, k=None, k_frac=0.05, score_partitions=CPUS * 2
+        pages, k=None, k_frac=0.05
     )
     n_pairs = scored.count()
     er_sec = time.time() - t0

