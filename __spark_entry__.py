@@ -440,6 +440,31 @@ def _q23_exact_dedup_groups(spark, sf):
     )
 
 
+def _q24_containment_scores(spark, sf):
+    """Semi-global containment scoring (free longer-text end gaps): best
+    cost of embedding the shorter adjacent doc inside the longer — the
+    kernel's search-mode 'best' (K5/K15) as pair scoring. Rows-only check
+    (semi-global best-substring cost is not SQL-expressible)."""
+    from sassy_spark.operators import linkage
+
+    d = _load(spark, sf, "documents")
+    pages = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    out = linkage.score_pairs(
+        adj, pages, k_frac=0.3, score_mode="containment"
+    )
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("cost").cast("long").alias("containment_cost"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -465,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_simhash_near_dup": _q21_simhash_near_dup,
         "q22_connected_components": _q22_connected_components,
         "q23_exact_dedup_groups": _q23_exact_dedup_groups,
+        "q24_containment_scores": _q24_containment_scores,
     }
 
 

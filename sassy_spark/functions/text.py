@@ -56,6 +56,19 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     )
 
 
+_DNA_COMP = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+
+
+def reverse_complement(text: Column) -> Column:
+    """DNA reverse complement — generic translate + reverse, all JVM-side
+    (the reference's RC tables, src/profiles/dna.rs:104-121)."""
+    return F.reverse(F.translate(text, "ACGTacgt", "TGCAtgca"))
+
+
+def reverse_complement_str(s: str) -> str:
+    return s.translate(_DNA_COMP)[::-1]
+
+
 def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != "")
 

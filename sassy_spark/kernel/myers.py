@@ -45,17 +45,19 @@ def _as_bytes(s) -> bytes:
     return str(s).encode("utf-8", errors="surrogatepass")
 
 
-def build_peq(patterns: list[bytes], n_words: int) -> tuple[np.ndarray, np.ndarray]:
+def build_peq(
+    patterns: list[bytes], n_words: int, alphabet: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
     """Positional-equality bitmask tensor for a batch of patterns.
 
     Returns (peq, mlens):
-      peq  : (B, n_words, 256) uint64 — bit i of word w set for char c iff
-             pattern[w*64 + i] == c  (the numpy analog of sassy's
+      peq  : (B, n_words, alphabet) uint64 — bit i of word w set for char c
+             iff pattern[w*64 + i] == c  (the numpy analog of sassy's
              Profile::encode_pattern, reference src/profiles/ascii.rs:18-28).
       mlens: (B,) int64 pattern lengths.
     """
     b = len(patterns)
-    peq = np.zeros((b, n_words, 256), dtype=np.uint64)
+    peq = np.zeros((b, n_words, alphabet), dtype=np.uint64)
     mlens = np.empty(b, dtype=np.int64)
     for i, pat in enumerate(patterns):
         pb = np.frombuffer(pat, dtype=np.uint8)
@@ -215,8 +217,15 @@ def semiglobal_scores(patterns: list, texts: list):
     txts = [_as_bytes(x) for x in texts]
     mlens = np.array([len(p) for p in pats], dtype=np.int64)
     n_words = max(1, int((mlens.max() + 63) // 64))
-    peq, _ = build_peq(pats, n_words)
-    tmat, tlens = _pad_texts(txts)
+    # compact alphabet: same cache win as the banded kernel
+    pmat0 = np.zeros((bsz, max(1, int(mlens.max()))), dtype=np.uint8)
+    for i, p in enumerate(pats):
+        pmat0[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    tmat0, tlens = _pad_texts(txts)
+    alphabet = _compact_alphabet(pmat0, tmat0)
+    pats = [pmat0[i, : mlens[i]].tobytes() for i in range(bsz)]
+    peq, _ = build_peq(pats, n_words, alphabet)
+    tmat = tmat0
 
     pv = np.full((bsz, n_words), UFULL, dtype=np.uint64)
     mv = np.zeros((bsz, n_words), dtype=np.uint64)

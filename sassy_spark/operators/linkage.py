@@ -187,6 +187,7 @@ def score_pairs(
     text_col: str = "text",
     url: str = "url",
     score_partitions: int | None = None,
+    score_mode: str = "global",
 ) -> DataFrame:
     """Attach texts and score each candidate pair with the Myers kernel.
 
@@ -195,8 +196,17 @@ def score_pairs(
     (the reference's fractional-k eval mode,
     evals/src/sassy2/text_scaling.rs:9-13).
 
-    The length-difference prefilter runs BEFORE the expensive UDF —
-    Catalyst evaluates it as a plain WHERE on already-joined ints.
+    score_mode:
+      'global'      — full-document Levenshtein (near-duplicate pages);
+      'containment' — best semi-global cost of the shorter text inside the
+        longer (free longer-text prefix/suffix): catches partial copies /
+        quoted inclusions that global distance misses — the pair-scoring
+        form of the reference's free-end-gap semantics (search K5 best +
+        overhang spirit K12). k_frac then resolves against the SHORTER
+        length, and no length-difference prefilter applies.
+
+    For 'global' the length-difference prefilter runs BEFORE the expensive
+    UDF — Catalyst evaluates it as a plain WHERE on already-joined ints.
     """
     # two-phase join: the narrow length table joins first and the
     # |len_a - len_b| <= k prefilter runs on it, so the wide text payload
@@ -215,12 +225,18 @@ def score_pairs(
             "url_b",
         )
     )
+    len_base = (
+        F.least("len_a", "len_b")
+        if score_mode == "containment"
+        else F.greatest("len_a", "len_b")
+    )
     if k_frac is not None:
-        k_eff = F.ceil(F.greatest("len_a", "len_b") * F.lit(k_frac)).cast("int")
+        k_eff = F.ceil(len_base * F.lit(k_frac)).cast("int")
     else:
         k_eff = F.lit(int(k)).cast("int")
     df = df.withColumn("k_eff", k_eff)
-    df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("k_eff"))
+    if score_mode != "containment":
+        df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("k_eff"))
     df = df.join(
         texts.select(F.col(url).alias("url_a"), F.col("_t").alias("text_a")),
         "url_a",
@@ -265,12 +281,35 @@ def score_pairs(
             for lo in range(0, len(pdf), chunk_rows):
                 ch = pdf.iloc[lo : lo + chunk_rows]
                 k_eff_arr = ch["k_eff"].to_numpy()
-                cost = myers.edit_distances(
-                    ch["text_a"].tolist(), ch["text_b"].tolist(), k=k_eff_arr
+                if score_mode == "containment":
+                    la = ch["len_a"].to_numpy()
+                    lb = ch["len_b"].to_numpy()
+                    shorter = np.where(la <= lb, ch["text_a"], ch["text_b"])
+                    longer = np.where(la <= lb, ch["text_b"], ch["text_a"])
+                    res = myers.semiglobal_search(
+                        list(shorter), list(longer), int(k_eff_arr.max()),
+                        mode="best",
+                    )
+                    cost = np.array(
+                        [
+                            int(c[0]) if len(c) else int(kk) + 1
+                            for (_, c), kk in zip(res, k_eff_arr)
+                        ],
+                        dtype=np.int64,
+                    )
+                    denom = np.minimum(la, lb).clip(min=1)
+                else:
+                    cost = myers.edit_distances(
+                        ch["text_a"].tolist(), ch["text_b"].tolist(), k=k_eff_arr
+                    )
+                    denom = None
+                maxlen = (
+                    denom
+                    if denom is not None
+                    else np.maximum(
+                        ch["len_a"].to_numpy(), ch["len_b"].to_numpy()
+                    ).clip(min=1)
                 )
-                maxlen = np.maximum(
-                    ch["len_a"].to_numpy(), ch["len_b"].to_numpy()
-                ).clip(min=1)
                 yield pd.DataFrame(
                     {
                         "url_a": ch["url_a"].to_numpy(),

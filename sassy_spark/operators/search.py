@@ -46,6 +46,7 @@ def search(
     mode: str = "local_minima",
     with_trace: bool = True,
     case_sensitive: bool = True,
+    rc: bool = False,
     pat_id: str = "pat_id",
     pattern: str = "pattern",
     text_id: str = "text_id",
@@ -56,11 +57,21 @@ def search(
     mode: 'local_minima' (reference default search), 'all' (search_all),
     'best' (only_best_match). ``with_trace=False`` mirrors without_trace
     (src/search.rs:448-451): skips traceback, cigar/start/match_region null.
+    ``rc=True`` also reports reverse-complement-strand matches
+    (strand '-'): occurrences of revcomp(pattern), same text coordinates —
+    the reference's search_handle_rc semantics (src/search.rs:787-881)
+    realized as an extra broadcast lane instead of reversed-text machinery.
     """
     pats_local = [
-        (str(r[0]), str(r[1]))
+        (str(r[0]), str(r[1]), "+")
         for r in patterns_df.select(pat_id, pattern).collect()
     ]
+    if rc:
+        from ..functions.text import reverse_complement_str
+
+        pats_local += [
+            (pid, reverse_complement_str(p), "-") for pid, p, _ in pats_local
+        ]
     spark = texts_df.sparkSession
     bc = spark.sparkContext.broadcast(pats_local)
 
@@ -68,6 +79,7 @@ def search(
         pats = bc.value
         pat_ids = [p[0] for p in pats]
         pat_strs = [p[1] for p in pats]
+        strands = [p[2] for p in pats]
         if not case_sensitive:
             pat_strs = [p.lower() for p in pat_strs]
         for pdf in batches:
@@ -102,7 +114,7 @@ def search(
                             pat_ids[pi],
                             tids[ti],
                             int(c),
-                            "+",
+                            strands[pi],
                             start,
                             int(e),
                             region,

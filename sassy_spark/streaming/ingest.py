@@ -61,6 +61,10 @@ def stream_pages(
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked sliding-window aggregation over the events shape —
     late rows beyond 10 minutes dropped deterministically."""
+    # event-time columns must be TIMESTAMP (ltz); parquet NTZ is cast
+    events_stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     return (
         events_stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))

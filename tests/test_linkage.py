@@ -103,3 +103,32 @@ def test_length_prefilter_is_pushed(pages):
     # physical plans print top-down: the UDF node must appear ABOVE (before
     # in string order) the length filter it consumes from
     assert udf_pos < filt_pos, plan[:2000]
+
+
+def test_containment_scoring(spark):
+    """Partial-copy detection: a document embedded inside a larger one
+    scores ~0 in containment mode even when global distance is huge."""
+    from sassy_spark.operators.linkage import score_pairs
+    from pyspark.sql import functions as F
+
+    short = "the quick brown fox jumps over the lazy dog " * 3
+    long = ("unrelated preamble text here. " * 20) + short + (
+        " trailing content that goes on. " * 20
+    )
+    pages = spark.createDataFrame(
+        [("a", short), ("b", long), ("c", "completely different words " * 10)],
+        ["url", "text"],
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["url_a", "url_b"])
+    got = {
+        (r.url_a, r.url_b): r
+        for r in score_pairs(
+            pairs, pages, k_frac=0.1, score_mode="containment"
+        ).collect()
+    }
+    assert got[("a", "b")].cost == 0
+    assert got[("a", "b")].is_match
+    assert not got[("a", "c")].is_match
+    # global mode would reject the same pair outright (length prefilter)
+    g = score_pairs(pairs, pages, k_frac=0.1, score_mode="global")
+    assert ("a", "b") not in {(r.url_a, r.url_b) for r in g.collect()}

@@ -83,3 +83,17 @@ def test_case_insensitive(spark):
     txts = spark.createDataFrame([("t", "xxNEEDLExx")], ["text_id", "text"])
     assert search(pats, txts, k=0, case_sensitive=False).count() == 1
     assert search(pats, txts, k=0, case_sensitive=True).count() == 0
+
+
+def test_rc_search(spark):
+    pats = spark.createDataFrame([("g1", "ACGTT")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame(
+        [("t1", "ccccAACGTcccc")], ["text_id", "text"]  # revcomp(ACGTT)=AACGT
+    )
+    fwd_only = search(pats, txts, k=0, mode="all")
+    assert fwd_only.count() == 0
+    both = search(pats, txts, k=0, mode="all", rc=True)
+    rows = both.collect()
+    assert len(rows) == 1
+    assert rows[0].strand == "-"
+    assert rows[0].match_region == "AACGT"
