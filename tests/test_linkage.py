@@ -132,3 +132,20 @@ def test_containment_scoring(spark):
     # global mode would reject the same pair outright (length prefilter)
     g = score_pairs(pairs, pages, k_frac=0.1, score_mode="global")
     assert ("a", "b") not in {(r.url_a, r.url_b) for r in g.collect()}
+
+
+def test_hot_block_salting_caps_pairs(spark):
+    """A pathologically hot block key must yield ~max_block_size^2 pairs,
+    not n^2 (the explicit skew strategy of the north rule)."""
+    from sassy_spark.operators.linkage import candidate_pairs
+
+    n = 2000
+    keys = spark.createDataFrame(
+        [(f"u{i:05d}", "host:hot.example.com") for i in range(n)],
+        ["url", "block_key"],
+    )
+    got = candidate_pairs(keys, max_block_size=64)
+    n_pairs = got.count()
+    # unsalted would be n*(n-1)/2 = 1,999,000; cap ~ 64^2 * fudge
+    assert n_pairs < 64 * 64 * 4, n_pairs
+    assert n_pairs > 0
