@@ -90,9 +90,10 @@ def minhash_lsh_pairs(
         F.col("url").cast(id_type).alias("id"),
         F.col("block_key").alias("bucket"),
     )
-    # persist: the bucket table feeds a size agg + both sides of the
-    # self-join — without it the sketch UDF runs 4x
+    # eager persist: the bucket table feeds a size agg + both sides of the
+    # self-join — lazy, the sketch UDF would run in every branch
     band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
+    band_keys.count()
     sizes = band_keys.groupBy("bucket").agg(F.count("*").alias("bs"))
     bk = band_keys.join(sizes, "bucket").where(
         (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
@@ -117,8 +118,19 @@ def ngram_jaccard_verify(
     ngram: int = 5,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard for candidate pairs — pure Catalyst
-    (array_distinct + array_intersect sizes), no Python."""
-    g = docs.select(
+    (array_distinct + array_intersect sizes), no Python.
+
+    Gram arrays are built only for documents that actually appear in a
+    candidate pair (semi-join first): candidates are typically <<1% of the
+    corpus, and the gram explosion is ~100x the text size."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    g = docs.join(
+        ids, docs[id_col] == ids["id"], "left_semi"
+    ).select(
         F.col(id_col).alias("id"),
         F.array_distinct(char_ngrams(normalize(F.col(text_col)), ngram)).alias(
             "grams"

@@ -36,6 +36,22 @@ from ..functions.text import normalize, url_host
 from ..kernel import myers
 
 
+def _fan_out_small_input(df: DataFrame, key: str) -> DataFrame:
+    """Few-file inputs arrive as few partitions and would run Python
+    stages on a handful of cores. File count comes from metadata
+    (inputFiles) — NEVER df.rdd.getNumPartitions(), which converts and
+    executes the plan. Non-file-backed frames (generators, joins) keep
+    their existing partitioning."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        return df
+    if 0 < n_files < par:
+        return df.repartition(par, key)
+    return df
+
+
 # --------------------------------------------------------------- stage 1
 
 
@@ -94,6 +110,7 @@ def minhash_band_keys(
     src = pages.select(
         F.col(url).alias("url"), normalize(F.col(text_col)).alias("_norm")
     )
+    src = _fan_out_small_input(src, "url")
     return src.mapInPandas(bandify, schema="url string, block_key string")
 
 

@@ -135,7 +135,10 @@ def search(
                 ],
             ) if rows else _empty_match_pdf()
 
-    return texts_df.select(text_id, text).mapInPandas(run, schema=MATCH_SCHEMA)
+    from .linkage import _fan_out_small_input
+
+    src = _fan_out_small_input(texts_df.select(text_id, text), text_id)
+    return src.mapInPandas(run, schema=MATCH_SCHEMA)
 
 
 def _empty_match_pdf() -> pd.DataFrame:
