@@ -98,18 +98,77 @@ def _latest_checkpoint(checkpoint_dir: str) -> tuple[int, dict] | None:
     return best
 
 
+def _encode_nodes(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Order-preserving dictionary encoding url -> long.
+
+    Rank assignment via range-partition + sortWithinPartitions +
+    zipWithIndex keeps global order, so min(long) == min(url) and the
+    star algorithms produce identical clusters on 8-byte keys instead of
+    ~100-byte urls — at 10^12 nodes that is the difference between
+    shuffling 8 TB and 100 TB per iteration. One extra sort + two joins,
+    amortized over O(log n) iterations.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .repartitionByRange(F.col("url"))
+        .sortWithinPartitions("url")
+    )
+    rdd = nodes.rdd.map(lambda r: r[0]).zipWithIndex()
+    mapping = spark.createDataFrame(rdd, ["url", "nid"])
+    enc = (
+        edges.join(
+            mapping.select(F.col("url").alias("src"), F.col("nid").alias("s")),
+            "src",
+        )
+        .join(
+            mapping.select(F.col("url").alias("dst"), F.col("nid").alias("d")),
+            "dst",
+        )
+        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    )
+    return enc, mapping
+
+
 def connected_components(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iter: int = 25,
     src: str = "src",
     dst: str = "dst",
+    encode_ids: bool = False,
 ) -> DataFrame:
     """edges(src,dst) -> (url, cluster_id) assignment, cluster_id = min url.
 
     Resumable: if ``checkpoint_dir`` holds a completed iteration, work
     restarts from it instead of the input edges.
+
+    ``encode_ids=True`` runs the star iterations on order-preserving long
+    ids (identical output labels, ~10x narrower shuffles) — the scale
+    path for billion-node graphs; off by default because the encoding
+    costs a sort + two joins that dominate on small graphs.
     """
+    if encode_ids:
+        orig = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        enc, mapping = _encode_nodes(orig)
+        cc = connected_components(
+            enc, checkpoint_dir=checkpoint_dir, max_iter=max_iter
+        )
+        return (
+            cc.join(
+                mapping.select(F.col("nid").alias("url"), F.col("url").alias("u")),
+                "url",
+            )
+            .join(
+                mapping.select(
+                    F.col("nid").alias("cluster_id"), F.col("url").alias("c")
+                ),
+                "cluster_id",
+            )
+            .select(F.col("u").alias("url"), F.col("c").alias("cluster_id"))
+        )
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col(src) != F.col(dst)

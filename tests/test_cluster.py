@@ -73,3 +73,16 @@ def test_cc_self_loops_ignored(spark):
     )
     got = {r["url"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got["a"] == "a" and got["b"] == "a" and got["c"] == "c"
+
+
+def test_cc_encoded_ids_identical(spark):
+    """Long-id encoding must produce byte-identical labels (the scale
+    path: 8-byte shuffles instead of url strings)."""
+    nodes, edges = _random_graph(17)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plain = {r["url"]: r["cluster_id"] for r in connected_components(df).collect()}
+    enc = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, encode_ids=True).collect()
+    }
+    assert plain == enc
