@@ -465,6 +465,76 @@ def _q24_containment_scores(spark, sf):
     )
 
 
+def _q25_sessionize(spark, sf):
+    """Sessionization: gap > 30 min starts a new session; session id =
+    cumulative break count per user (window lag + running sum). Output:
+    sessions per user + mean session length."""
+    ev = _load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    brk = (
+        F.when(
+            (epoch - F.lag(epoch).over(w)) > 1_800_000_000, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_id",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+    )
+
+
+def _q26_percentiles(spark, sf):
+    """Exact percentiles + distinct counts per event type (the reference
+    has only count/min aggregates; these are the engine's diagnostics
+    vocabulary)."""
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+def _q27_pivot(spark, sf):
+    """Pivot: event counts per user bucket x event type."""
+    ev = _load(spark, sf, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket")
+    return (
+        ev.select(bucket, "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def _q28_rollup(spark, sf):
+    """Rollup over (year, month): subtotal rows with null month, grand
+    total with both null — grouping-set aggregation."""
+    o = _load(spark, sf, "orders")
+    return (
+        o.withColumn("year", F.year("o_orderdate"))
+        .withColumn("month", F.month("o_orderdate"))
+        .rollup("year", "month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -491,6 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_connected_components": _q22_connected_components,
         "q23_exact_dedup_groups": _q23_exact_dedup_groups,
         "q24_containment_scores": _q24_containment_scores,
+        "q25_sessionize": _q25_sessionize,
+        "q26_percentiles": _q26_percentiles,
+        "q27_pivot": _q27_pivot,
+        "q28_rollup": _q28_rollup,
     }
 
 
@@ -679,5 +753,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT group_size, count(*) AS n_groups FROM (
               SELECT count(*) AS group_size FROM documents GROUP BY text)
             GROUP BY group_size
+        """,
+        "q25_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g),
+            per_session AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM s GROUP BY user_id, session_id)
+            SELECT user_id, count(*) AS n_sessions,
+                   round(avg(n_events), 4) AS avg_events_per_session
+            FROM per_session GROUP BY user_id
+        """,
+        "q26_percentiles": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "q27_pivot": """
+            SELECT user_id % 10 AS user_bucket,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+            FROM events GROUP BY 1
+        """,
+        "q28_rollup": """
+            SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
         """,
     }
