@@ -373,9 +373,35 @@ def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
     spark = df.sparkSession
     if not os.path.exists(meta_p):
         df.write.mode("overwrite").parquet(os.path.join(path, "data"))
-        n = spark.read.parquet(os.path.join(path, "data")).count()
+        back = spark.read.parquet(os.path.join(path, "data"))
+        # per-partition lineage: row count + content hash per output
+        # partition, so a resumed run can verify which partitions are
+        # intact and re-derive only the damaged ones
+        parts = (
+            back.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.expr(
+                    f"bit_xor(xxhash64({', '.join(back.columns)}))"
+                ).alias("content_hash"),
+            )
+            .collect()
+        )
+        meta = {
+            "stage": name,
+            "rows": int(sum(r["rows"] for r in parts)),
+            "n_partitions": len(parts),
+            "partitions": [
+                {
+                    "pid": int(r["pid"]),
+                    "rows": int(r["rows"]),
+                    "content_hash": int(r["content_hash"]),
+                }
+                for r in sorted(parts, key=lambda r: r["pid"])
+            ],
+        }
         with open(meta_p, "w") as f:
-            json.dump({"stage": name, "rows": n}, f)
+            json.dump(meta, f)
     return spark.read.parquet(os.path.join(path, "data"))
 
 
