@@ -51,6 +51,33 @@ def minhash_signature(
     return vals.min(axis=0)
 
 
+def oph_signature(h: np.ndarray, n_bins: int = 128) -> np.ndarray:
+    """One-permutation minhash (Li, Owen, Zhang 2012): bin each shingle
+    hash by its low bits, keep the min per bin — one pass over the
+    shingles instead of n_bins passes. Empty bins are filled by rotation
+    densification (borrow from the next non-empty bin, re-mixed), which
+    preserves the unbiased Jaccard estimate for LSH banding.
+    """
+    bins = (h % np.uint64(n_bins)).astype(np.int64)
+    vals = h // np.uint64(n_bins)
+    sig = np.full(n_bins, _MASK, dtype=np.uint64)
+    np.minimum.at(sig, bins, vals)
+    empty = sig == _MASK
+    if empty.any():
+        if empty.all():
+            return np.zeros(n_bins, dtype=np.uint64)
+        # rotation densification: walk from each empty bin to the next
+        # filled one (wrapping), offset-mixed so borrowed values differ
+        filled_idx = np.nonzero(~empty)[0]
+        # for each bin, the next filled bin at or after it (cyclic)
+        pos = np.searchsorted(filled_idx, np.arange(n_bins))
+        pos[pos == len(filled_idx)] = 0
+        src = filled_idx[pos]
+        borrow = _splitmix64(sig[src] + np.arange(n_bins, dtype=np.uint64))
+        sig = np.where(empty, borrow, sig)
+    return sig
+
+
 def make_minhash_udf(n_hashes: int = 128, ngram: int = 5, seed: int = 42):
     """pandas UDF: text -> array<bigint> minhash signature (length n_hashes)."""
     rng = np.random.default_rng(seed)
