@@ -86,3 +86,26 @@ def test_cc_encoded_ids_identical(spark):
         for r in connected_components(df, encode_ids=True).collect()
     }
     assert plain == enc
+
+
+def test_cc_resume_mid_run(spark, tmp_path):
+    """Kill-mid-run resumability: stop after 2 iterations (pre-convergence
+    on a long chain), then resume from the checkpoint — final labels must
+    match an uninterrupted run."""
+    n = 96
+    edges = [(f"m{i:03d}", f"m{i+1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ck = str(tmp_path / "cc_mid")
+    partial = connected_components(df, checkpoint_dir=ck, max_iter=2)
+    # chain of 96 cannot converge in 2 star rounds
+    labels_partial = {r["url"]: r["cluster_id"] for r in partial.collect()}
+    assert len(set(labels_partial.values())) > 1
+    resumed = connected_components(df, checkpoint_dir=ck, max_iter=25)
+    got = {r["url"]: r["cluster_id"] for r in resumed.collect()}
+    assert set(got.values()) == {"m000"}
+    assert len(got) == n
+    # and the resume actually started from the snapshot: iter dirs exist
+    import os
+
+    iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    assert "iter=000" in iters and len(iters) >= 3
