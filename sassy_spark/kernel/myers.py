@@ -493,36 +493,62 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
             if bool((track_word == w).any())
         }
         j_end = min(jb + 64, n_max)
+        # preallocated scratch: the inner step would otherwise allocate
+        # ~16 fresh temporaries per word per column — allocator churn is
+        # both a cache hazard and (in this sandbox) a serialized-fault
+        # hazard. All ops below write into these via out=.
+        b_now = len(idx)
+        eqw = np.empty(b_now, dtype=np.uint64)
+        xv = np.empty(b_now, dtype=np.uint64)
+        t1 = np.empty(b_now, dtype=np.uint64)
+        t2 = np.empty(b_now, dtype=np.uint64)
+        mh = np.empty(b_now, dtype=np.uint64)
+        hin_p = np.empty(b_now, dtype=np.uint64)
+        hin_m = np.empty(b_now, dtype=np.uint64)
+        hout_p = np.empty(b_now, dtype=np.uint64)
+        hout_m = np.empty(b_now, dtype=np.uint64)
+        flat = np.empty(b_now, dtype=np.int64)
+        base_idx = bi[:b_now] * np.int64(alphabet_size)
         for j in range(jb, j_end):
             act = tlens > j
             if not act.any():
                 break
             chars = tmat[j]
-            hin_p = np.ones(len(idx), dtype=np.uint64)  # band-bottom/global +1
-            hin_m = np.zeros(len(idx), dtype=np.uint64)
+            hin_p.fill(1)  # band-bottom/global +1
+            hin_m.fill(0)
             for w in range(lo_w, hi_w + 1):
                 pvw = pv[w]
                 mvw = mv[w]
-                eqw = peq_cache[w][bi[: len(idx)], chars]
-                xv = eqw | mvw
-                eqw |= hin_m
-                xh = (((eqw & pvw) + pvw) ^ pvw) | eqw
-                ph = mvw | ~(xh | pvw)
-                mh = pvw & xh
+                np.add(base_idx, chars, out=flat)
+                np.take(peq_cache[w].reshape(-1), flat, out=eqw)
+                np.bitwise_or(eqw, mvw, out=xv)
+                np.bitwise_or(eqw, hin_m, out=eqw)
+                np.bitwise_and(eqw, pvw, out=t1)
+                np.add(t1, pvw, out=t1)
+                np.bitwise_xor(t1, pvw, out=t1)
+                np.bitwise_or(t1, eqw, out=t1)  # t1 = xh
+                np.bitwise_or(t1, pvw, out=t2)
+                np.invert(t2, out=t2)
+                np.bitwise_or(mvw, t2, out=t2)  # t2 = ph
+                np.bitwise_and(pvw, t1, out=mh)  # mh
                 sel = sel_by_word.get(w)
                 if sel is not None:
                     sa = sel & act
                     tb = track_bit[sa]
-                    score[sa] += ((ph[sa] & tb) != 0).astype(np.int64)
+                    score[sa] += ((t2[sa] & tb) != 0).astype(np.int64)
                     score[sa] -= ((mh[sa] & tb) != 0).astype(np.int64)
-                hout_p = ph >> U63
-                hout_m = mh >> U63
-                ph = (ph << U1) | hin_p
-                mh = (mh << U1) | hin_m
-                pv[w] = mh | ~(xv | ph)
-                mv[w] = ph & xv
-                hin_p = hout_p
-                hin_m = hout_m
+                np.right_shift(t2, U63, out=hout_p)
+                np.right_shift(mh, U63, out=hout_m)
+                np.left_shift(t2, U1, out=t2)
+                np.bitwise_or(t2, hin_p, out=t2)  # ph shifted
+                np.left_shift(mh, U1, out=mh)
+                np.bitwise_or(mh, hin_m, out=mh)  # mh shifted
+                np.bitwise_or(xv, t2, out=t1)
+                np.invert(t1, out=t1)
+                np.bitwise_or(mh, t1, out=pvw)  # pv[w] updated in place
+                np.bitwise_and(t2, xv, out=mvw)  # mv[w] updated in place
+                hin_p, hout_p = hout_p, hin_p
+                hin_m, hout_m = hout_m, hin_m
             fin = tlens == j + 1
             if fin.any():
                 out[idx[fin]] = np.minimum(score[fin], k_a[fin] + 1)
