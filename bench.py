@@ -110,7 +110,7 @@ def main() -> None:
             (ks_out[32] / ks_out[8]) / 4.0, 3
         )
     out["f1_evaluation"] = (
-        "pair F1 0.9968 / cluster F1 1.0000 via tools/evaluate_f1.py "
+        "pair F1 0.9982 / cluster F1 1.0000 via tools/evaluate_f1.py "
         "(see BENCH/BASELINE.md)"
     )
     print(json.dumps(out))
