@@ -1,12 +1,16 @@
 from .myers import (
+    all_optimal_tracebacks,
+    banded_edit_distances,
     edit_distances,
-    semiglobal_search,
-    semiglobal_scores,
     local_minima,
+    semiglobal_scores,
+    semiglobal_search,
     traceback,
 )
 
 __all__ = [
+    "all_optimal_tracebacks",
+    "banded_edit_distances",
     "edit_distances",
     "semiglobal_search",
     "semiglobal_scores",

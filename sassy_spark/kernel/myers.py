@@ -9,6 +9,12 @@ numpy analog of the reference engine's SIMD lanes (sassy processes 4-8
 64-char blocks per AVX vector, src/bitpacking.rs:63-85; we process
 B pairs x W words per numpy op).
 
+Unit of distance: **Unicode codepoints** for ``str`` inputs (matching
+SQL ``levenshtein`` and Python ``str`` slicing — start/end offsets
+returned by the search functions are valid ``str`` indices), raw bytes
+for ``bytes`` inputs (the reference's own unit, src/profiles/ascii.rs).
+Mixed batches are fine; each element keeps its own unit.
+
 Semantics intentionally mirror the reference (RagnarGrootKoerkamp/sassy):
 
 * ``edit_distances``      — global Levenshtein distance per pair
@@ -20,11 +26,27 @@ Semantics intentionally mirror the reference (RagnarGrootKoerkamp/sassy):
   cost <= k (search_all, src/search.rs:685-700), rightmost ``local
   minima`` (the default search, src/search.rs:1286-1369) and ``best``
   (only_best_match, src/search.rs:442-445,1392-1455: min cost, rightmost
-  end tie-break).
+  end tie-break). Streaming + row-banded: memory is O(batch x band), not
+  O(batch x text) — the batch analog of sassy's early row termination
+  (src/search.rs:1131-1162).
+* overhang (``alpha``)    — the pattern may hang over either text end at
+  cost ``floor(alpha * overhang)``, capped at ``max_overhang`` chars
+  (reference src/search.rs:231-248, init_deltas_for_overshoot
+  src/search.rs:1692-1748: the left-boundary vertical deltas become the
+  0/1 increments of floor(i*alpha), which Myers' pv/mv encoding can
+  represent exactly).
 * ``traceback``           — start position + CIGAR via greedy backtrace
   preferring match > sub > del > ins (reference src/trace.rs:273-406,
   preference documented src/lib.rs:42-50). Run only on accepted matches
   (rare), like sassy's batched traceback after candidate filtering.
+* ``all_optimal_tracebacks`` — every distinct *cost-minimal* alignment
+  for one (pattern, end) — the engine's form of search_all_alignments
+  (reference src/search.rs:708-754, src/alignment_iterator.rs:52-411).
+  Deviation, documented: the reference also enumerates some suboptimal
+  alignments with cost <= k (minus "clearly inefficient" ones); this
+  engine enumerates exactly the cost-minimal paths per end position
+  (which automatically excludes the reference's filtered sub->ins+del
+  rewrites, since those cost strictly more).
 
 No code is copied from the reference; the recurrence follows the
 published algorithm (G. Myers, JACM 46(3), 1999; H. Hyyro, 2003).
@@ -37,21 +59,58 @@ import numpy as np
 U1 = np.uint64(1)
 U63 = np.uint64(63)
 UFULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+BIG = np.int64(1 << 20)  # "not a valid cost" placeholder
 
 
-def _as_bytes(s) -> bytes:
-    if isinstance(s, bytes):
-        return s
-    return str(s).encode("utf-8", errors="surrogatepass")
+def _as_symbols(s) -> np.ndarray:
+    """Sequence -> uint32 symbol array. str -> Unicode codepoints (so all
+    offsets are character offsets, valid for Python str slicing and equal
+    to SQL levenshtein units); bytes -> raw byte values."""
+    if isinstance(s, (bytes, bytearray)):
+        return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.uint32)
+    return np.frombuffer(
+        str(s).encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+    )
+
+
+def _compact_mats(mats: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
+    """Remap symbol matrices to a dense 0..A-1 alphabet; returns
+    (remapped mats, A). Padding symbol 0 stays 0.
+
+    Web text uses a few dozen distinct symbols; a (B, A) gather table at
+    A~32 is 8x smaller than (B, 256) — the difference between the inner
+    gather hitting L2 or thrashing shared L3 across 32 workers. This is
+    the engine's version of sassy's compile-time alphabet profiles
+    (reference src/profiles.rs:13-66: Dna=4, Iupac=16, Ascii=256).
+    """
+    hi = max((int(m.max()) if m.size else 0) for m in mats)
+    if hi < 256:
+        # fast path: 256-entry uint8 LUT (all-ASCII/latin batches) — one
+        # bincount pass to find used symbols, one gather to remap
+        used = np.zeros(256, dtype=bool)
+        used[0] = True
+        for m in mats:
+            if m.size:
+                cnt = np.bincount(m.ravel(), minlength=256)
+                used |= cnt > 0
+        amap = (np.cumsum(used) - 1).astype(np.uint8)
+        return [amap[m] for m in mats], int(used.sum())
+    vals = np.unique(np.concatenate([m.ravel() for m in mats]))
+    if vals[0] != 0:
+        vals = np.concatenate([np.zeros(1, dtype=vals.dtype), vals])
+    a = len(vals)
+    dt = np.uint8 if a <= 256 else np.uint16 if a <= 65536 else np.uint32
+    return [np.searchsorted(vals, m).astype(dt) for m in mats], a
 
 
 def build_peq(
-    patterns: list[bytes], n_words: int, alphabet: int = 256
+    patterns: list[np.ndarray], n_words: int, alphabet: int = 256
 ) -> tuple[np.ndarray, np.ndarray]:
     """Positional-equality bitmask tensor for a batch of patterns.
 
+    ``patterns``: list of 1-D integer symbol arrays (already compacted).
     Returns (peq, mlens):
-      peq  : (B, n_words, alphabet) uint64 — bit i of word w set for char c
+      peq  : (B, n_words, alphabet) uint64 — bit i of word w set for sym c
              iff pattern[w*64 + i] == c  (the numpy analog of sassy's
              Profile::encode_pattern, reference src/profiles/ascii.rs:18-28).
       mlens: (B,) int64 pattern lengths.
@@ -59,36 +118,35 @@ def build_peq(
     b = len(patterns)
     peq = np.zeros((b, n_words, alphabet), dtype=np.uint64)
     mlens = np.empty(b, dtype=np.int64)
-    for i, pat in enumerate(patterns):
-        pb = np.frombuffer(pat, dtype=np.uint8)
+    for i, pb in enumerate(patterns):
         mlens[i] = len(pb)
         pos = np.arange(len(pb))
         words = pos >> 6
         bits = (U1 << (pos & 63).astype(np.uint64))
-        np.bitwise_or.at(peq[i], (words, pb), bits)
+        np.bitwise_or.at(peq[i], (words, pb.astype(np.intp)), bits)
     return peq, mlens
 
 
-def _pad_texts(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """Stack variable-length byte strings into a (B, n_max) uint8 matrix.
+def _pad_syms(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length symbol arrays into a (B, n_max) uint32 matrix.
 
-    Padding char 0x00: real inputs are UTF-8 text so NUL never occurs;
-    padded steps are additionally masked out of score updates.
+    Padding symbol 0: real inputs are text so NUL never occurs; padded
+    steps are additionally masked out of score updates.
     """
-    b = len(texts)
-    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    b = len(seqs)
+    lens = np.array([len(t) for t in seqs], dtype=np.int64)
     n_max = int(lens.max()) if b else 0
-    mat = np.zeros((b, n_max), dtype=np.uint8)
-    for i, t in enumerate(texts):
-        mat[i, : lens[i]] = np.frombuffer(t, dtype=np.uint8)
+    mat = np.zeros((b, n_max), dtype=np.uint32)
+    for i, t in enumerate(seqs):
+        mat[i, : lens[i]] = t
     return mat, lens
 
 
 def _advance(peq, pv, mv, chars, score, top_word, top_bit, hin0, active):
     """Advance all pairs by one text character.
 
-    peq: (B,W,256); pv/mv: (B,W) uint64 vertical delta bitmasks;
-    chars: (B,) uint8; score: (B,) int64 (updated in place);
+    peq: (B,W,A); pv/mv: (B,W) uint64 vertical delta bitmasks;
+    chars: (B,) symbols; score: (B,) int64 (updated in place);
     top_word: (B,) int; top_bit: (B,) uint64 single-bit mask of row m;
     hin0: +1 for global alignment (row 0 of the DP matrix increases along
     the text), 0 for semi-global (free text prefix);
@@ -96,7 +154,7 @@ def _advance(peq, pv, mv, chars, score, top_word, top_bit, hin0, active):
     """
     b, w_count, _ = peq.shape
     bi = np.arange(b)
-    eq_all = peq[bi, :, chars]  # (B, W)
+    eq_all = peq[bi, :, chars.astype(np.intp)]  # (B, W)
 
     hin_p = np.full(b, np.uint64(1 if hin0 > 0 else 0), dtype=np.uint64)
     hin_m = np.zeros(b, dtype=np.uint64)
@@ -158,8 +216,8 @@ def _full_edit_distances(
     bsz = len(a_list)
     if bsz == 0:
         return np.zeros(0, dtype=np.int64)
-    pats = [_as_bytes(x) for x in a_list]
-    texts = [_as_bytes(x) for x in b_list]
+    pats = [_as_symbols(x) for x in a_list]
+    texts = [_as_symbols(x) for x in b_list]
     # Pattern = the shorter string: fewer words, same distance (symmetry).
     swapped = [len(p) > len(t) for p, t in zip(pats, texts)]
     pats2 = [t if s else p for p, t, s in zip(pats, texts, swapped)]
@@ -167,8 +225,12 @@ def _full_edit_distances(
 
     mlens = np.array([len(p) for p in pats2], dtype=np.int64)
     n_words = max(1, int((mlens.max() + 63) // 64))
-    peq, _ = build_peq(pats2, n_words)
-    tmat, tlens = _pad_texts(texts2)
+    pmat0, _ = _pad_syms(pats2)
+    tmat0, tlens = _pad_syms(texts2)
+    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+    peq, _ = build_peq(
+        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet
+    )
 
     pv = np.full((bsz, n_words), UFULL, dtype=np.uint64)
     mv = np.zeros((bsz, n_words), dtype=np.uint64)
@@ -205,27 +267,25 @@ def _full_edit_distances(
 
 
 def semiglobal_scores(patterns: list, texts: list):
-    """Yield-free batched semi-global scan.
+    """Unbanded batched semi-global scan — the test-oracle path.
 
     Returns (scores_matrix, tlens): scores_matrix[b, j] = best edit cost of
-    pattern b against any text substring ending at position j+1 (int16,
-    padded steps = large). Used by :func:`semiglobal_search`; exposed for
-    tests.
+    pattern b against any text substring ending at position j+1 (int32,
+    padded steps = large). Materializes the full (B, n_max) matrix — use
+    :func:`semiglobal_search` (streaming, banded) for production scans;
+    this exists so tests can pin banded-vs-unbanded equivalence.
     """
     bsz = len(patterns)
-    pats = [_as_bytes(x) for x in patterns]
-    txts = [_as_bytes(x) for x in texts]
+    pats = [_as_symbols(x) for x in patterns]
+    txts = [_as_symbols(x) for x in texts]
     mlens = np.array([len(p) for p in pats], dtype=np.int64)
     n_words = max(1, int((mlens.max() + 63) // 64))
-    # compact alphabet: same cache win as the banded kernel
-    pmat0 = np.zeros((bsz, max(1, int(mlens.max()))), dtype=np.uint8)
-    for i, p in enumerate(pats):
-        pmat0[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-    tmat0, tlens = _pad_texts(txts)
-    alphabet = _compact_alphabet(pmat0, tmat0)
-    pats = [pmat0[i, : mlens[i]].tobytes() for i in range(bsz)]
-    peq, _ = build_peq(pats, n_words, alphabet)
-    tmat = tmat0
+    pmat0, _ = _pad_syms(pats)
+    tmat0, tlens = _pad_syms(txts)
+    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+    peq, _ = build_peq(
+        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet
+    )
 
     pv = np.full((bsz, n_words), UFULL, dtype=np.uint64)
     mv = np.zeros((bsz, n_words), dtype=np.uint64)
@@ -236,8 +296,7 @@ def semiglobal_scores(patterns: list, texts: list):
     top_bit[mlens == 0] = U1
 
     n_max = tmat.shape[1]
-    big = np.int32(1 << 20)
-    smat = np.full((bsz, n_max), big, dtype=np.int32)
+    smat = np.full((bsz, n_max), BIG, dtype=np.int32)
     for j in range(n_max):
         act = tlens > j
         if not act.any():
@@ -271,118 +330,384 @@ def local_minima(costs: np.ndarray, k: int) -> np.ndarray:
     return np.nonzero(cand)[0].astype(np.int64)
 
 
+def _overhang_penalty(o, alpha: float, mo: int):
+    """Cost of ``o`` pattern chars hanging past a text end:
+    floor(min(o, max_overhang) * alpha) + 1 per char beyond the cap
+    (reference src/search.rs:1694-1707: h-delta = floor((i+1)a)-floor(ia)
+    for i < max_overhang, default +1 beyond)."""
+    o = np.asarray(o, dtype=np.int64)
+    capped = np.minimum(o, mo)
+    return np.floor(capped * alpha).astype(np.int64) + np.maximum(o - mo, 0)
+
+
+def _column_values(pv, mv, hw: int) -> np.ndarray:
+    """D[r+1][j] for bit rows r in 0..(hw+1)*64-1, anchored at the known
+    semiglobal top row D[0][j] = 0. pv/mv are (W, B); returns (B, R) int64.
+    Done only at 64-column boundaries, so the amortized cost is < 1 op per
+    column per word (the batch analog of sassy's prefix_min lane scan,
+    reference src/minima.rs:62-92)."""
+    sel = slice(0, hw + 1)
+    pbits = np.unpackbits(
+        np.ascontiguousarray(pv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    mbits = np.unpackbits(
+        np.ascontiguousarray(mv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    return np.cumsum(pbits - mbits, axis=1)
+
+
 def semiglobal_search(
     patterns: list,
     texts: list,
     k: int,
     mode: str = "local_minima",
+    alpha: float | None = None,
+    max_overhang: int | None = None,
 ):
-    """Approximate occurrences of each pattern in its paired text.
+    """Approximate occurrences of each pattern in its paired text —
+    streaming and row-banded.
 
     mode: 'all' (every end position with cost<=k), 'local_minima'
     (reference default), 'best' (min cost, rightmost end — only_best_match).
     Returns list over pairs of (ends, costs) int64/int32 arrays where
     ``end`` is the exclusive end offset in the text (reference
-    README.md:232-234 convention).
+    README.md:232-234 convention; character offsets for str inputs).
+
+    ``alpha``/``max_overhang``: overhang scoring (reference K12) — the
+    pattern may hang over the text's left edge (alignments starting at
+    text position 0) or right edge (alignments ending at text position n)
+    at cost floor(alpha * overhang_len); overhang chars beyond
+    ``max_overhang`` cost 1 each. alpha=None disables (end gaps in the
+    *pattern* are then fully paid, the plain semiglobal semantics).
+
+    Banding: per Ukkonen, the last text-column row y_j with D <= k grows
+    by at most 1 per column, so only words up to (y + 64)/64 are computed
+    per 64-column block, with y re-derived exactly at block boundaries by
+    unpacking the delta masks. Memory is O(B x band_words); no
+    (B, text_len) score matrix is ever materialized.
     """
-    smat, tlens = semiglobal_scores(patterns, texts)
-    out = []
-    for i in range(len(patterns)):
-        costs = smat[i, : tlens[i]]
+    bsz = len(patterns)
+    if bsz == 0:
+        return []
+    k = int(k)
+    psyms = [_as_symbols(p) for p in patterns]
+    tsyms = [_as_symbols(t) for t in texts]
+    mlens_all = np.array([len(p) for p in psyms], dtype=np.int64)
+    tlens_all = np.array([len(t) for t in tsyms], dtype=np.int64)
+
+    out: list[tuple[np.ndarray, np.ndarray]] = [
+        (np.zeros(0, np.int64), np.zeros(0, np.int32)) for _ in range(bsz)
+    ]
+    # empty patterns: D[0][j] = 0 -> cost 0 at every end position
+    for i in range(bsz):
+        n = int(tlens_all[i])
+        if mlens_all[i] == 0 and n > 0:
+            if mode == "all":
+                out[i] = (
+                    np.arange(1, n + 1, dtype=np.int64),
+                    np.zeros(n, dtype=np.int32),
+                )
+            else:  # one zero-cost plateau -> rightmost position
+                out[i] = (
+                    np.array([n], dtype=np.int64),
+                    np.zeros(1, dtype=np.int32),
+                )
+    lanes = np.nonzero((mlens_all > 0) & (tlens_all > 0))[0]
+    if len(lanes) == 0:
+        return out
+
+    mlens = mlens_all[lanes]
+    tlens = tlens_all[lanes]
+    b = len(lanes)
+    m_max = int(mlens.max())
+    n_max = int(tlens.max())
+    w_count = (m_max + 63) // 64
+
+    pmat0, _ = _pad_syms([psyms[i] for i in lanes])
+    tmat0 = np.zeros((n_max, b), dtype=np.uint32)  # column-major scan
+    for row, i in enumerate(lanes):
+        tmat0[: tlens[row], row] = tsyms[i]
+    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+
+    mo = int(max_overhang) if max_overhang is not None else (1 << 40)
+
+    # pv init: vertical deltas of column 0. Plain semiglobal: D[i][0] = i
+    # (all ones). With alpha: D[i][0] = overhang_penalty(i) whose per-row
+    # increments are 0/1 — representable directly in pv bits.
+    pv = np.full((w_count, b), UFULL, dtype=np.uint64)
+    mv = np.zeros((w_count, b), dtype=np.uint64)
+    if alpha is not None:
+        rows_all = np.arange(w_count * 64, dtype=np.int64)
+        d0 = _overhang_penalty(rows_all + 1, alpha, mo) - _overhang_penalty(
+            rows_all, alpha, mo
+        )
+        for w in range(w_count):
+            bits = d0[w * 64 : w * 64 + 64].astype(np.uint64)
+            word = np.uint64(0)
+            word = (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            pv[w, :] = word
+
+    def init_val(i_arr):
+        if alpha is None:
+            return np.asarray(i_arr, dtype=np.int64).copy()
+        return _overhang_penalty(i_arr, alpha, mo)
+
+    top_row = mlens - 1  # bit row of D[m]
+
+    # initial Ukkonen active bit row: max r with D[r+1][0] <= k
+    probe = np.arange(1, m_max + 1, dtype=np.int64)
+    ok0 = init_val(probe) <= k
+    y_glob = int(np.nonzero(ok0)[0].max()) if ok0.any() else -1  # bit row
+    y_bit = np.minimum(np.full(b, y_glob, dtype=np.int64), top_row)
+
+    hw = min(w_count - 1, (max(int(y_bit.max()), 0) + 64) >> 6)
+    window_top = (hw + 1) * 64 - 1
+    track_row = np.minimum(top_row, window_top)
+    score = init_val(track_row + 1)
+    bi = np.arange(b)
+
+    # streaming mode state
+    hit_lane: list[np.ndarray] = []
+    hit_end: list[np.ndarray] = []
+    hit_cost: list[np.ndarray] = []
+    if mode == "best":
+        best_cost = np.full(b, BIG, dtype=np.int64)
+        best_end = np.zeros(b, dtype=np.int64)
+    elif mode == "local_minima":
+        SENT = np.int64(1 << 22)
+        run_val = np.full(b, SENT, dtype=np.int64)
+        before_run = np.full(b, SENT, dtype=np.int64)
+
+    # preallocated scratch (see banded_edit_distances for why: allocator
+    # churn is a cache hazard and, in this sandbox, a serialized-fault one)
+    eqw = np.empty(b, dtype=np.uint64)
+    xv = np.empty(b, dtype=np.uint64)
+    t1 = np.empty(b, dtype=np.uint64)
+    t2 = np.empty(b, dtype=np.uint64)
+    mh = np.empty(b, dtype=np.uint64)
+    hin_p = np.empty(b, dtype=np.uint64)
+    hin_m = np.empty(b, dtype=np.uint64)
+    hout_p = np.empty(b, dtype=np.uint64)
+    hout_m = np.empty(b, dtype=np.uint64)
+    flat = np.empty(b, dtype=np.int64)
+    base_idx = bi * np.int64(alphabet)
+
+    peq_cache: dict[int, np.ndarray] = {}
+
+    def peq_word(w: int) -> np.ndarray:
+        tbl = peq_cache.get(w)
+        if tbl is None:
+            tbl = np.zeros((b, alphabet), dtype=np.uint64)
+            lo = w * 64
+            hi_ = min(pmat.shape[1], lo + 64)
+            if hi_ > lo:
+                chunk = pmat[:, lo:hi_]
+                bits = (U1 << np.arange(hi_ - lo, dtype=np.uint64))
+                rows = np.arange(b)[:, None]
+                np.bitwise_or.at(tbl, (rows, chunk.astype(np.intp)), bits[None, :])
+            peq_cache[w] = tbl
+        return tbl
+
+    # per-block row-m cost buffer: mode processing (all / best / minima
+    # plateau state machine) is vectorized per 64-column block, so the
+    # per-column Python overhead is just the word loop + one store
+    block_buf = np.full((b, 64), BIG, dtype=np.int64)
+    jb = 0
+    while jb < n_max:
+        if not bool((tlens > jb).any()):
+            break
+        j_end = min(jb + 64, n_max)
+        blk = j_end - jb
+        track_word = (track_row >> 6).astype(np.int64)
+        track_bit = (U1 << (track_row & 63).astype(np.uint64))
+        sel_by_word = {
+            w: track_word == w
+            for w in range(hw + 1)
+            if bool((track_word == w).any())
+        }
+        # lanes whose window covers row m this block; others stay BIG
+        # (y < m there guarantees D[m][j] > k)
+        cov_idx = np.nonzero(track_row == top_row)[0]
+        block_buf[:, :blk] = BIG
+        for j in range(jb, j_end):
+            chars = tmat[j]
+            hin_p.fill(0)  # semiglobal: D[0][j] = 0 -> no +1 from the top
+            hin_m.fill(0)
+            for w in range(hw + 1):
+                pvw = pv[w]
+                mvw = mv[w]
+                np.add(base_idx, chars, out=flat)
+                np.take(peq_word(w).reshape(-1), flat, out=eqw)
+                np.bitwise_or(eqw, mvw, out=xv)
+                np.bitwise_or(eqw, hin_m, out=eqw)
+                np.bitwise_and(eqw, pvw, out=t1)
+                np.add(t1, pvw, out=t1)
+                np.bitwise_xor(t1, pvw, out=t1)
+                np.bitwise_or(t1, eqw, out=t1)  # t1 = xh
+                np.bitwise_or(t1, pvw, out=t2)
+                np.invert(t2, out=t2)
+                np.bitwise_or(mvw, t2, out=t2)  # t2 = ph
+                np.bitwise_and(pvw, t1, out=mh)  # mh
+                sel = sel_by_word.get(w)
+                if sel is not None:
+                    tb = track_bit[sel]
+                    score[sel] += ((t2[sel] & tb) != 0).astype(np.int64)
+                    score[sel] -= ((mh[sel] & tb) != 0).astype(np.int64)
+                np.right_shift(t2, U63, out=hout_p)
+                np.right_shift(mh, U63, out=hout_m)
+                np.left_shift(t2, U1, out=t2)
+                np.bitwise_or(t2, hin_p, out=t2)  # ph shifted
+                np.left_shift(mh, U1, out=mh)
+                np.bitwise_or(mh, hin_m, out=mh)  # mh shifted
+                np.bitwise_or(xv, t2, out=t1)
+                np.invert(t1, out=t1)
+                np.bitwise_or(mh, t1, out=pvw)  # pv[w] updated in place
+                np.bitwise_and(t2, xv, out=mvw)  # mv[w] updated in place
+                hin_p, hout_p = hout_p, hin_p
+                hin_m, hout_m = hout_m, hin_m
+            block_buf[cov_idx, j - jb] = score[cov_idx]
+
+            if alpha is not None:
+                fin = tlens == j + 1
+                if fin.any():
+                    # right overhang: alignments ending at text end n may
+                    # leave a pattern suffix unmatched at floor(alpha*o)
+                    vals = _column_values(pv, mv, hw)  # (B, R): D[r+1][n]
+                    for li in np.nonzero(fin)[0]:
+                        m_i = int(mlens[li])
+                        r_hi = min(m_i - 1, vals.shape[1] - 1)
+                        dvals = np.concatenate(
+                            [np.zeros(1, dtype=np.int64), vals[li, : r_hi + 1]]
+                        )  # D[0..r_hi+1][n]
+                        over = m_i - np.arange(r_hi + 2, dtype=np.int64)
+                        cand = dvals + _overhang_penalty(over, alpha, mo)
+                        c = j - jb
+                        block_buf[li, c] = min(
+                            int(block_buf[li, c]), int(cand.min())
+                        )
+
+        # ---- vectorized per-block mode processing ----
+        buf = block_buf[:, :blk]
+        colsg = np.arange(jb, j_end, dtype=np.int64)
+        buf[colsg[None, :] >= tlens[:, None]] = BIG  # past text end
         if mode == "all":
-            idx = np.nonzero(costs <= k)[0]
+            hm = buf <= k
+            if hm.any():
+                li, ci = np.nonzero(hm)
+                hit_lane.append(li)
+                hit_end.append(colsg[ci] + 1)
+                hit_cost.append(buf[li, ci])
         elif mode == "best":
-            if len(costs) == 0 or costs.min() > k:
-                out.append((np.zeros(0, np.int64), np.zeros(0, np.int32)))
-                continue
-            c = costs.min()
-            idx = np.array([np.nonzero(costs == c)[0].max()], dtype=np.int64)
-        else:
-            idx = local_minima(costs, k)
-        out.append(((idx + 1).astype(np.int64), costs[idx].astype(np.int32)))
+            mn = buf.min(axis=1)
+            pos = blk - 1 - np.argmax((buf == mn[:, None])[:, ::-1], axis=1)
+            upd = (mn <= k) & (mn <= best_cost)
+            best_cost[upd] = mn[upd]
+            best_end[upd] = jb + pos[upd] + 1
+        else:  # local_minima: plateau machine with 2-value carry state
+            # ext = [value-before-current-run, current-run-value, block...]
+            ext = np.concatenate(
+                [before_run[:, None], run_val[:, None], buf], axis=1
+            )
+            n_ = ext.shape[1]
+            idx2 = np.arange(n_)
+            new_run = np.ones((b, n_), dtype=bool)
+            new_run[:, 1:] = ext[:, 1:] != ext[:, :-1]
+            run_start = np.maximum.accumulate(
+                np.where(new_run, idx2[None, :], 0), axis=1
+            )
+            prev_val = np.where(
+                run_start > 0,
+                np.take_along_axis(ext, np.maximum(run_start - 1, 0), axis=1),
+                ext[:, :1] + 1,
+            )
+            # duplicate the last column: the final run carries into the
+            # next block (or the post-loop finalize), never emits here
+            nxt = np.concatenate([ext[:, 1:], ext[:, -1:]], axis=1)
+            cand = (ext <= k) & (ext < nxt) & (ext < prev_val)
+            cand[:, 0] = False  # context column, not a position
+            if cand.any():
+                li, pi = np.nonzero(cand)
+                hit_lane.append(li)
+                # ext index p maps to global column jb + p - 2 -> end jb+p-1
+                hit_end.append(jb + pi - 1)
+                hit_cost.append(ext[li, pi])
+            changes = ext[:, 1:] != ext[:, :-1]
+            anych = changes.any(axis=1)
+            lc = n_ - 1 - np.argmax(changes[:, ::-1], axis=1)  # final run start
+            bef = np.take_along_axis(
+                ext, np.maximum(lc - 1, 0)[:, None], axis=1
+            )[:, 0]
+            before_run = np.where(anych, bef, before_run)
+            run_val = ext[:, -1]
+
+        jb = j_end
+        if jb >= n_max:
+            break
+        # block boundary: re-derive the exact active row per lane and
+        # shrink/grow the word window for the next 64 columns
+        live = tlens > jb
+        vals = _column_values(pv, mv, hw)  # (B, R)
+        rr = np.arange(vals.shape[1], dtype=np.int64)
+        okm = (vals <= k) & (rr[None, :] <= top_row[:, None]) & live[:, None]
+        any_ok = okm.any(axis=1)
+        y_bit = np.where(
+            any_ok, vals.shape[1] - 1 - np.argmax(okm[:, ::-1], axis=1), -1
+        )
+        new_hw = min(w_count - 1, (max(int(y_bit.max()), 0) + 64) >> 6)
+        if new_hw != hw:
+            new_window_top = (new_hw + 1) * 64 - 1
+            new_track = np.minimum(top_row, new_window_top)
+            if new_hw > hw:
+                # virgin/stale words above: reset to +1-per-row upper bound
+                pv[hw + 1 : new_hw + 1, :] = UFULL
+                mv[hw + 1 : new_hw + 1, :] = 0
+                grow = new_track > window_top
+                score = np.where(grow, score + (new_track - window_top), score)
+                within = ~grow & (new_track != track_row)
+                if within.any():
+                    score[within] = vals[bi[within], new_track[within]]
+            else:
+                moved = new_track != track_row
+                if moved.any():
+                    score[moved] = vals[bi[moved], new_track[moved]]
+            hw = new_hw
+            window_top = new_window_top
+            track_row = new_track
+
+    if mode == "local_minima":
+        # right text edge counts as +inf: lanes whose final run never saw a
+        # higher successor emit at end = text length
+        emit_fin = (run_val <= k) & (run_val < before_run)
+        if emit_fin.any():
+            sel = np.nonzero(emit_fin)[0]
+            hit_lane.append(sel)
+            hit_end.append(tlens[sel].copy())
+            hit_cost.append(run_val[sel])
+
+    if mode == "best":
+        found = best_cost <= k
+        for li in np.nonzero(found)[0]:
+            out[lanes[li]] = (
+                np.array([best_end[li]], dtype=np.int64),
+                np.array([best_cost[li]], dtype=np.int32),
+            )
+        return out
+
+    if hit_lane:
+        hl = np.concatenate(hit_lane)
+        he = np.concatenate(hit_end)
+        hc = np.concatenate(hit_cost)
+        order = np.lexsort((he, hl))
+        hl, he, hc = hl[order], he[order], hc[order]
+        bounds = np.searchsorted(hl, np.arange(b + 1))
+        for li in range(b):
+            lo_, hi_ = bounds[li], bounds[li + 1]
+            if hi_ > lo_:
+                out[lanes[li]] = (he[lo_:hi_], hc[lo_:hi_].astype(np.int32))
     return out
 
 
 # ------------------------------------------------------------ banded kernel
-
-
-def _peq_word(pmat: np.ndarray, w: int, alphabet_size: int = 256) -> np.ndarray:
-    """Positional-equality masks for pattern word w only (lazy build: the
-    banded kernel touches ~(2k+64)/64 words per column, so materializing
-    the full (B, W, 256) tensor would waste both time and memory).
-
-    ``alphabet_size``: inputs remapped to a dense alphabet keep this table
-    small enough to live in L2 even with 32 concurrent workers — the
-    engine's version of sassy's compile-time alphabet profiles
-    (reference src/profiles.rs:13-66: Dna=4, Iupac=16, Ascii=256)."""
-    b = pmat.shape[0]
-    peqw = np.zeros((b, alphabet_size), dtype=np.uint64)
-    lo = w * 64
-    hi = min(pmat.shape[1], lo + 64)
-    if hi <= lo:
-        return peqw
-    chunk = pmat[:, lo:hi]
-    bits = (U1 << np.arange(hi - lo, dtype=np.uint64))
-    rows = np.arange(b)[:, None]
-    np.bitwise_or.at(peqw, (rows, chunk), bits[None, :])
-    # bits scattered for padding char 0 beyond each pattern's end sit above
-    # the tracked row and never propagate downward — harmless by the same
-    # argument as unbanded padding.
-    return peqw
-
-
-def _compact_alphabet(pmat: np.ndarray, tmat: np.ndarray) -> int:
-    """Remap both matrices in place to a dense 0..A-1 alphabet; returns A.
-
-    Web text uses a few dozen distinct bytes; a (B, A) gather table at
-    A~32 is 8x smaller than (B, 256) — the difference between the inner
-    gather hitting L2 or thrashing shared L3 across 32 workers."""
-    used = np.zeros(256, dtype=bool)
-    used[0] = True  # padding char stays 0
-    used[np.unique(pmat)] = True
-    used[np.unique(tmat)] = True
-    amap = np.cumsum(used).astype(np.uint8) - 1
-    pmat[...] = amap[pmat]
-    tmat[...] = amap[tmat]
-    return int(used.sum())
-
-
-def _window_column_min(
-    pv: np.ndarray,
-    mv: np.ndarray,
-    lo_w: int,
-    track_row: np.ndarray,
-    score: np.ndarray,
-) -> np.ndarray:
-    """Min DP value in the current column across the computed window.
-
-    Unpacks the vertical-delta bitmasks (pv bit r => D[row r+2]-D[row r+1]
-    = +1, mv => -1) and walks down from the tracked row whose value is
-    known — the batch analog of sassy's prefix_min lane scan
-    (reference src/minima.rs:62-92), done only at 64-column boundaries so
-    the amortized cost is < 1 op per column per word.
-    """
-    tw_max = int(track_row.max()) >> 6
-    sel = slice(lo_w, tw_max + 1)
-    pbits = np.unpackbits(
-        np.ascontiguousarray(pv[sel].T).view(np.uint8), axis=1, bitorder="little"
-    ).astype(np.int32)
-    mbits = np.unpackbits(
-        np.ascontiguousarray(mv[sel].T).view(np.uint8), axis=1, bitorder="little"
-    ).astype(np.int32)
-    delta = pbits - mbits
-    rows = np.arange(lo_w * 64, (tw_max + 1) * 64)
-    invalid = rows[None, :] > track_row[:, None]
-    delta[invalid] = 0
-    # V[r] = D[DP row r+1]; V[track_row] = score;
-    # V[r] = score - sum_{q > r} delta[q]
-    suffix = np.cumsum(delta[:, ::-1], axis=1)[:, ::-1]
-    v = score[:, None] - (suffix - delta)
-    big = np.int32(1 << 20)
-    v[invalid] = big
-    colmin = v.min(axis=1)
-    bottom = v[:, 0] - delta[:, 0]  # DP row lo_w*64 itself
-    return np.minimum(colmin, bottom)
 
 
 def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
@@ -403,7 +728,7 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
 
     pats, texts = [], []
     for a, b in zip(a_list, b_list):
-        ab, bb = _as_bytes(a), _as_bytes(b)
+        ab, bb = _as_symbols(a), _as_symbols(b)
         if len(ab) > len(bb):
             ab, bb = bb, ab
         pats.append(ab)
@@ -442,17 +767,15 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
     m_max = int(mlens[idx].max())
     n_max = int(nlens[idx].max())
     w_count = (m_max + 63) // 64
-    pmat = np.zeros((len(idx), m_max), dtype=np.uint8)
-    tmat = np.zeros((n_max, len(idx)), dtype=np.uint8)  # column-major scan
+    pmat32 = np.zeros((len(idx), m_max), dtype=np.uint32)
+    tmat32 = np.zeros((n_max, len(idx)), dtype=np.uint32)  # column-major scan
     for row, orig in enumerate(idx):
-        pb = np.frombuffer(pats[orig], dtype=np.uint8)
-        tb = np.frombuffer(texts[orig], dtype=np.uint8)
-        pmat[row, : len(pb)] = pb
-        tmat[: len(tb), row] = tb
+        pmat32[row, : len(pats[orig])] = pats[orig]
+        tmat32[: len(texts[orig]), row] = texts[orig]
+    (pmat, tmat), alphabet_size = _compact_mats([pmat32, tmat32])
     mlens_a = mlens[idx]
     tlens = nlens[idx]
     k_a = k_arr[idx]
-    alphabet_size = _compact_alphabet(pmat, tmat)
 
     pv = np.full((w_count, len(idx)), UFULL, dtype=np.uint64)
     mv = np.zeros((w_count, len(idx)), dtype=np.uint64)
@@ -573,7 +896,101 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
     return out
 
 
+def _peq_word(pmat: np.ndarray, w: int, alphabet_size: int = 256) -> np.ndarray:
+    """Positional-equality masks for pattern word w only (lazy build: the
+    banded kernel touches ~(2k+64)/64 words per column, so materializing
+    the full (B, W, A) tensor would waste both time and memory)."""
+    b = pmat.shape[0]
+    peqw = np.zeros((b, alphabet_size), dtype=np.uint64)
+    lo = w * 64
+    hi = min(pmat.shape[1], lo + 64)
+    if hi <= lo:
+        return peqw
+    chunk = pmat[:, lo:hi]
+    bits = (U1 << np.arange(hi - lo, dtype=np.uint64))
+    rows = np.arange(b)[:, None]
+    np.bitwise_or.at(peqw, (rows, chunk.astype(np.intp)), bits[None, :])
+    # bits scattered for padding char 0 beyond each pattern's end sit above
+    # the tracked row and never propagate downward — harmless by the same
+    # argument as unbanded padding.
+    return peqw
+
+
+def _window_column_min(
+    pv: np.ndarray,
+    mv: np.ndarray,
+    lo_w: int,
+    track_row: np.ndarray,
+    score: np.ndarray,
+) -> np.ndarray:
+    """Min DP value in the current column across the computed window.
+
+    Unpacks the vertical-delta bitmasks (pv bit r => D[row r+2]-D[row r+1]
+    = +1, mv => -1) and walks down from the tracked row whose value is
+    known — the batch analog of sassy's prefix_min lane scan
+    (reference src/minima.rs:62-92), done only at 64-column boundaries so
+    the amortized cost is < 1 op per column per word.
+    """
+    tw_max = int(track_row.max()) >> 6
+    sel = slice(lo_w, tw_max + 1)
+    pbits = np.unpackbits(
+        np.ascontiguousarray(pv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    mbits = np.unpackbits(
+        np.ascontiguousarray(mv[sel].T).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    delta = pbits - mbits
+    rows = np.arange(lo_w * 64, (tw_max + 1) * 64)
+    invalid = rows[None, :] > track_row[:, None]
+    delta[invalid] = 0
+    # V[r] = D[DP row r+1]; V[track_row] = score;
+    # V[r] = score - sum_{q > r} delta[q]
+    suffix = np.cumsum(delta[:, ::-1], axis=1)[:, ::-1]
+    v = score[:, None] - (suffix - delta)
+    v[invalid] = BIG
+    colmin = v.min(axis=1)
+    bottom = v[:, 0] - delta[:, 0]  # DP row lo_w*64 itself
+    return np.minimum(colmin, bottom)
+
+
 # ---------------------------------------------------------------- traceback
+
+
+def _traceback_dp(pattern, text, end: int, cost: int, semiglobal: bool):
+    """Shared banded DP table for the traceback family. Returns
+    (d, pa, ta, lo) where d is the (m+1, n+1) cost matrix over the text
+    window text[lo:end]."""
+    pa = _as_symbols(pattern)
+    ta_full = _as_symbols(text)[:end]
+    m = len(pa)
+    # window of text that can participate: at most m + cost chars back
+    lo = max(0, end - m - cost) if semiglobal else 0
+    ta = ta_full[lo:]
+    n = len(ta)
+    d = np.empty((m + 1, n + 1), dtype=np.int32)
+    d[0, :] = 0 if semiglobal else np.arange(n + 1)
+    d[:, 0] = np.arange(m + 1)
+    for i in range(1, m + 1):
+        sub = d[i - 1, :-1] + (ta != pa[i - 1])
+        row = np.minimum(d[i - 1, 1:] + 1, sub)
+        # left-to-right dependency (deletion from text / gap): cumulative
+        run = d[i, 0]
+        out_row = np.empty(n, dtype=np.int32)
+        for j in range(n):
+            run = min(row[j], run + 1)
+            out_row[j] = run
+        d[i, 1:] = out_row
+    return d, pa, ta, lo
+
+
+def _rle(ops: list[str]) -> str:
+    cig = []
+    for op in ops:
+        if cig and cig[-1][1] == op:
+            cig[-1][0] += 1
+        else:
+            cig.append([1, op])
+    return "".join(f"{c}{op}" for c, op in cig)
 
 
 def traceback(pattern, text, end: int, cost: int, semiglobal: bool = True):
@@ -581,35 +998,14 @@ def traceback(pattern, text, end: int, cost: int, semiglobal: bool = True):
     backtrace with the reference's preference order match > sub > del > ins
     (reference src/lib.rs:42-50, src/trace.rs:273-406). ``del`` consumes
     text, ``ins`` consumes pattern, ops emitted as ``= X I D`` run-length
-    CIGAR like the reference (src/search.rs:53-61).
+    CIGAR like the reference (src/search.rs:53-61). All offsets are
+    character offsets for str inputs.
 
     Only called on accepted matches, so an O(m * (m+k)) python DP is fine.
     """
-    p = _as_bytes(pattern)
-    t = _as_bytes(text)[:end]
-    m = len(p)
-    # window of text that can participate: at most m + cost chars back
-    lo = max(0, end - m - cost) if semiglobal else 0
-    tt = t[lo:]
-    n = len(tt)
-    # DP: rows pattern 0..m, cols text 0..n; D[0][j] = 0 (free start)
-    d = np.empty((m + 1, n + 1), dtype=np.int32)
-    d[0, :] = 0 if semiglobal else np.arange(n + 1)
-    d[:, 0] = np.arange(m + 1)
-    pa = np.frombuffer(p, dtype=np.uint8)
-    ta = np.frombuffer(tt, dtype=np.uint8)
-    for i in range(1, m + 1):
-        sub = d[i - 1, :-1] + (ta != pa[i - 1])
-        # vectorized row update: need prefix-min for the insertion chain
-        row = np.minimum(d[i - 1, 1:] + 1, sub)
-        # left-to-right dependency (deletion from text / gap): do cumulative
-        run = d[i, 0]
-        out_row = np.empty(n, dtype=np.int32)
-        for j in range(n):
-            run = min(row[j], run + 1)
-            out_row[j] = run
-        d[i, 1:] = out_row
-    # greedy backtrace from (m, n)
+    d, pa, ta, lo = _traceback_dp(pattern, text, end, cost, semiglobal)
+    m = len(pa)
+    n = len(ta)
     i, j = m, n
     ops: list[str] = []
     while i > 0 or (not semiglobal and j > 0):
@@ -630,13 +1026,68 @@ def traceback(pattern, text, end: int, cost: int, semiglobal: bool = True):
         else:  # pragma: no cover - DP invariant
             raise AssertionError("traceback stuck")
     ops.reverse()
-    start = lo + j
-    # run-length encode
-    cig = []
-    for op in ops:
-        if cig and cig[-1][1] == op:
-            cig[-1][0] += 1
-        else:
-            cig.append([1, op])
-    cigar = "".join(f"{c}{op}" for c, op in cig)
-    return start, cigar
+    return lo + j, _rle(ops)
+
+
+def all_optimal_tracebacks(
+    pattern,
+    text,
+    end: int,
+    cost: int,
+    semiglobal: bool = True,
+    max_paths: int = 64,
+) -> list[tuple[int, str]]:
+    """Every distinct cost-minimal alignment of ``pattern`` ending at
+    ``end`` — the engine's search_all_alignments enumeration (K7,
+    reference src/search.rs:708-754 / src/alignment_iterator.rs). DFS over
+    the DP matrix branching on every optimal predecessor, in the greedy
+    preference order (= > X > D > I) so the first path equals
+    :func:`traceback`'s answer. Returns [(start, cigar), ...], capped at
+    ``max_paths`` (documented bound; the reference's iterator is similarly
+    driven by a continuation that callers can stop).
+
+    Optimal-path enumeration automatically applies the reference's "a
+    substitution is never replaced by an insertion-deletion pair" filter:
+    such a rewrite costs strictly more, so it never appears on a minimal
+    path.
+    """
+    d, pa, ta, lo = _traceback_dp(pattern, text, end, cost, semiglobal)
+    m = len(pa)
+    n = len(ta)
+    results: list[tuple[int, str]] = []
+    ops: list[str] = []
+
+    def dfs(i: int, j: int) -> bool:
+        if len(results) >= max_paths:
+            return False
+        if i == 0 and (semiglobal or j == 0):
+            results.append((lo + j, _rle(ops[::-1])))
+            return len(results) < max_paths
+        if i > 0 and j > 0 and pa[i - 1] == ta[j - 1] and d[i, j] == d[i - 1, j - 1]:
+            ops.append("=")
+            go = dfs(i - 1, j - 1)
+            ops.pop()
+            if not go:
+                return False
+        if i > 0 and j > 0 and pa[i - 1] != ta[j - 1] and d[i, j] == d[i - 1, j - 1] + 1:
+            ops.append("X")
+            go = dfs(i - 1, j - 1)
+            ops.pop()
+            if not go:
+                return False
+        if j > 0 and d[i, j] == d[i, j - 1] + 1:
+            ops.append("D")
+            go = dfs(i, j - 1)
+            ops.pop()
+            if not go:
+                return False
+        if i > 0 and d[i, j] == d[i - 1, j] + 1:
+            ops.append("I")
+            go = dfs(i - 1, j)
+            ops.pop()
+            if not go:
+                return False
+        return True
+
+    dfs(m, n)
+    return results

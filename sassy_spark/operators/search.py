@@ -3,10 +3,19 @@
 Reference parity (RagnarGrootKoerkamp/sassy):
   * ``search``            — Searcher::search / search_all / only_best_match
     (src/search.rs:510-525, 685-700, 442-445) as a DataFrame operator:
-    patterns x texts -> match rows.
+    patterns x texts -> match rows. ``mode='all_alignments'`` is
+    search_all_alignments (src/search.rs:708-754): one row per distinct
+    cost-minimal alignment per end position (explode shape).
   * output schema         — the reference's TSV contract (README.md:211-239,
     bin/grep.rs:710-738): pat_id, text_id, cost, strand, start, end,
-    match_region, cigar.
+    match_region, cigar. Offsets are CHARACTER offsets (end-exclusive,
+    README.md:232-234) — correct for non-ASCII text.
+  * ``end_filter``        — search_with_fn (src/search.rs:767-784): a user
+    predicate on (pattern, text-prefix-up-to-end, strand) evaluated BEFORE
+    traceback, the PAM-filter hook (bin/crispr.rs:198-221). Cheap
+    predicates skip the expensive per-match traceback entirely.
+  * ``alpha``/``max_overhang`` — overhang scoring (src/search.rs:231-248):
+    pattern may hang over text ends at cost floor(alpha * overhang).
   * ``filter_matching``   — the `filter` subcommand (bin/grep.rs:589-622):
     emit records with >= 1 match; --invert = anti join.
   * ``cost_histogram``    — per-cost match counts (bin/grep.rs:309-328),
@@ -19,12 +28,18 @@ numpy kernel advances all (pattern x text) lanes of a batch at once —
 one scan of the text corpus total, no pattern x text shuffle. This is
 the same shape as sassy v2's "one text pass, patterns in SIMD lanes"
 (src/pattern_tiling/search.rs:326-445), realized with Spark's broadcast +
-batch vectorization instead of AVX lanes.
+batch vectorization instead of AVX lanes. Case-insensitive search lowers
+the text JVM-side (Catalyst ``lower()`` before the Arrow transfer — also
+shrinks the payload) and the patterns once on the driver. Lanes are
+chunked (SASSY_SEARCH_LANES, default 4096) after length-sorting the
+batch, bounding worker memory at O(lanes x band) regardless of document
+length or pattern count.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import os
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -38,6 +53,12 @@ MATCH_SCHEMA = (
     "start long, end long, match_region string, cigar string"
 )
 
+# patterns are broadcast driver-side state, like the reference's -p/-f
+# pattern sources; a million-row patterns_df is a different query shape
+# (use linkage.score_pairs / a join) — fail fast instead of OOMing the
+# driver on collect()
+MAX_PATTERNS = int(os.environ.get("SASSY_MAX_PATTERNS", "100000"))
+
 
 def search(
     patterns_df: DataFrame,
@@ -47,6 +68,9 @@ def search(
     with_trace: bool = True,
     case_sensitive: bool = True,
     rc: bool = False,
+    alpha: float | None = None,
+    max_overhang: int | None = None,
+    end_filter: Callable[[str, str, str], bool] | None = None,
     pat_id: str = "pat_id",
     pattern: str = "pattern",
     text_id: str = "text_id",
@@ -55,13 +79,26 @@ def search(
     """Approximate-occurrence search of every pattern in every text.
 
     mode: 'local_minima' (reference default search), 'all' (search_all),
-    'best' (only_best_match). ``with_trace=False`` mirrors without_trace
-    (src/search.rs:448-451): skips traceback, cigar/start/match_region null.
+    'best' (only_best_match), 'all_alignments' (search_all_alignments:
+    every distinct cost-minimal alignment per end position — rows share
+    (pat_id, text_id, cost, end) and differ in start/cigar).
+    ``with_trace=False`` mirrors without_trace (src/search.rs:448-451):
+    skips traceback, cigar/start/match_region null.
     ``rc=True`` also reports reverse-complement-strand matches
     (strand '-'): occurrences of revcomp(pattern), same text coordinates —
     the reference's search_handle_rc semantics (src/search.rs:787-881)
     realized as an extra broadcast lane instead of reversed-text machinery.
+    ``end_filter(pattern, text_prefix, strand) -> bool`` drops end
+    positions before traceback (search_with_fn, K8).
     """
+    n_pats = patterns_df.count()
+    if n_pats > MAX_PATTERNS:
+        raise ValueError(
+            f"search(): {n_pats} patterns > MAX_PATTERNS={MAX_PATTERNS}; "
+            "the broadcast-pattern plan is for small pattern sets — for "
+            "large ones generate candidate pairs and use "
+            "linkage.score_pairs (or raise SASSY_MAX_PATTERNS)"
+        )
     pats_local = [
         (str(r[0]), str(r[1]), "+")
         for r in patterns_df.select(pat_id, pattern).collect()
@@ -72,55 +109,134 @@ def search(
         pats_local += [
             (pid, reverse_complement_str(p), "-") for pid, p, _ in pats_local
         ]
+    if not case_sensitive:
+        pats_local = [(pid, p.lower(), s) for pid, p, s in pats_local]
     spark = texts_df.sparkSession
     bc = spark.sparkContext.broadcast(pats_local)
+    run = _make_runner(
+        lambda: bc.value,
+        k=k,
+        mode=mode,
+        with_trace=with_trace,
+        alpha=alpha,
+        max_overhang=max_overhang,
+        end_filter=end_filter,
+        text_id=text_id,
+        text=text,
+    )
+
+    from .linkage import _fan_out_small_input
+
+    text_expr = (
+        F.col(text) if case_sensitive else F.lower(F.col(text)).alias(text)
+    )
+    src = _fan_out_small_input(
+        texts_df.select(F.col(text_id), text_expr), text_id
+    )
+    return src.mapInPandas(run, schema=MATCH_SCHEMA)
+
+
+def _make_runner(
+    get_pats: Callable[[], list],
+    k: int,
+    mode: str,
+    with_trace: bool,
+    alpha: float | None,
+    max_overhang: int | None,
+    end_filter: Callable[[str, str, str], bool] | None,
+    text_id: str,
+    text: str,
+):
+    """Build the Arrow-batch runner for :func:`search` (module-level so
+    tests can drive the per-batch logic in-process)."""
+    max_lanes = int(os.environ.get("SASSY_SEARCH_LANES", "4096"))
+    base_mode = "all" if mode == "all_alignments" else mode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pats = bc.value
+        pats = get_pats()
         pat_ids = [p[0] for p in pats]
         pat_strs = [p[1] for p in pats]
         strands = [p[2] for p in pats]
-        if not case_sensitive:
-            pat_strs = [p.lower() for p in pat_strs]
+        n_p = len(pat_strs)
         for pdf in batches:
-            tids = pdf[text_id].astype(str).to_numpy()
-            txts = pdf[text].to_numpy()
-            if not case_sensitive:
-                txts = np.array([t.lower() for t in txts], dtype=object)
-            n_t, n_p = len(txts), len(pat_strs)
-            if n_t == 0 or n_p == 0:
+            if len(pdf) == 0 or n_p == 0:
                 yield _empty_match_pdf()
                 continue
-            # batch layout: pattern-major lanes over the text batch
-            rep_p = [p for p in pat_strs for _ in range(n_t)]
-            rep_t = list(txts) * n_p
-            res = myers.semiglobal_search(rep_p, rep_t, k, mode=mode)
+            # length-sort the text batch: lane chunks become
+            # length-homogeneous -> less padding waste (the reference's
+            # length-sorting advice, src/search.rs:326-334)
+            order = np.argsort(
+                pdf[text].str.len().to_numpy(), kind="stable"
+            )
+            pdf = pdf.iloc[order]
+            tids = pdf[text_id].astype(str).to_numpy()
+            txts = pdf[text].to_numpy()
             rows = []
-            for lane, (ends, costs) in enumerate(res):
-                if len(ends) == 0:
-                    continue
-                pi, ti = divmod(lane, n_t)
-                orig_t = pdf[text].iloc[ti]
-                for e, c in zip(ends.tolist(), costs.tolist()):
-                    if with_trace:
-                        start, cigar = myers.traceback(
-                            pat_strs[pi], rep_t[lane], int(e), int(c)
+            # pattern-major lanes over bounded text chunks: worker memory
+            # is O(max_lanes x band words), independent of corpus shape
+            texts_per_chunk = max(1, max_lanes // n_p)
+            for lo in range(0, len(txts), texts_per_chunk):
+                chunk = txts[lo : lo + texts_per_chunk]
+                n_t = len(chunk)
+                rep_p = [p for p in pat_strs for _ in range(n_t)]
+                rep_t = list(chunk) * n_p
+                res = myers.semiglobal_search(
+                    rep_p,
+                    rep_t,
+                    k,
+                    mode=base_mode,
+                    alpha=alpha,
+                    max_overhang=max_overhang,
+                )
+                for lane, (ends, costs) in enumerate(res):
+                    if len(ends) == 0:
+                        continue
+                    pi, ti = divmod(lane, n_t)
+                    orig_t = chunk[ti]
+                    tid = tids[lo + ti]
+                    for e, c in zip(ends.tolist(), costs.tolist()):
+                        e = int(e)
+                        c = int(c)
+                        if end_filter is not None and not end_filter(
+                            pat_strs[pi], orig_t[:e], strands[pi]
+                        ):
+                            continue
+                        if mode == "all_alignments":
+                            for start, cigar in myers.all_optimal_tracebacks(
+                                pat_strs[pi], orig_t, e, c
+                            ):
+                                rows.append(
+                                    (
+                                        pat_ids[pi],
+                                        tid,
+                                        c,
+                                        strands[pi],
+                                        start,
+                                        e,
+                                        orig_t[start:e],
+                                        cigar,
+                                    )
+                                )
+                            continue
+                        if with_trace:
+                            start, cigar = myers.traceback(
+                                pat_strs[pi], orig_t, e, c
+                            )
+                            region = orig_t[start:e]
+                        else:
+                            start, cigar, region = None, None, None
+                        rows.append(
+                            (
+                                pat_ids[pi],
+                                tid,
+                                c,
+                                strands[pi],
+                                start,
+                                e,
+                                region,
+                                cigar,
+                            )
                         )
-                        region = orig_t[start:e]
-                    else:
-                        start, cigar, region = None, None, None
-                    rows.append(
-                        (
-                            pat_ids[pi],
-                            tids[ti],
-                            int(c),
-                            strands[pi],
-                            start,
-                            int(e),
-                            region,
-                            cigar,
-                        )
-                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -135,10 +251,7 @@ def search(
                 ],
             ) if rows else _empty_match_pdf()
 
-    from .linkage import _fan_out_small_input
-
-    src = _fan_out_small_input(texts_df.select(text_id, text), text_id)
-    return src.mapInPandas(run, schema=MATCH_SCHEMA)
+    return run
 
 
 def _empty_match_pdf() -> pd.DataFrame:

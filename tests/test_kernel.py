@@ -94,12 +94,27 @@ def test_edit_distance_k_cutoff_caps_above_k():
     assert got[0] == 6 or got[0] == levenshtein(a[0], b[0])
 
 
-def test_unicode_bytes():
+def test_unicode_char_semantics():
+    """str inputs are measured in Unicode codepoints (SQL levenshtein
+    semantics); bytes inputs stay byte-level (the reference's own unit)."""
     a = ["héllo wörld"]
     b = ["hello world"]
-    # byte-level distance (UTF-8): each accented char differs in 2 bytes
     got = edit_distances(a, b)
-    assert got[0] == levenshtein(a[0].encode(), b[0].encode())
+    assert got[0] == 2  # two single-char substitutions
+    got_b = edit_distances([a[0].encode()], [b[0].encode()])
+    assert got_b[0] == levenshtein(a[0].encode(), b[0].encode()) == 4
+
+
+def test_unicode_search_offsets_are_char_offsets():
+    pat = "táblé"
+    text = "ümläut täxt táblé end táblé"
+    res = semiglobal_search([pat], [text], k=0, mode="all")
+    ends, costs = res[0]
+    got = [text[e - 5 : e] for e in ends.tolist()]
+    assert got == [pat, pat]
+    assert ends.tolist() == [17, 27]
+    s, cig = traceback(pat, text, int(ends[0]), 0)
+    assert (s, cig) == (12, "5=")
 
 
 # --------------------------------------------------------------- semi-global
@@ -224,3 +239,175 @@ def test_traceback_cost_consistent_fuzz():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+# ------------------------------------------------- banded streaming search
+
+
+def test_semiglobal_banded_matches_unbanded_long_patterns():
+    """The streaming row-banded search must equal the unbanded full-matrix
+    scan (mirrors the reference's early-row-termination equivalence,
+    src/search.rs:1131-1162) — long multi-word patterns, small k, so the
+    band actually excludes words."""
+    from sassy_spark.kernel import semiglobal_scores, semiglobal_search
+    from sassy_spark.kernel.myers import local_minima as lm
+
+    for trial in range(25):
+        m = rng.randrange(80, 400)
+        pat = _rand_s(m, alpha="abcdef")
+        edits = rng.randrange(0, 6)
+        text = (
+            _rand_s(rng.randrange(0, 200), alpha="abcdef")
+            + _mutate(pat, edits)
+            + _rand_s(rng.randrange(0, 200), alpha="abcdef")
+        )
+        k = max(edits, rng.randrange(0, 8))
+        smat, tlens = semiglobal_scores([pat], [text])
+        costs = smat[0, : tlens[0]]
+        for mode in ("all", "local_minima", "best"):
+            got = semiglobal_search([pat], [text], k, mode=mode)[0]
+            if mode == "all":
+                idx = np.nonzero(costs <= k)[0]
+            elif mode == "local_minima":
+                idx = lm(costs, k)
+            else:
+                if costs.min() > k:
+                    idx = np.array([], dtype=np.int64)
+                else:
+                    c = costs.min()
+                    idx = np.array([np.nonzero(costs == c)[0].max()])
+            assert got[0].tolist() == (idx + 1).tolist(), (trial, mode)
+            assert got[1].tolist() == costs[idx].tolist(), (trial, mode)
+
+
+def test_semiglobal_streaming_minima_matches_array_minima_fuzz():
+    from sassy_spark.kernel import semiglobal_scores, semiglobal_search
+    from sassy_spark.kernel.myers import local_minima as lm
+
+    pats, txts, ks = [], [], []
+    for _ in range(150):
+        pats.append(_rand_s(rng.randrange(1, 40)))
+        txts.append(_rand_s(rng.randrange(1, 150)))
+        ks.append(rng.randrange(0, 6))
+    kmax = max(ks)
+    smat, tlens = semiglobal_scores(pats, txts)
+    got = semiglobal_search(pats, txts, kmax, mode="local_minima")
+    for i in range(len(pats)):
+        costs = smat[i, : tlens[i]]
+        idx = lm(costs, kmax)
+        assert got[i][0].tolist() == (idx + 1).tolist(), i
+        assert got[i][1].tolist() == costs[idx].tolist(), i
+
+
+# ------------------------------------------------------- overhang (alpha)
+
+
+def test_overhang_matches_dp_oracle_fuzz():
+    """alpha overhang scoring vs the plain DP oracle — reference K12
+    semantics (src/search.rs:1694-1748: floor(alpha*overhang), capped)."""
+    from sassy_spark.kernel import semiglobal_search
+    from sassy_spark.kernel.reference_dp import semiglobal_costs_overhang
+
+    for trial in range(60):
+        m = rng.randrange(1, 60)
+        pat = _rand_s(m)
+        text = _rand_s(rng.randrange(1, 120))
+        alpha = rng.choice([0.0, 0.25, 0.5, 1.0])
+        mo = rng.choice([None, 2, 8])
+        k = rng.randrange(0, 8)
+        ref = semiglobal_costs_overhang(pat, text, alpha, mo)
+        got = semiglobal_search(
+            [pat], [text], k, mode="all", alpha=alpha, max_overhang=mo
+        )[0]
+        want = [(j + 1, c) for j, c in enumerate(ref) if c <= k]
+        assert list(zip(got[0].tolist(), got[1].tolist())) == want, (
+            trial,
+            pat,
+            text,
+            alpha,
+            mo,
+            k,
+        )
+
+
+def test_overhang_prefix_suffix_golden():
+    """Pattern hanging halfway over either text edge costs
+    floor(alpha * overhang) — the reference's overhang doc example shape
+    (README.md:30-31: partial matches at sequence ends)."""
+    from sassy_spark.kernel import semiglobal_search
+
+    # suffix overhang: 'worldxx' over text ending in 'world' -> 2 chars
+    # hang over the right edge at alpha=0.5 -> cost floor(2*0.5)=1
+    got = semiglobal_search(
+        ["worldxx"], ["helloworld"], k=1, mode="best", alpha=0.5
+    )[0]
+    assert got[0].tolist() == [10]
+    assert got[1].tolist() == [1]
+    # prefix overhang: 'xxhello' hanging 2 left of text start
+    got = semiglobal_search(
+        ["xxhello"], ["helloworld"], k=1, mode="best", alpha=0.5
+    )[0]
+    assert got[1].tolist() == [1]
+    # max_overhang cap: only 1 overhang char discounted, second costs 1
+    got = semiglobal_search(
+        ["worldxx"], ["helloworld"], k=1, mode="best", alpha=0.5, max_overhang=1
+    )[0]
+    assert got[1].tolist() == [1]  # floor(1*0.5) + 1 = 1
+    got = semiglobal_search(
+        ["worldxxx"], ["helloworld"], k=1, mode="best", alpha=0.5, max_overhang=1
+    )[0]
+    assert got[1].tolist() == [1] or len(got[0]) == 0  # cost 2 > k -> none at k=1
+
+
+# ------------------------------------------------ all-optimal tracebacks
+
+
+def test_all_optimal_tracebacks_contains_greedy():
+    from sassy_spark.kernel import all_optimal_tracebacks, traceback
+
+    pat, text = "needle", "xxxneedlexxx"
+    paths = all_optimal_tracebacks(pat, text, end=9, cost=0)
+    assert traceback(pat, text, end=9, cost=0) == paths[0]
+    assert paths == [(3, "6=")]
+
+
+def test_all_optimal_tracebacks_enumerates_alternatives():
+    from sassy_spark.kernel import all_optimal_tracebacks
+
+    # 'aa' ending at 3 in 'aba': three optimal cost-1 alignments with
+    # distinct starts — sub at text[1:3]='ba', del-b over text[0:3]='aba',
+    # ins over text[2:3]='a'
+    # (start 2 yields two distinct cigars: ins-then-match and match-then-ins)
+    paths = all_optimal_tracebacks("aa", "aba", end=3, cost=1)
+    assert sorted(paths) == [
+        (0, "1=1D1="),
+        (1, "1X1="),
+        (2, "1=1I"),
+        (2, "1I1="),
+    ]
+    # every path's cigar ops are consistent with the cost
+    import re
+
+    for start, cig in paths:
+        tot = sum(
+            int(c) for c, op in re.findall(r"(\d+)([=XID])", cig) if op != "="
+        )
+        assert tot == 1
+
+
+def test_all_optimal_tracebacks_consistency_k5_k6():
+    """K5 (local minima) ends ⊆ K6 (all) ends; every K6 end has >= 1
+    optimal traceback whose cost matches — the reference's
+    assert_consistent_with_search_all shape (src/search.rs:2004-2069)."""
+    from sassy_spark.kernel import all_optimal_tracebacks, semiglobal_search
+
+    for _ in range(20):
+        pat = _rand_s(rng.randrange(3, 20))
+        text = _rand_s(rng.randrange(10, 80))
+        k = rng.randrange(0, 4)
+        all_hits = semiglobal_search([pat], [text], k, mode="all")[0]
+        lm_hits = semiglobal_search([pat], [text], k, mode="local_minima")[0]
+        assert set(lm_hits[0].tolist()) <= set(all_hits[0].tolist())
+        for e, c in zip(all_hits[0].tolist(), all_hits[1].tolist()):
+            paths = all_optimal_tracebacks(pat, text, int(e), int(c))
+            assert len(paths) >= 1

@@ -97,3 +97,131 @@ def test_rc_search(spark):
     assert len(rows) == 1
     assert rows[0].strand == "-"
     assert rows[0].match_region == "AACGT"
+
+
+def test_end_filter_semantics(spark, patterns, texts):
+    """K8 search_with_fn as a DataFrame operator: only end positions whose
+    text prefix satisfies the predicate are emitted (reference
+    src/search.rs:767-784, the PAM filter bin/crispr.rs:198-221)."""
+    m = search(
+        patterns,
+        texts,
+        k=1,
+        mode="all",
+        end_filter=lambda pat, prefix, strand: prefix.endswith("dle"),
+    ).collect()
+    assert len(m) > 0
+    assert all(r.match_region.endswith("dle") for r in m)
+    m_all = search(patterns, texts, k=1, mode="all").collect()
+    assert len(m_all) > len(m)
+
+
+def test_end_filter_skips_traceback(monkeypatch):
+    """The predicate runs BEFORE traceback and provably skips it — driven
+    in-process through the module-level runner so the traceback counter
+    is observable (Spark workers are separate processes)."""
+    import pandas as pd
+
+    import sassy_spark.operators.search as search_mod
+
+    calls = {"n": 0}
+    real_tb = search_mod.myers.traceback
+
+    def counting_tb(*a, **kw):
+        calls["n"] += 1
+        return real_tb(*a, **kw)
+
+    monkeypatch.setattr(search_mod.myers, "traceback", counting_tb)
+    pdf = pd.DataFrame(
+        {
+            "text_id": ["t1", "t2"],
+            "text": ["xxxneedlexxx needle", "neXdle and needle here"],
+        }
+    )
+
+    def run_with(end_filter):
+        calls["n"] = 0
+        runner = search_mod._make_runner(
+            lambda: [("p1", "needle", "+")],
+            k=1,
+            mode="all",
+            with_trace=True,
+            alpha=None,
+            max_overhang=None,
+            end_filter=end_filter,
+            text_id="text_id",
+            text="text",
+        )
+        out = pd.concat(list(runner(iter([pdf]))))
+        return out, calls["n"]
+
+    out_all, n_all = run_with(None)
+    assert n_all == len(out_all) > 0
+    out_f, n_f = run_with(lambda pat, prefix, strand: prefix.endswith("dle"))
+    assert len(out_f) < len(out_all)
+    assert n_f == len(out_f)  # traceback ran ONLY for surviving ends
+
+
+def test_all_alignments_mode(spark):
+    """K7 search_all_alignments: one row per distinct cost-minimal
+    alignment per end position; rows share (cost, end), differ in
+    start/cigar (reference src/search.rs:708-754)."""
+    pats = spark.createDataFrame([("p", "aa")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame([("t", "aba")], ["text_id", "text"])
+    rows = search(pats, txts, k=1, mode="all_alignments").collect()
+    by_end = {}
+    for r in rows:
+        by_end.setdefault(r.end, []).append((r.start, r.cigar))
+    # end=3 has the three distinct optimal starts (one with two cigars)
+    assert sorted(by_end[3]) == [
+        (0, "1=1D1="),
+        (1, "1X1="),
+        (2, "1=1I"),
+        (2, "1I1="),
+    ]
+    # K5 ⊆ K6 = K7-ends consistency
+    all_ends = {
+        r.end
+        for r in search(pats, txts, k=1, mode="all").collect()
+    }
+    assert set(by_end) == all_ends
+
+
+def test_nonascii_offsets_and_region(spark):
+    """Byte/char offset regression: start/end must be CHARACTER offsets for
+    non-ASCII text (round-1 VERDICT bug: str sliced by byte offsets)."""
+    pats = spark.createDataFrame([("p", "táblé")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame(
+        [("t", "ümläut täxt táblé end táblé")], ["text_id", "text"]
+    )
+    rows = search(pats, txts, k=0, mode="all").collect()
+    got = sorted((r.start, r.end, r.match_region) for r in rows)
+    assert got == [(12, 17, "táblé"), (22, 27, "táblé")]
+
+
+def test_overhang_alpha_operator(spark):
+    """K12: pattern hanging over a text end costs floor(alpha*overhang)."""
+    pats = spark.createDataFrame([("p", "worldxx")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame([("t", "helloworld")], ["text_id", "text"])
+    assert search(pats, txts, k=1, mode="best").count() == 0
+    rows = search(
+        pats, txts, k=1, mode="best", alpha=0.5, with_trace=False
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].cost == 1 and rows[0].end == 10
+
+
+def test_pattern_cap(spark, texts):
+    import sassy_spark.operators.search as search_mod
+
+    many = spark.range(0, 12).select(
+        F.col("id").cast("string").alias("pat_id"),
+        F.lit("needle").alias("pattern"),
+    )
+    old = search_mod.MAX_PATTERNS
+    search_mod.MAX_PATTERNS = 10
+    try:
+        with pytest.raises(ValueError, match="MAX_PATTERNS"):
+            search(many, texts, k=0)
+    finally:
+        search_mod.MAX_PATTERNS = old
