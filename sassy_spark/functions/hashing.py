@@ -99,8 +99,62 @@ def make_minhash_udf(n_hashes: int = 128, ngram: int = 5, seed: int = 42):
     return minhash
 
 
+_FNV_P = np.uint64(1099511628211)
+# p is odd -> invertible mod 2^64; the inverse lets token hashes over
+# arbitrary [s, e) byte segments come from two prefix sums + one multiply
+_FNV_PINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+_WS = np.zeros(256, dtype=bool)
+for _c in b" \t\n\r\x0b\x0c":
+    _WS[_c] = True
+
+
+def token_hashes(text: str, seed: int = 42) -> np.ndarray:
+    """uint64 hash per whitespace token — fully vectorized.
+
+    Polynomial hash H(tok[s:e)) = sum b_i * p^(e-1-i) mod 2^64, computed
+    for ALL tokens at once via the prefix-sum identity
+    H = p^(e-1) * (S[e] - S[s]) with S[j] = sum_{i<j} b_i * p^(-i):
+    no per-byte (or per-token) Python loop — the document is one numpy
+    pass regardless of token count. splitmix64-finished with the seed.
+    """
+    b = np.frombuffer(
+        text.lower().encode("utf-8", "surrogatepass"), dtype=np.uint8
+    )
+    n = len(b)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ws = _WS[b]
+    nonws = ~ws
+    edge = np.empty(n + 1, dtype=bool)
+    edge[0] = nonws[0]
+    np.not_equal(nonws[1:], nonws[:-1], out=edge[1:n])
+    edge[n] = nonws[-1]
+    bounds = np.flatnonzero(edge)  # alternating start/end offsets
+    starts = bounds[0::2]
+    ends = bounds[1::2]
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    pinv_pow = np.empty(n, dtype=np.uint64)
+    pinv_pow[0] = np.uint64(1)
+    if n > 1:
+        pinv_pow[1:] = _FNV_PINV
+        np.multiply.accumulate(pinv_pow, out=pinv_pow)  # p^-i, wraps mod 2^64
+    p_pow = np.empty(n, dtype=np.uint64)
+    p_pow[0] = np.uint64(1)
+    if n > 1:
+        p_pow[1:] = _FNV_P
+        np.multiply.accumulate(p_pow, out=p_pow)
+    s_prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b.astype(np.uint64) * pinv_pow, out=s_prefix[1:])
+    raw = p_pow[ends - 1] * (s_prefix[ends] - s_prefix[starts])
+    return _splitmix64(raw + np.uint64(seed))
+
+
 def make_simhash_udf(seed: int = 42):
-    """pandas UDF: text -> bigint 64-bit SimHash over token hashes."""
+    """pandas UDF: text -> bigint 64-bit SimHash over token hashes.
+
+    Token hashing is the vectorized prefix-sum polynomial (no per-byte
+    Python); the bit votes come from one unpackbits + column sum."""
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
@@ -109,33 +163,18 @@ def make_simhash_udf(seed: int = 42):
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            toks = t.lower().split()
-            if not toks:
+            hs = token_hashes(t, seed)
+            if len(hs) == 0:
                 continue
-            hs = _splitmix64(
-                np.array(
-                    [hash_bytes(w.encode("utf-8", "surrogatepass")) for w in toks],
-                    dtype=np.uint64,
-                )
-                + np.uint64(seed)
+            onbits = np.unpackbits(
+                hs[:, None].view(np.uint8), axis=1, bitorder="little"
             )
-            onbits = (hs[:, None] & bits[None, :]) != 0
-            votes = onbits.sum(axis=0) * 2 - len(hs)
+            votes = onbits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
             fp = bits[votes > 0].sum(dtype=np.uint64) if (votes > 0).any() else np.uint64(0)
             out[i] = np.int64(fp.astype(np.int64))
         return pd.Series(out)
 
     return simhash
-
-
-def hash_bytes(b: bytes) -> np.uint64:
-    """FNV-1a 64 over bytes — deterministic across processes (unlike
-    Python's builtin hash)."""
-    h = np.uint64(0xCBF29CE484222325)
-    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-    for x in arr:  # words are short; fine
-        h = ((h ^ x) * np.uint64(1099511628211)) & _MASK
-    return h
 
 
 def make_fingerprint_udf(ngram: int = 8, window: int = 16):

@@ -39,15 +39,18 @@ def _sym(edges: DataFrame) -> DataFrame:
 def large_star(edges: DataFrame) -> DataFrame:
     """Connect every larger neighbor of u to min(N(u) ∪ {u}).
 
-    One shuffle (window over src) instead of groupBy-then-join — the
-    neighborhood minimum rides along each row."""
-    from pyspark.sql import Window
-
+    Neighborhood minima come from groupBy-min (partial-aggregated
+    map-side, so a 10^8-degree hub costs each task only its local min)
+    re-joined to the edge stream — NOT a whole-partition window, which
+    would force one task to hold a hub's entire neighborhood. The join is
+    a sort-merge on src that AQE's skew-join splitting can subdivide;
+    windows cannot be split."""
     sym = _sym(edges)
-    w = Window.partitionBy("src")
-    m = F.least(F.min("dst").over(w), F.col("src"))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
     return (
-        sym.withColumn("m", m)
+        sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -57,17 +60,18 @@ def large_star(edges: DataFrame) -> DataFrame:
 
 def small_star(edges: DataFrame) -> DataFrame:
     """Orient edges to the smaller endpoint; connect all small neighbors
-    (and u itself) to the minimum. Window form, one shuffle."""
-    from pyspark.sql import Window
-
+    (and u itself) to the minimum. Same groupBy-min + rejoin shape as
+    large_star (skew-safe: no whole-partition window)."""
     o = edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    w = Window.partitionBy("src")
-    o = o.withColumn("m", F.min("dst").over(w))
-    a = o.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    b = o.select(F.col("src"), F.col("m").alias("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    a = (
+        o.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    b = mins.select("src", F.col("m").alias("dst"))
     return a.union(b).where(F.col("src") != F.col("dst")).distinct()
 
 
@@ -80,18 +84,72 @@ def _edge_state(df: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _latest_checkpoint(checkpoint_dir: str) -> tuple[int, dict] | None:
-    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+# --- checkpoint meta IO through the Hadoop FileSystem API: data and meta
+# must live on the SAME filesystem (HDFS/S3/local) or resumability breaks
+# the moment the pipeline runs off the driver's disk
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf), hpath, jvm
+
+
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    ]
+
+
+def _latest_checkpoint(
+    spark: SparkSession, checkpoint_dir: str
+) -> tuple[int, dict] | None:
+    if not checkpoint_dir:
         return None
     best = None
-    for name in os.listdir(checkpoint_dir):
+    for name in fs_list_dirs(spark, checkpoint_dir):
         if not name.startswith("iter="):
             continue
-        meta_p = os.path.join(checkpoint_dir, name, "_meta.json")
-        if not os.path.exists(meta_p):
+        raw = fs_read_text(
+            spark, os.path.join(checkpoint_dir, name, "_meta.json")
+        )
+        if raw is None:
             continue  # incomplete write — ignore (atomicity: meta last)
-        with open(meta_p) as f:
-            meta = json.load(f)
+        meta = json.loads(raw)
         it = int(meta["iteration"])
         if best is None or it > best[0]:
             best = (it, meta)
@@ -175,16 +233,41 @@ def connected_components(
     )
     start_iter = 0
     prev_state = None
-    resumed = _latest_checkpoint(checkpoint_dir) if checkpoint_dir else None
+    # input fingerprint: resuming a checkpoint produced from DIFFERENT
+    # input edges (or a different parameter set) would silently return
+    # stale clusters — the fingerprint invalidates such checkpoints
+    fingerprint = None
+    if checkpoint_dir:
+        from pyspark import StorageLevel
+
+        # persist first: the fingerprint scan and iteration 0 would
+        # otherwise each re-execute the (expensive) upstream edge pipeline
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        n0, h0 = _edge_state(e)
+        fingerprint = {"n_edges_in": n0, "edge_hash_in": h0}
+    resumed = (
+        _latest_checkpoint(spark, checkpoint_dir) if checkpoint_dir else None
+    )
+    if resumed is not None and resumed[1].get("fingerprint") != fingerprint:
+        resumed = None  # stale checkpoint from other inputs: rebuild
     if resumed is not None:
         it, meta = resumed
         e = spark.read.parquet(
             os.path.join(checkpoint_dir, f"iter={it:03d}", "edges")
         )
-        start_iter = it + 1
-        prev_state = (meta["n_edges"], meta["edge_hash"])
-        if meta.get("converged"):
-            return _labels_from_stars(e, edges, src)
+        # verify checkpoint integrity against its recorded state before
+        # trusting it (torn/decayed files resume as wrong clusters)
+        n_ck, h_ck = _edge_state(e)
+        if (n_ck, h_ck) != (meta["n_edges"], meta["edge_hash"]):
+            resumed = None
+            e = edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            ).where(F.col(src) != F.col(dst)).persist()
+        else:
+            start_iter = it + 1
+            prev_state = (meta["n_edges"], meta["edge_hash"])
+            if meta.get("converged"):
+                return _labels_from_stars(e, edges, src)
 
     for it in range(start_iter, max_iter):
         e = small_star(large_star(e))
@@ -197,7 +280,7 @@ def connected_components(
             n, h = _edge_state(e)
         converged = prev_state == (n, h)
         if checkpoint_dir:
-            _write_meta(checkpoint_dir, it, n, h, converged)
+            _write_meta(spark, checkpoint_dir, it, n, h, converged, fingerprint)
         if converged:
             break
         prev_state = (n, h)
@@ -211,18 +294,28 @@ def _checkpoint(e: DataFrame, checkpoint_dir: str, it: int, spark) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _write_meta(checkpoint_dir: str, it: int, n: int, h: int, converged: bool):
+def _write_meta(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    it: int,
+    n: int,
+    h: int,
+    converged: bool,
+    fingerprint: dict | None,
+):
     meta = {
         "iteration": it,
         "n_edges": n,
         "edge_hash": h,
         "converged": converged,
         "parent": it - 1,
+        "fingerprint": fingerprint,
     }
-    with open(
-        os.path.join(checkpoint_dir, f"iter={it:03d}", "_meta.json"), "w"
-    ) as f:
-        json.dump(meta, f)
+    fs_write_text(
+        spark,
+        os.path.join(checkpoint_dir, f"iter={it:03d}", "_meta.json"),
+        json.dumps(meta),
+    )
 
 
 def _labels_from_stars(stars: DataFrame, orig_edges: DataFrame, src: str) -> DataFrame:

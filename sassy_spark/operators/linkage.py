@@ -372,7 +372,12 @@ def score_pairs(
 # --------------------------------------------------------------- pipeline
 
 
-def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
+def _stage(
+    df: DataFrame,
+    checkpoint_dir: str | None,
+    name: str,
+    fingerprint: dict | None = None,
+) -> DataFrame:
     """Materialize a pipeline stage exactly once.
 
     With a checkpoint dir: write-then-read a parquet snapshot (stage-level
@@ -382,6 +387,14 @@ def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
     spark persist(), so multi-consumer stages (the blocking keys feed both
     the block-size agg and the self-join twice) don't recompute the
     Python sketch UDFs 4x.
+
+    ``fingerprint`` (input semantic hash + parameter set) is recorded in
+    the stage meta; a resume whose fingerprint differs REBUILDS the stage
+    instead of silently reusing output computed from other inputs or
+    parameters. On a fingerprint match the stored global content hash is
+    re-verified against the parquet actually on disk before it is trusted.
+    Meta IO goes through the Hadoop FS API so data and meta share a
+    filesystem (HDFS/S3 safe).
     """
     import json
     import os
@@ -394,15 +407,15 @@ def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
         # in one job; lazy persist would compute the Python sketch UDFs in
         # both branches before the cache populates
         return df
+
+    from .cluster import fs_read_text, fs_write_text
+
     path = os.path.join(checkpoint_dir, f"stage={name}")
     meta_p = os.path.join(path, "_stage_meta.json")
+    data_p = os.path.join(path, "data")
     spark = df.sparkSession
-    if not os.path.exists(meta_p):
-        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
-        back = spark.read.parquet(os.path.join(path, "data"))
-        # per-partition lineage: row count + content hash per output
-        # partition, so a resumed run can verify which partitions are
-        # intact and re-derive only the damaged ones
+
+    def _state(back: DataFrame) -> tuple[int, int, list]:
         parts = (
             back.groupBy(F.spark_partition_id().alias("pid"))
             .agg(
@@ -413,22 +426,46 @@ def _stage(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
             )
             .collect()
         )
-        meta = {
-            "stage": name,
-            "rows": int(sum(r["rows"] for r in parts)),
-            "n_partitions": len(parts),
-            "partitions": [
-                {
-                    "pid": int(r["pid"]),
-                    "rows": int(r["rows"]),
-                    "content_hash": int(r["content_hash"]),
-                }
-                for r in sorted(parts, key=lambda r: r["pid"])
-            ],
-        }
-        with open(meta_p, "w") as f:
-            json.dump(meta, f)
-    return spark.read.parquet(os.path.join(path, "data"))
+        rows = int(sum(r["rows"] for r in parts))
+        ghash = 0
+        for r in parts:
+            ghash ^= int(r["content_hash"])
+        return rows, ghash, parts
+
+    raw = fs_read_text(spark, meta_p)
+    if raw is not None:
+        meta = json.loads(raw)
+        if meta.get("fingerprint") == fingerprint:
+            back = spark.read.parquet(data_p)
+            rows, ghash, _ = _state(back)
+            if rows == meta["rows"] and ghash == meta.get("global_hash"):
+                return back
+        # stale (other inputs/params) or damaged -> rebuild below
+
+    df.write.mode("overwrite").parquet(data_p)
+    back = spark.read.parquet(data_p)
+    # per-partition lineage: row count + content hash per output partition,
+    # so a resumed run can see which partitions are intact; the global
+    # (order-insensitive) hash is what resume verification checks, since
+    # partition boundaries may differ across reads
+    rows, ghash, parts = _state(back)
+    meta = {
+        "stage": name,
+        "rows": rows,
+        "global_hash": ghash,
+        "fingerprint": fingerprint,
+        "n_partitions": len(parts),
+        "partitions": [
+            {
+                "pid": int(r["pid"]),
+                "rows": int(r["rows"]),
+                "content_hash": int(r["content_hash"]),
+            }
+            for r in sorted(parts, key=lambda r: r["pid"])
+        ],
+    }
+    fs_write_text(spark, meta_p, json.dumps(meta))
+    return spark.read.parquet(data_p)
 
 
 def link(
@@ -446,15 +483,30 @@ def link(
 ) -> DataFrame:
     """End-to-end: pages -> scored candidate pairs (matches + non-matches;
     filter on is_match for the edge list feeding connected components)."""
+    fingerprint = {
+        # semantic plan hash of the input + full parameter set: a resume
+        # against other inputs or settings rebuilds instead of reusing
+        "input_plan": int(pages.semanticHash()),
+        "params": {
+            "k": k,
+            "k_frac": k_frac,
+            "text_col": text_col,
+            "max_block_size": max_block_size,
+            "bands": bands,
+            "n_hashes": n_hashes,
+            "ngram": ngram,
+            "seed": seed,
+        },
+    }
     keys = blocking_keys(
         pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
     )
-    keys = _stage(keys, checkpoint_dir, "block_keys")
+    keys = _stage(keys, checkpoint_dir, "block_keys", fingerprint)
     lens = pages.select("url", F.length(text_col).alias("len"))
     pairs = candidate_pairs(
         keys, max_block_size=max_block_size, lens=lens, k=k, k_frac=k_frac
     )
-    pairs = _stage(pairs, checkpoint_dir, "candidate_pairs")
+    pairs = _stage(pairs, checkpoint_dir, "candidate_pairs", fingerprint)
     return score_pairs(
         pairs,
         pages,

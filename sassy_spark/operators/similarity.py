@@ -12,8 +12,10 @@ Two paths, mirroring the engine-wide cheap-gate/exact-verify design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -74,26 +76,48 @@ def hyperplane_bucket(
 ) -> DataFrame:
     """Append a random-hyperplane sign bucket (int) for cosine LSH.
 
-    The plane matrix is tiny (n_planes x dim floats) and is inlined as a
-    literal array column — the sign pattern is then computed JVM-side with
-    zip_with/aggregate: no Python worker in the bucketing scan at all.
+    Two physical strategies with identical output:
+      * small plane matrices (n_planes * dim <= ~4k literals) inline as
+        Catalyst literal arrays — sign pattern computed JVM-side with
+        zip_with/aggregate, no Python worker in the scan;
+      * larger ones (e.g. dim=768 x 16 planes = 12k floats) would bloat
+        the Catalyst expression tree and its codegen, so the matrix ships
+        once inside an Arrow pandas UDF closure (Spark broadcasts the
+        serialized UDF to executors) and the signs come from one numpy
+        matmul per batch.
     """
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
     planes = _planes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        arr = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.withColumn("bucket", bucket)
+    if n_planes * dim <= 4096:
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            arr = F.array(*[F.lit(float(x)) for x in planes[i]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(
+                dot > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return df.withColumn("bucket", bucket)
+
+    pt = planes.T.astype(np.float64)  # (dim, n_planes)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(
+        np.float64
+    )
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        signs = mat @ pt > 0  # (B, n_planes)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -108,19 +132,24 @@ def lsh_topk(
     multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket (+ multiprobe:
-    also probe buckets at Hamming distance 1 up to ``multiprobe`` flipped
-    bits), exact cosine re-rank within candidates. At 100 TB the bucket
-    join replaces the full cross product with a hash shuffle on bucket."""
+    also probe every bucket within Hamming distance ``multiprobe`` of the
+    query's bucket — all bit-flip combinations, not just single flips),
+    exact cosine re-rank within candidates. At 100 TB the bucket join
+    replaces the full cross product with a hash shuffle on bucket."""
+    from itertools import combinations
+
     dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     c = hyperplane_bucket(corpus, vec_col, n_planes, seed, dim).select(
         F.col(id_col), F.col(vec_col).alias("_cv"), "bucket"
     )
     qb = hyperplane_bucket(queries, vec_col, n_planes, seed, dim)
     probes = [F.col("bucket")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
+    for d in range(1, min(multiprobe, n_planes) + 1):
+        for flips in combinations(range(n_planes), d):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(m)))
     q = qb.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),

@@ -109,3 +109,48 @@ def test_cc_resume_mid_run(spark, tmp_path):
 
     iters = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
     assert "iter=000" in iters and len(iters) >= 3
+
+
+def test_cc_planted_star_no_window_skew(spark):
+    """A 10^5-member star (one hub) must not require any whole-partition
+    Window: the star ops use groupBy-min + rejoin, which partial-aggregates
+    map-side and lets AQE split the hub's join partition. Pin both the
+    labels and the absence of window exchanges in the plan."""
+    n = 100_000
+    edges = spark.range(1, n + 1).select(
+        F.lit("hub").alias("src"),
+        F.concat(F.lit("n"), F.lpad(F.col("id").cast("string"), 7, "0")).alias(
+            "dst"
+        ),
+    )
+    from sassy_spark.operators.cluster import large_star, small_star
+
+    plan = small_star(large_star(edges))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    cc = connected_components(edges)
+    labels = cc.select("cluster_id").distinct().collect()
+    assert [r.cluster_id for r in labels] == ["hub"]
+    assert cc.count() == n + 1
+
+
+def test_cc_checkpoint_invalidated_on_different_input(spark, tmp_path):
+    """Resuming with the same checkpoint_dir but DIFFERENT input edges must
+    rebuild, not silently reuse stale clusters (round-1 advice)."""
+    ck = str(tmp_path / "cc")
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    got1 = {
+        r.url: r.cluster_id
+        for r in connected_components(e1, checkpoint_dir=ck).collect()
+    }
+    assert got1 == {"a": "a", "b": "a", "c": "a"}
+    # different graph, same dir: must NOT return the old clusters
+    e2 = spark.createDataFrame(
+        [("x", "y"), ("p", "q")], ["src", "dst"]
+    )
+    got2 = {
+        r.url: r.cluster_id
+        for r in connected_components(e2, checkpoint_dir=ck).collect()
+    }
+    assert got2 == {"x": "x", "y": "x", "p": "p", "q": "p"}

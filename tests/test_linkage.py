@@ -149,3 +149,23 @@ def test_hot_block_salting_caps_pairs(spark):
     # unsalted would be n*(n-1)/2 = 1,999,000; cap ~ 64^2 * fudge
     assert n_pairs < 64 * 64 * 4, n_pairs
     assert n_pairs > 0
+
+
+def test_stage_checkpoint_invalidated_on_param_change(spark, tmp_path):
+    """Rerunning link() with the same checkpoint_dir but a different
+    parameter set must rebuild the stages, not silently reuse stale output
+    (round-1 advice: fingerprint = input plan hash + params)."""
+    from sassy_spark.operators.linkage import link
+    from sassy_spark.sources.pages import generate_pages
+
+    ck = str(tmp_path / "stages")
+    pages = generate_pages(spark, 120, seed=3).drop("cluster_id").cache()
+    pages.count()
+    n_tight = link(pages, k=None, k_frac=0.02, checkpoint_dir=ck).count()
+    # wider k admits strictly more candidate pairs through the length
+    # prefilter; a stale-stage reuse would return n_tight again
+    n_wide = link(pages, k=None, k_frac=0.30, checkpoint_dir=ck).count()
+    assert n_wide > n_tight
+    # and same params DO resume to identical output
+    n_again = link(pages, k=None, k_frac=0.30, checkpoint_dir=ck).count()
+    assert n_again == n_wide

