@@ -378,21 +378,38 @@ def _q19_cosine_topk(spark, sf):
     )
 
 
+HANDOFF_DIR = "/tmp/sassy_oracle_handoff"
+
+
 def _q20_minhash_near_dup(spark, sf):
-    """MinHash-LSH near-dup pairs over documents (weaker rows-only check:
-    the banding hash family is engine-specific, not SQL-expressible)."""
+    """MinHash-LSH near-dup pairs over documents. The LSH gate (engine-
+    specific band hashing) writes its candidate pairs to a parquet handoff;
+    the DuckDB oracle recomputes the exact n-gram-Jaccard VERIFY stage on
+    those same candidates from the raw documents — a hard correctness
+    check of everything downstream of the gate."""
     from sassy_spark.operators.dedup import minhash_lsh_pairs
 
     d = _load(spark, sf, "documents")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.4)
+    out = minhash_lsh_pairs(
+        d,
+        jaccard_threshold=0.4,
+        candidates_out=f"{HANDOFF_DIR}/q20_candidates",
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 def _q21_simhash_near_dup(spark, sf):
-    """SimHash Hamming-distance near-dup pairs (rows-only check)."""
+    """SimHash Hamming-distance near-dup pairs. The chunk-join candidates
+    (with both fingerprints) go to a parquet handoff; the oracle recomputes
+    the XOR-popcount verify in SQL on the same candidate set."""
     from sassy_spark.operators.dedup import simhash_pairs
 
     d = _load(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=3)
+    return simhash_pairs(
+        d, max_hamming=3, candidates_out=f"{HANDOFF_DIR}/q21_candidates"
+    )
 
 
 def _q22_connected_components(spark, sf):
@@ -441,26 +458,33 @@ def _q23_exact_dedup_groups(spark, sf):
 
 
 def _q24_containment_scores(spark, sf):
-    """Semi-global containment scoring (free longer-text end gaps): best
-    cost of embedding the shorter adjacent doc inside the longer — the
-    kernel's search-mode 'best' (K5/K15) as pair scoring. Rows-only check
-    (semi-global best-substring cost is not SQL-expressible)."""
+    """Semi-global containment scoring (free longer-text end gaps), with a
+    CLOSED-FORM oracle: the needle is a 30-char substring of the document
+    with every 'a' replaced by 'z' ('z' never occurs in the corpus), so
+    the minimum embedding cost is EXACTLY the number of replacements
+    (each 'z' must be substituted or deleted: cost >= n_z; aligning at
+    the original offset achieves n_z) — capped at k_eff+1 like the
+    kernel. Exercises score_pairs(score_mode='containment') = kernel
+    search mode 'best' (K5/K15) over every document."""
     from sassy_spark.operators import linkage
 
     d = _load(spark, sf, "documents")
-    pages = d.select(F.col("doc_id").cast("string").alias("url"), "text")
-    adj = d.alias("a").join(
-        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
-    ).select(
-        F.col("a.doc_id").cast("string").alias("url_a"),
-        F.col("b.doc_id").cast("string").alias("url_b"),
+    needles = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_n")).alias("url"),
+        F.translate(F.substring("text", 11, 30), "a", "z").alias("text"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    ).unionByName(needles)
+    pairs = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_n")).alias("url_a"),
+        F.col("doc_id").cast("string").alias("url_b"),
     )
     out = linkage.score_pairs(
-        adj, pages, k_frac=0.3, score_mode="containment"
+        pairs, pages, k_frac=0.5, score_mode="containment"
     )
     return out.select(
-        F.col("url_a").cast("long").alias("doc_a"),
-        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("url_b").cast("long").alias("doc_id"),
         F.col("cost").cast("long").alias("containment_cost"),
     )
 
@@ -535,6 +559,76 @@ def _q28_rollup(spark, sf):
     )
 
 
+def _q29_nonascii_search(spark, sf):
+    """Non-ASCII offset pin (round-1 VERDICT bug: byte-vs-char offsets):
+    exact occurrences of 'táblé' in accent-translated documents; start/end
+    are CHARACTER offsets and match_region must reproduce the pattern.
+    Hash-checked against DuckDB substr positions."""
+    from sassy_spark.operators.search import search
+
+    d = _load(spark, sf, "documents")
+    texts = d.select(
+        F.col("doc_id").cast("string").alias("text_id"),
+        F.translate("text", "aeiou", "áéíóú").alias("text"),
+    )
+    pats = spark.createDataFrame([("p1", "táblé")], ["pat_id", "pattern"])
+    m = search(pats, texts, k=0, mode="all", with_trace=True)
+    return m.select(
+        F.col("text_id").cast("long").alias("doc_id"),
+        F.col("start"),
+        F.col("end"),
+        F.col("match_region"),
+    )
+
+
+def _q30_nonascii_edit_distance(spark, sf):
+    """Kernel edit distance on NON-ASCII text (codepoint units) vs DuckDB
+    levenshtein on the same accent-translated adjacent docs — the unit-of-
+    distance pin the all-ASCII corpus cannot provide."""
+    from sassy_spark.operators import linkage
+
+    d = _load(spark, sf, "documents").select(
+        "doc_id", F.translate("text", "aeio", "áéíó").alias("text")
+    )
+    pages = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    scored = linkage.score_pairs(adj, pages, k=1000)
+    return scored.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("cost").cast("long").alias("edit_distance"),
+    )
+
+
+def _q31_search_end_filter(spark, sf):
+    """K8 search_with_fn as a driver query: approximate occurrences of
+    'able' at k=1 whose text prefix ends with 'le' (the PAM-style exact-
+    suffix predicate, evaluated before traceback). The oracle enumerates
+    end positions with min levenshtein over window lengths 3..5."""
+    from sassy_spark.operators.search import search
+
+    d = _load(spark, sf, "documents")
+    pats = spark.createDataFrame([("p1", "able")], ["pat_id", "pattern"])
+    m = search(
+        pats,
+        d.select(F.col("doc_id").cast("string").alias("text_id"), "text"),
+        k=1,
+        mode="all",
+        with_trace=False,
+        end_filter=lambda pat, prefix, strand: prefix.endswith("le"),
+    )
+    return m.select(
+        F.col("text_id").cast("long").alias("doc_id"),
+        F.col("end"),
+        F.col("cost"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -565,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_percentiles": _q26_percentiles,
         "q27_pivot": _q27_pivot,
         "q28_rollup": _q28_rollup,
+        "q29_nonascii_search": _q29_nonascii_search,
+        "q30_nonascii_edit_distance": _q30_nonascii_edit_distance,
+        "q31_search_end_filter": _q31_search_end_filter,
     }
 
 
@@ -734,6 +831,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cos, 4) AS cosine
             FROM ranked WHERE rank <= 10 AND query_id <> vec_id
         """,
+        "q20_minhash_near_dup": f"""
+            WITH cand AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{HANDOFF_DIR}/q20_candidates/*.parquet')),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+              WHERE doc_id IN (SELECT id_a FROM cand
+                               UNION SELECT id_b FROM cand)),
+            grams AS (
+              SELECT DISTINCT n.doc_id,
+                     substr(n.t, CAST(g.i AS INT), 5) AS gram
+              FROM norm n
+              JOIN generate_series(1, 100000) AS g(i)
+                ON g.i <= length(n.t) - 4),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+              GROUP BY 1, 2)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1), 4)
+                       AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1) >= 0.4
+        """,
+        "q21_simhash_near_dup": f"""
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+            FROM read_parquet('{HANDOFF_DIR}/q21_candidates/*.parquet')
+            WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q24_containment_scores": """
+            WITH nd AS (
+              SELECT doc_id,
+                     substr(text, 11, 30) AS sub,
+                     length(substr(text, 11, 30)) AS l
+              FROM documents)
+            SELECT doc_id,
+                   CAST(least(l - length(replace(sub, 'a', '')),
+                              CAST(ceil(0.5 * l) AS BIGINT) + 1) AS BIGINT)
+                       AS containment_cost
+            FROM nd
+        """,
         "q22_connected_components": """
             WITH e AS (
               SELECT a.doc_id AS src, b.doc_id AS dst
@@ -795,5 +944,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
                         AS DOUBLE) AS revenue
             FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        """,
+        "q29_nonascii_search": """
+            WITH t AS (
+              SELECT doc_id, translate(text, 'aeiou', 'áéíóú') AS tt
+              FROM documents)
+            SELECT t.doc_id,
+                   CAST(g.i - 1 AS BIGINT) AS start,
+                   CAST(g.i + 4 AS BIGINT) AS "end",
+                   'táblé' AS match_region
+            FROM t
+            JOIN generate_series(1, 100000) AS g(i)
+              ON g.i <= length(t.tt) - 4
+            WHERE substr(t.tt, CAST(g.i AS INT), 5) = 'táblé'
+        """,
+        "q30_nonascii_edit_distance": """
+            -- DuckDB's levenshtein is BYTE-based; character-level edit
+            -- distance is invariant under any alphabet bijection, so the
+            -- oracle maps the accented chars to unused single-byte chars
+            -- ('aeio'->'1234' instead of 'áéíó') and gets the exact same
+            -- codepoint-level distance the Spark kernel must produce on
+            -- the accented text.
+            WITH t AS (
+              SELECT doc_id, translate(text, 'aeio', '1234') AS tt
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS edit_distance
+            FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+        """,
+        "q31_search_end_filter": """
+            SELECT d.doc_id,
+                   CAST(g.i AS BIGINT) AS "end",
+                   CAST(least(
+                     CASE WHEN g.i >= 3 THEN levenshtein(
+                          substr(d.text, CAST(g.i - 2 AS INT), 3), 'able')
+                          ELSE 99 END,
+                     CASE WHEN g.i >= 4 THEN levenshtein(
+                          substr(d.text, CAST(g.i - 3 AS INT), 4), 'able')
+                          ELSE 99 END,
+                     CASE WHEN g.i >= 5 THEN levenshtein(
+                          substr(d.text, CAST(g.i - 4 AS INT), 5), 'able')
+                          ELSE 99 END) AS INT) AS cost
+            FROM documents d
+            JOIN generate_series(2, 100000) AS g(i) ON g.i <= length(d.text)
+            WHERE substr(d.text, CAST(g.i - 1 AS INT), 2) = 'le'
+              AND least(
+                    CASE WHEN g.i >= 3 THEN levenshtein(
+                         substr(d.text, CAST(g.i - 2 AS INT), 3), 'able')
+                         ELSE 99 END,
+                    CASE WHEN g.i >= 4 THEN levenshtein(
+                         substr(d.text, CAST(g.i - 3 AS INT), 4), 'able')
+                         ELSE 99 END,
+                    CASE WHEN g.i >= 5 THEN levenshtein(
+                         substr(d.text, CAST(g.i - 4 AS INT), 5), 'able')
+                         ELSE 99 END) <= 1
         """,
     }

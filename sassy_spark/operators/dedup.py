@@ -70,10 +70,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     jaccard_threshold: float = 0.7,
     max_block_size: int = 512,
+    candidates_out: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via shingle->minhash->band->bucket-join, with an
     exact n-gram Jaccard verify on candidates. Output:
-    (id_a, id_b, jaccard)."""
+    (id_a, id_b, jaccard).
+
+    ``candidates_out``: optional parquet path that receives the LSH-gated
+    candidate pair set BEFORE verification — the audit handoff that lets an
+    external engine (the DuckDB oracle) recompute the exact-Jaccard verify
+    stage on the same candidates."""
     from pyspark import StorageLevel
 
     from .linkage import minhash_band_keys
@@ -105,6 +111,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidates_out is not None:
+        cand.write.mode("overwrite").parquet(candidates_out)
+        cand = df.sparkSession.read.parquet(candidates_out)
     return ngram_jaccard_verify(
         cand, df, id_col=id_col, text_col=text_col, ngram=ngram
     ).where(F.col("jaccard") >= jaccard_threshold)
@@ -163,12 +172,17 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    candidates_out: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash within Hamming distance d, using
     the standard banding trick: split the fingerprint into (d+1) chunks —
     any pair within distance d agrees exactly on >= 1 chunk (pigeonhole),
     so candidates come from equi-joins on chunk values, then an exact
-    popcount verify. Output: (id_a, id_b, hamming)."""
+    popcount verify. Output: (id_a, id_b, hamming).
+
+    ``candidates_out``: optional parquet path receiving the chunk-join
+    candidates (id_a, id_b, fp_a, fp_b) BEFORE the popcount verify, so an
+    external engine can recompute the Hamming verify on the same set."""
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
     sh = make_simhash_udf(seed=seed)
@@ -188,16 +202,27 @@ def simhash_pairs(
         "id", "fp", F.explode(F.array(*chunk_cols)).alias("bucket")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    cand = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if candidates_out is not None:
+        cand.write.mode("overwrite").parquet(candidates_out)
+        cand = df.sparkSession.read.parquet(candidates_out)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
