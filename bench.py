@@ -6,6 +6,13 @@ Headline queries: the relational/kernel set from __spark_entry__ at
 $SPARK_GRAFT_SF_DIR, plus the flagship ER pipeline (blocking -> candidate
 pairs -> banded Myers scoring) on deterministic synthetic pages, reported
 as candidate-pairs-scored/sec (the north metric).
+
+Every reported number is MEASURED in this run: the F1 block runs
+tools/evaluate_f1.evaluate on 2000 synthetic pages, and the scaling
+block runs the tools/kernel_scaling barrier-synchronized protocol
+(median of --repeats, warmup + synthesis excluded, same-conditions and
+raw modes) — no hardcoded claims, and one method for the aggregate
+(median-duration concurrent rate) shared with the standalone tool.
 """
 
 from __future__ import annotations
@@ -17,10 +24,13 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ER_PAGES = int(os.environ.get("SASSY_BENCH_PAGES", "12000"))
+F1_PAGES = int(os.environ.get("SASSY_BENCH_F1_PAGES", "2000"))
+SCALING_REPEATS = int(os.environ.get("SASSY_BENCH_SCALING_REPEATS", "5"))
 
 BENCH_QUERIES = [
     "q02_agg_partial_final",
@@ -32,6 +42,8 @@ BENCH_QUERIES = [
     "q19_cosine_topk",
     "q20_minhash_near_dup",
     "q22_connected_components",
+    "q29_nonascii_search",
+    "q31_search_end_filter",
 ]
 
 
@@ -55,9 +67,7 @@ def main() -> None:
     pages = pages.persist()
     n_pages = pages.count()
     t0 = time.time()
-    scored = linkage.link(
-        pages, k=None, k_frac=0.05
-    )
+    scored = linkage.link(pages, k=None, k_frac=0.05)
     n_pairs = scored.count()
     er_sec = time.time() - t0
     timings["er_pipeline"] = round(er_sec, 3)
@@ -74,45 +84,40 @@ def main() -> None:
         "er_candidate_pairs_scored": n_pairs,
         "er_pairs_per_sec": round(n_pairs / er_sec, 1),
     }
+
+    # measured pairwise F1 vs planted truth (north metric #1)
+    if os.environ.get("SASSY_BENCH_F1", "1") == "1":
+        from evaluate_f1 import evaluate
+
+        t0 = time.time()
+        f1 = evaluate(spark, n_pages=F1_PAGES, k_frac=0.05)
+        out["f1_eval_sec"] = round(time.time() - t0, 1)
+        out["f1_evaluation"] = f1
+
     spark.stop()
 
-    # scaling-efficiency evidence (north rule): the scoring kernel across
-    # 8 vs 32 independent processes — the JVM-free measurement this
-    # sandbox can make reliably (see BENCH/BASELINE.md environment note)
+    # scaling-efficiency evidence (north metric #3): the documented
+    # barrier-synchronized protocol from tools/kernel_scaling.py —
+    # same-conditions mode (equal machine occupancy at both N, the
+    # cluster-realistic comparison) plus the raw idle-box bound
     if os.environ.get("SASSY_BENCH_SCALING", "1") == "1":
-        import importlib.util
+        from kernel_scaling import calibrate_dilation, run_protocol
 
-        spec = importlib.util.spec_from_file_location(
-            "kernel_scaling",
-            Path(__file__).resolve().parent / "tools" / "kernel_scaling.py",
-        )
-        ks = importlib.util.module_from_spec(spec)
-        sys.modules["kernel_scaling"] = ks  # make ks.work picklable for Pool
-        spec.loader.exec_module(ks)
-        import multiprocessing as mp
-
-        ks_out = {}
-        for n in (8, 32):
-            best = 0.0
-            for _ in range(2):  # best-of-2: the sandbox fault path adds noise
-                with mp.Pool(n) as p:
-                    # work() returns each proc's kernel-only pairs/s (its
-                    # own input synthesis excluded); aggregate = sum of
-                    # concurrent per-proc rates
-                    rates = p.map(
-                        ks.work, [(100 + i, 2048) for i in range(n)]
-                    )
-                    best = max(best, sum(rates))
-            ks_out[n] = best
-        out["kernel_pairs_per_sec_8procs"] = round(ks_out[8], 1)
-        out["kernel_pairs_per_sec_32procs"] = round(ks_out[32], 1)
-        out["kernel_scaling_efficiency_8_to_32"] = round(
-            (ks_out[32] / ks_out[8]) / 4.0, 3
-        )
-    out["f1_evaluation"] = (
-        "pair F1 0.9982 / cluster F1 1.0000 via tools/evaluate_f1.py "
-        "(see BENCH/BASELINE.md)"
-    )
+        same = run_protocol(2048, SCALING_REPEATS, same_conditions=True)
+        raw = run_protocol(2048, SCALING_REPEATS, same_conditions=False)
+        cal = calibrate_dilation()
+        out["kernel_scaling"] = {
+            "protocol": "tools/kernel_scaling.py (barrier-synced, median "
+            "per-proc duration, warmup+synthesis excluded)",
+            "same_conditions_efficiency_8_to_32": same["efficiency_median"],
+            "same_conditions_samples": same["efficiencies"],
+            "raw_idlebox_efficiency_8_to_32": raw["efficiency_median"],
+            "raw_idlebox_samples": raw["efficiencies"],
+            "arith_dilation_floor": cal["arith_efficiency_lo_to_hi"],
+            "agg_pairs_per_sec_8_loaded": same["agg_lo_median"],
+            "agg_pairs_per_sec_32": same["agg_hi_median"],
+        }
+        out["kernel_scaling_efficiency_8_to_32"] = same["efficiency_median"]
     print(json.dumps(out))
 
 

@@ -6,6 +6,9 @@ Runs the full pipeline on a deterministic synthetic corpus, evaluates:
     the reference-searcher-findable set, per the F1 pin definition);
   * cluster-level pairwise agreement after transitive closure.
 Appends to BENCH/BASELINE.md and prints one JSON line.
+
+``evaluate(spark, n_pages, k_frac)`` is importable (bench.py reports a
+MEASURED F1 each round instead of a hardcoded claim).
 """
 
 from __future__ import annotations
@@ -19,18 +22,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    k_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
-
+def evaluate(spark, n_pages: int = 4000, k_frac: float = 0.05) -> dict:
     from pyspark.sql import functions as F
 
-    from sassy_spark import build_spark
     from sassy_spark.operators import cluster, linkage
-
     from sassy_spark.sources.pages import generate_pages
 
-    spark = build_spark(app_name="f1_eval", cores=16)
     pages = generate_pages(spark, n_pages, seed=42).persist()
     pages.count()
     inp = pages.drop("cluster_id")
@@ -97,7 +94,9 @@ def main() -> None:
     crec = ctp / max(ctp + cfn, 1)
     cf1 = 2 * cprec * crec / max(cprec + crec, 1e-9)
 
-    out = {
+    for df in (pages, scored, pos_scored, pred, j):
+        df.unpersist()
+    return {
         "n_pages": n_pages,
         "k_frac": k_frac,
         "findable_pairs": n_findable,
@@ -107,15 +106,26 @@ def main() -> None:
         "pair_f1": round(f1, 4),
         "cluster_pair_f1": round(cf1, 4),
     }
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    k_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+
+    from sassy_spark import build_spark
+
+    spark = build_spark(app_name="f1_eval", cores=16)
+    out = evaluate(spark, n_pages, k_frac)
     print(json.dumps(out))
     with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
         f.write(
             f"\n## F1 evaluation {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
-            f"{n_pages} pages, k_frac={k_frac}: pair F1 **{f1:.4f}** "
-            f"(precision {precision:.4f}, recall {recall:.4f} over the "
-            f"{n_findable} reference-findable pairs, i.e. true distance "
-            f"<= k); cluster-level pairwise F1 after transitive closure "
-            f"**{cf1:.4f}**.\n"
+            f"{n_pages} pages, k_frac={k_frac}: pair F1 "
+            f"**{out['pair_f1']:.4f}** (precision {out['pair_precision']:.4f}, "
+            f"recall {out['pair_recall']:.4f} over the "
+            f"{out['findable_pairs']} reference-findable pairs, i.e. true "
+            f"distance <= k); cluster-level pairwise F1 after transitive "
+            f"closure **{out['cluster_pair_f1']:.4f}**.\n"
         )
     spark.stop()
 
