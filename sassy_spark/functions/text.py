@@ -56,13 +56,18 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     )
 
 
-_DNA_COMP = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+# complement covers the full IUPAC ambiguity alphabet (R<->Y, K<->M,
+# B<->V, D<->H; S/W/N self-complementary; U -> A), reference
+# src/profiles/iupac.rs complement tables
+_RC_FWD = "ACGTUacgtuRYKMBVDHrykmbvdhNnSsWw"
+_RC_REV = "TGCAAtgcaaYRMKVBHDyrmkvbhdNnSsWw"
+_DNA_COMP = str.maketrans(_RC_FWD, _RC_REV)
 
 
 def reverse_complement(text: Column) -> Column:
-    """DNA reverse complement — generic translate + reverse, all JVM-side
-    (the reference's RC tables, src/profiles/dna.rs:104-121)."""
-    return F.reverse(F.translate(text, "ACGTacgt", "TGCAtgca"))
+    """DNA/IUPAC reverse complement — generic translate + reverse, all
+    JVM-side (the reference's RC tables, src/profiles/dna.rs:104-121)."""
+    return F.reverse(F.translate(text, _RC_FWD, _RC_REV))
 
 
 def reverse_complement_str(s: str) -> str:

@@ -73,9 +73,12 @@ def _as_symbols(s) -> np.ndarray:
     )
 
 
-def _compact_mats(mats: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
+def _compact_mats(
+    mats: list[np.ndarray],
+) -> tuple[list[np.ndarray], int, np.ndarray]:
     """Remap symbol matrices to a dense 0..A-1 alphabet; returns
-    (remapped mats, A). Padding symbol 0 stays 0.
+    (remapped mats, A, originals) where originals[cid] is the original
+    symbol of compact id cid. Padding symbol 0 stays 0.
 
     Web text uses a few dozen distinct symbols; a (B, A) gather table at
     A~32 is 8x smaller than (B, 256) — the difference between the inner
@@ -94,26 +97,45 @@ def _compact_mats(mats: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
                 cnt = np.bincount(m.ravel(), minlength=256)
                 used |= cnt > 0
         amap = (np.cumsum(used) - 1).astype(np.uint8)
-        return [amap[m] for m in mats], int(used.sum())
+        originals = np.flatnonzero(used).astype(np.uint32)
+        return [amap[m] for m in mats], int(used.sum()), originals
     vals = np.unique(np.concatenate([m.ravel() for m in mats]))
     if vals[0] != 0:
         vals = np.concatenate([np.zeros(1, dtype=vals.dtype), vals])
     a = len(vals)
     dt = np.uint8 if a <= 256 else np.uint16 if a <= 65536 else np.uint32
-    return [np.searchsorted(vals, m).astype(dt) for m in mats], a
+    return (
+        [np.searchsorted(vals, m).astype(dt) for m in mats],
+        a,
+        vals.astype(np.uint32),
+    )
+
+
+def _compat_or_none(originals: np.ndarray, classes: dict | None):
+    if classes is None:
+        return None
+    from .profiles import compat_matrix
+
+    return compat_matrix(originals, classes)
 
 
 def build_peq(
-    patterns: list[np.ndarray], n_words: int, alphabet: int = 256
+    patterns: list[np.ndarray],
+    n_words: int,
+    alphabet: int = 256,
+    compat: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Positional-equality bitmask tensor for a batch of patterns.
 
     ``patterns``: list of 1-D integer symbol arrays (already compacted).
     Returns (peq, mlens):
       peq  : (B, n_words, alphabet) uint64 — bit i of word w set for sym c
-             iff pattern[w*64 + i] == c  (the numpy analog of sassy's
+             iff pattern[w*64 + i] matches c (the numpy analog of sassy's
              Profile::encode_pattern, reference src/profiles/ascii.rs:18-28).
       mlens: (B,) int64 pattern lengths.
+    ``compat``: optional (A, A) bool equivalence matrix (IUPAC-style
+    class matching, reference src/profiles/iupac.rs:136-138); None =
+    exact equality.
     """
     b = len(patterns)
     peq = np.zeros((b, n_words, alphabet), dtype=np.uint64)
@@ -121,9 +143,18 @@ def build_peq(
     for i, pb in enumerate(patterns):
         mlens[i] = len(pb)
         pos = np.arange(len(pb))
-        words = pos >> 6
-        bits = (U1 << (pos & 63).astype(np.uint64))
-        np.bitwise_or.at(peq[i], (words, pb.astype(np.intp)), bits)
+        if compat is None:
+            words = pos >> 6
+            bits = (U1 << (pos & 63).astype(np.uint64))
+            np.bitwise_or.at(peq[i], (words, pb.astype(np.intp)), bits)
+        else:
+            for w in range((len(pb) + 63) // 64):
+                chunk = pb[w * 64 : w * 64 + 64]
+                comp = compat[chunk.astype(np.intp)]  # (L, A)
+                bits = (U1 << np.arange(len(chunk), dtype=np.uint64))
+                peq[i, w] = (comp.astype(np.uint64) * bits[:, None]).sum(
+                    axis=0, dtype=np.uint64
+                )
     return peq, mlens
 
 
@@ -193,7 +224,7 @@ def _advance(peq, pv, mv, chars, score, top_word, top_bit, hin0, active):
 
 
 def edit_distances(
-    a_list: list, b_list: list, k=None
+    a_list: list, b_list: list, k=None, classes: dict | None = None
 ) -> np.ndarray:
     """Global Levenshtein distance per pair, vectorized over the batch.
 
@@ -205,12 +236,13 @@ def edit_distances(
     reference src/search.rs:1131-1162).
     """
     if k is not None:
-        return banded_edit_distances(a_list, b_list, k)
-    return _full_edit_distances(a_list, b_list, None)
+        return banded_edit_distances(a_list, b_list, k, classes=classes)
+    return _full_edit_distances(a_list, b_list, None, classes=classes)
 
 
 def _full_edit_distances(
-    a_list: list, b_list: list, k: int | None = None
+    a_list: list, b_list: list, k: int | None = None,
+    classes: dict | None = None,
 ) -> np.ndarray:
     """Unbanded reference path (also used when k >= pattern length)."""
     bsz = len(a_list)
@@ -227,9 +259,10 @@ def _full_edit_distances(
     n_words = max(1, int((mlens.max() + 63) // 64))
     pmat0, _ = _pad_syms(pats2)
     tmat0, tlens = _pad_syms(texts2)
-    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+    (pmat, tmat), alphabet, originals = _compact_mats([pmat0, tmat0])
+    compat = _compat_or_none(originals, classes)
     peq, _ = build_peq(
-        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet
+        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet, compat
     )
 
     pv = np.full((bsz, n_words), UFULL, dtype=np.uint64)
@@ -266,7 +299,7 @@ def _full_edit_distances(
     return out
 
 
-def semiglobal_scores(patterns: list, texts: list):
+def semiglobal_scores(patterns: list, texts: list, classes: dict | None = None):
     """Unbanded batched semi-global scan — the test-oracle path.
 
     Returns (scores_matrix, tlens): scores_matrix[b, j] = best edit cost of
@@ -282,9 +315,10 @@ def semiglobal_scores(patterns: list, texts: list):
     n_words = max(1, int((mlens.max() + 63) // 64))
     pmat0, _ = _pad_syms(pats)
     tmat0, tlens = _pad_syms(txts)
-    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+    (pmat, tmat), alphabet, originals = _compact_mats([pmat0, tmat0])
+    compat = _compat_or_none(originals, classes)
     peq, _ = build_peq(
-        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet
+        [pmat[i, : mlens[i]] for i in range(bsz)], n_words, alphabet, compat
     )
 
     pv = np.full((bsz, n_words), UFULL, dtype=np.uint64)
@@ -363,6 +397,7 @@ def semiglobal_search(
     mode: str = "local_minima",
     alpha: float | None = None,
     max_overhang: int | None = None,
+    classes: dict | None = None,
 ):
     """Approximate occurrences of each pattern in its paired text —
     streaming and row-banded.
@@ -427,7 +462,8 @@ def semiglobal_search(
     tmat0 = np.zeros((n_max, b), dtype=np.uint32)  # column-major scan
     for row, i in enumerate(lanes):
         tmat0[: tlens[row], row] = tsyms[i]
-    (pmat, tmat), alphabet = _compact_mats([pmat0, tmat0])
+    (pmat, tmat), alphabet, originals = _compact_mats([pmat0, tmat0])
+    compat = _compat_or_none(originals, classes)
 
     mo = int(max_overhang) if max_overhang is not None else (1 << 40)
 
@@ -497,14 +533,7 @@ def semiglobal_search(
     def peq_word(w: int) -> np.ndarray:
         tbl = peq_cache.get(w)
         if tbl is None:
-            tbl = np.zeros((b, alphabet), dtype=np.uint64)
-            lo = w * 64
-            hi_ = min(pmat.shape[1], lo + 64)
-            if hi_ > lo:
-                chunk = pmat[:, lo:hi_]
-                bits = (U1 << np.arange(hi_ - lo, dtype=np.uint64))
-                rows = np.arange(b)[:, None]
-                np.bitwise_or.at(tbl, (rows, chunk.astype(np.intp)), bits[None, :])
+            tbl = _peq_word(pmat, w, alphabet, compat)
             peq_cache[w] = tbl
         return tbl
 
@@ -710,7 +739,9 @@ def semiglobal_search(
 # ------------------------------------------------------------ banded kernel
 
 
-def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
+def banded_edit_distances(
+    a_list: list, b_list: list, k, classes: dict | None = None
+) -> np.ndarray:
     """Banded bit-parallel global edit distance (the edlib-style moving
     word window over Myers' recurrence).
 
@@ -772,7 +803,8 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
     for row, orig in enumerate(idx):
         pmat32[row, : len(pats[orig])] = pats[orig]
         tmat32[: len(texts[orig]), row] = texts[orig]
-    (pmat, tmat), alphabet_size = _compact_mats([pmat32, tmat32])
+    (pmat, tmat), alphabet_size, originals = _compact_mats([pmat32, tmat32])
+    compat = _compat_or_none(originals, classes)
     mlens_a = mlens[idx]
     tlens = nlens[idx]
     k_a = k_arr[idx]
@@ -805,7 +837,7 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
             lo_w = max(lo_w, (jb - kmax) >> 6)
         for w in range(lo_w, hi_w + 1):
             if w not in peq_cache:
-                peq_cache[w] = _peq_word(pmat, w, alphabet_size)
+                peq_cache[w] = _peq_word(pmat, w, alphabet_size, compat)
 
         track_word = (track_row >> 6).astype(np.int64)
         track_bit = (U1 << (track_row & 63).astype(np.uint64))
@@ -896,10 +928,16 @@ def banded_edit_distances(a_list: list, b_list: list, k) -> np.ndarray:
     return out
 
 
-def _peq_word(pmat: np.ndarray, w: int, alphabet_size: int = 256) -> np.ndarray:
+def _peq_word(
+    pmat: np.ndarray,
+    w: int,
+    alphabet_size: int = 256,
+    compat: np.ndarray | None = None,
+) -> np.ndarray:
     """Positional-equality masks for pattern word w only (lazy build: the
     banded kernel touches ~(2k+64)/64 words per column, so materializing
-    the full (B, W, A) tensor would waste both time and memory)."""
+    the full (B, W, A) tensor would waste both time and memory).
+    ``compat``: optional (A, A) bool class-equivalence matrix."""
     b = pmat.shape[0]
     peqw = np.zeros((b, alphabet_size), dtype=np.uint64)
     lo = w * 64
@@ -907,6 +945,12 @@ def _peq_word(pmat: np.ndarray, w: int, alphabet_size: int = 256) -> np.ndarray:
     if hi <= lo:
         return peqw
     chunk = pmat[:, lo:hi]
+    if compat is not None:
+        comp = compat[chunk.astype(np.intp)]  # (b, L, A)
+        bits = (U1 << np.arange(hi - lo, dtype=np.uint64))
+        return (comp.astype(np.uint64) * bits[None, :, None]).sum(
+            axis=1, dtype=np.uint64
+        )
     bits = (U1 << np.arange(hi - lo, dtype=np.uint64))
     rows = np.arange(b)[:, None]
     np.bitwise_or.at(peqw, (rows, chunk.astype(np.intp)), bits[None, :])
@@ -956,10 +1000,14 @@ def _window_column_min(
 # ---------------------------------------------------------------- traceback
 
 
-def _traceback_dp(pattern, text, end: int, cost: int, semiglobal: bool):
+def _traceback_dp(
+    pattern, text, end: int, cost: int, semiglobal: bool,
+    classes: dict | None = None,
+):
     """Shared banded DP table for the traceback family. Returns
-    (d, pa, ta, lo) where d is the (m+1, n+1) cost matrix over the text
-    window text[lo:end]."""
+    (d, match, n, lo) where d is the (m+1, n+1) cost matrix over the text
+    window text[lo:end] and match[i, j] says whether pattern[i] matches
+    text[lo+j] under the profile (exact equality when classes is None)."""
     pa = _as_symbols(pattern)
     ta_full = _as_symbols(text)[:end]
     m = len(pa)
@@ -967,11 +1015,23 @@ def _traceback_dp(pattern, text, end: int, cost: int, semiglobal: bool):
     lo = max(0, end - m - cost) if semiglobal else 0
     ta = ta_full[lo:]
     n = len(ta)
+    if classes is None:
+        match = pa[:, None] == ta[None, :]
+    else:
+        pm = np.array([classes.get(int(c), -1) for c in pa], dtype=np.int64)
+        tm = np.array([classes.get(int(c), -1) for c in ta], dtype=np.int64)
+        both = (pm[:, None] >= 0) & (tm[None, :] >= 0)
+        neither = (pm[:, None] < 0) & (tm[None, :] < 0)
+        match = np.where(
+            both,
+            (pm[:, None] & np.maximum(tm[None, :], 0)) > 0,
+            neither & (pa[:, None] == ta[None, :]),
+        )
     d = np.empty((m + 1, n + 1), dtype=np.int32)
     d[0, :] = 0 if semiglobal else np.arange(n + 1)
     d[:, 0] = np.arange(m + 1)
     for i in range(1, m + 1):
-        sub = d[i - 1, :-1] + (ta != pa[i - 1])
+        sub = d[i - 1, :-1] + (~match[i - 1])
         row = np.minimum(d[i - 1, 1:] + 1, sub)
         # left-to-right dependency (deletion from text / gap): cumulative
         run = d[i, 0]
@@ -980,7 +1040,7 @@ def _traceback_dp(pattern, text, end: int, cost: int, semiglobal: bool):
             run = min(row[j], run + 1)
             out_row[j] = run
         d[i, 1:] = out_row
-    return d, pa, ta, lo
+    return d, match, n, lo
 
 
 def _rle(ops: list[str]) -> str:
@@ -993,7 +1053,10 @@ def _rle(ops: list[str]) -> str:
     return "".join(f"{c}{op}" for c, op in cig)
 
 
-def traceback(pattern, text, end: int, cost: int, semiglobal: bool = True):
+def traceback(
+    pattern, text, end: int, cost: int, semiglobal: bool = True,
+    classes: dict | None = None,
+):
     """Recover (start, cigar) for one accepted match by banded DP + greedy
     backtrace with the reference's preference order match > sub > del > ins
     (reference src/lib.rs:42-50, src/trace.rs:273-406). ``del`` consumes
@@ -1003,13 +1066,12 @@ def traceback(pattern, text, end: int, cost: int, semiglobal: bool = True):
 
     Only called on accepted matches, so an O(m * (m+k)) python DP is fine.
     """
-    d, pa, ta, lo = _traceback_dp(pattern, text, end, cost, semiglobal)
-    m = len(pa)
-    n = len(ta)
+    d, match, n, lo = _traceback_dp(pattern, text, end, cost, semiglobal, classes)
+    m = match.shape[0]
     i, j = m, n
     ops: list[str] = []
     while i > 0 or (not semiglobal and j > 0):
-        if i > 0 and j > 0 and pa[i - 1] == ta[j - 1] and d[i, j] == d[i - 1, j - 1]:
+        if i > 0 and j > 0 and match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1]:
             ops.append("=")
             i -= 1
             j -= 1
@@ -1036,6 +1098,7 @@ def all_optimal_tracebacks(
     cost: int,
     semiglobal: bool = True,
     max_paths: int = 64,
+    classes: dict | None = None,
 ) -> list[tuple[int, str]]:
     """Every distinct cost-minimal alignment of ``pattern`` ending at
     ``end`` — the engine's search_all_alignments enumeration (K7,
@@ -1051,9 +1114,8 @@ def all_optimal_tracebacks(
     such a rewrite costs strictly more, so it never appears on a minimal
     path.
     """
-    d, pa, ta, lo = _traceback_dp(pattern, text, end, cost, semiglobal)
-    m = len(pa)
-    n = len(ta)
+    d, match, n, lo = _traceback_dp(pattern, text, end, cost, semiglobal, classes)
+    m = match.shape[0]
     results: list[tuple[int, str]] = []
     ops: list[str] = []
 
@@ -1063,13 +1125,13 @@ def all_optimal_tracebacks(
         if i == 0 and (semiglobal or j == 0):
             results.append((lo + j, _rle(ops[::-1])))
             return len(results) < max_paths
-        if i > 0 and j > 0 and pa[i - 1] == ta[j - 1] and d[i, j] == d[i - 1, j - 1]:
+        if i > 0 and j > 0 and match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1]:
             ops.append("=")
             go = dfs(i - 1, j - 1)
             ops.pop()
             if not go:
                 return False
-        if i > 0 and j > 0 and pa[i - 1] != ta[j - 1] and d[i, j] == d[i - 1, j - 1] + 1:
+        if i > 0 and j > 0 and not match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1] + 1:
             ops.append("X")
             go = dfs(i - 1, j - 1)
             ops.pop()

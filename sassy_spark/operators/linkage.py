@@ -224,6 +224,8 @@ def score_pairs(
     url: str = "url",
     score_partitions: int | None = None,
     score_mode: str = "global",
+    alpha: float | None = None,
+    max_overhang: int | None = None,
 ) -> DataFrame:
     """Attach texts and score each candidate pair with the Myers kernel.
 
@@ -238,8 +240,12 @@ def score_pairs(
         longer (free longer-text prefix/suffix): catches partial copies /
         quoted inclusions that global distance misses — the pair-scoring
         form of the reference's free-end-gap semantics (search K5 best +
-        overhang spirit K12). k_frac then resolves against the SHORTER
-        length, and no length-difference prefilter applies.
+        overhang K12). k_frac then resolves against the SHORTER length,
+        and no length-difference prefilter applies. ``alpha`` /
+        ``max_overhang`` additionally let the SHORTER text hang over the
+        longer's ends at cost floor(alpha * overhang) (reference
+        src/search.rs:1694-1748) — substring-overlap tolerance at the
+        pair level.
 
     For 'global' the length-difference prefilter runs BEFORE the expensive
     UDF — Catalyst evaluates it as a plain WHERE on already-joined ints.
@@ -331,7 +337,7 @@ def score_pairs(
                     longer = np.where(la <= lb, ch["text_b"], ch["text_a"])
                     res = myers.semiglobal_search(
                         list(shorter), list(longer), int(k_eff_arr.max()),
-                        mode="best",
+                        mode="best", alpha=alpha, max_overhang=max_overhang,
                     )
                     cost = np.array(
                         [

@@ -71,6 +71,7 @@ def search(
     alpha: float | None = None,
     max_overhang: int | None = None,
     end_filter: Callable[[str, str, str], bool] | None = None,
+    profile: str | dict | None = "ascii",
     pat_id: str = "pat_id",
     pattern: str = "pattern",
     text_id: str = "text_id",
@@ -90,6 +91,10 @@ def search(
     realized as an extra broadcast lane instead of reversed-text machinery.
     ``end_filter(pattern, text_prefix, strand) -> bool`` drops end
     positions before traceback (search_with_fn, K8).
+    ``profile``: 'ascii' (exact), 'dna', 'iupac' (ambiguity-class
+    matching: chars match iff their class masks intersect, reference
+    src/profiles/iupac.rs:136-138), 'ascii_ci', or a codepoint->mask
+    dict.
     """
     n_pats = patterns_df.count()
     if n_pats > MAX_PATTERNS:
@@ -121,6 +126,7 @@ def search(
         alpha=alpha,
         max_overhang=max_overhang,
         end_filter=end_filter,
+        profile=profile,
         text_id=text_id,
         text=text,
     )
@@ -146,9 +152,13 @@ def _make_runner(
     end_filter: Callable[[str, str, str], bool] | None,
     text_id: str,
     text: str,
+    profile: str | dict | None = "ascii",
 ):
     """Build the Arrow-batch runner for :func:`search` (module-level so
     tests can drive the per-batch logic in-process)."""
+    from ..kernel.profiles import resolve_profile
+
+    classes = resolve_profile(profile)
     max_lanes = int(os.environ.get("SASSY_SEARCH_LANES", "4096"))
     base_mode = "all" if mode == "all_alignments" else mode
 
@@ -187,6 +197,7 @@ def _make_runner(
                     mode=base_mode,
                     alpha=alpha,
                     max_overhang=max_overhang,
+                    classes=classes,
                 )
                 for lane, (ends, costs) in enumerate(res):
                     if len(ends) == 0:
@@ -203,7 +214,7 @@ def _make_runner(
                             continue
                         if mode == "all_alignments":
                             for start, cigar in myers.all_optimal_tracebacks(
-                                pat_strs[pi], orig_t, e, c
+                                pat_strs[pi], orig_t, e, c, classes=classes
                             ):
                                 rows.append(
                                     (
@@ -220,7 +231,7 @@ def _make_runner(
                             continue
                         if with_trace:
                             start, cigar = myers.traceback(
-                                pat_strs[pi], orig_t, e, c
+                                pat_strs[pi], orig_t, e, c, classes=classes
                             )
                             region = orig_t[start:e]
                         else:

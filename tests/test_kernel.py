@@ -411,3 +411,113 @@ def test_all_optimal_tracebacks_consistency_k5_k6():
         for e, c in zip(all_hits[0].tolist(), all_hits[1].tolist()):
             paths = all_optimal_tracebacks(pat, text, int(e), int(c))
             assert len(paths) >= 1
+
+
+# ------------------------------------------------- equivalence-class profiles
+
+
+def test_iupac_profile_goldens():
+    """IUPAC ambiguity matching: chars match iff class masks intersect
+    (reference src/profiles/iupac.rs:136-138, table 281-316)."""
+    from sassy_spark.kernel import semiglobal_search
+    from sassy_spark.kernel.profiles import IUPAC_CLASSES
+
+    # N matches everything: zero-cost occurrence at every end >= 4
+    res = semiglobal_search(
+        ["NNNN"], ["ACGTAC"], 0, mode="all", classes=IUPAC_CLASSES
+    )[0]
+    assert res[0].tolist() == [4, 5, 6]
+    # R = A|G: matches A and G but not C/T
+    res = semiglobal_search(
+        ["R"], ["ACGT"], 0, mode="all", classes=IUPAC_CLASSES
+    )[0]
+    assert res[0].tolist() == [1, 3]
+    # case-insensitive: lowercase shares the class
+    res = semiglobal_search(
+        ["acgt"], ["xxACGTxx"], 0, mode="all", classes=IUPAC_CLASSES
+    )[0]
+    assert res[0].tolist() == [6]
+    # X matches nothing, not even itself
+    res = semiglobal_search(
+        ["X"], ["XXXX"], 0, mode="all", classes=IUPAC_CLASSES
+    )[0]
+    assert len(res[0]) == 0
+
+
+def test_iupac_profile_matches_dp_fuzz():
+    from sassy_spark.kernel import semiglobal_scores
+    from sassy_spark.kernel.profiles import IUPAC_CLASSES
+
+    def is_match(a, b):
+        ma = IUPAC_CLASSES.get(ord(a), -1)
+        mb = IUPAC_CLASSES.get(ord(b), -1)
+        if ma >= 0 and mb >= 0:
+            return (ma & mb) > 0
+        if ma < 0 and mb < 0:
+            return a == b
+        return False
+
+    def dp(pat, txt):
+        m, n = len(pat), len(txt)
+        prev = [0] * (n + 1)
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (not is_match(pat[i - 1], txt[j - 1])),
+                )
+            prev = cur
+        return prev[1:]
+
+    alpha_p = "ACGTNRYWSKM"
+    alpha_t = "ACGTacgt xq"
+    for _ in range(40):
+        pat = _rand_s(rng.randrange(1, 20), alpha=alpha_p)
+        txt = _rand_s(rng.randrange(1, 60), alpha=alpha_t)
+        smat, tlens = semiglobal_scores([pat], [txt], classes=IUPAC_CLASSES)
+        assert smat[0, : tlens[0]].tolist() == dp(pat, txt), (pat, txt)
+
+
+def test_iupac_traceback_match_ops():
+    from sassy_spark.kernel import traceback
+    from sassy_spark.kernel.profiles import IUPAC_CLASSES
+
+    # pattern ACGR matches text ACGA exactly under IUPAC (R ~ A)
+    start, cigar = traceback(
+        "ACGR", "ttACGAtt", end=6, cost=0, classes=IUPAC_CLASSES
+    )
+    assert (start, cigar) == (2, "4=")
+
+
+def test_overhang_reference_goldens():
+    """Replicates the reference's overhang trace tests
+    (src/search.rs:2930-2957): half the pattern hangs over a text edge at
+    alpha=0.5 -> cost floor(4 * 0.5) = 2 at k=2."""
+    from sassy_spark.kernel import semiglobal_search
+    from sassy_spark.kernel.profiles import IUPAC_CLASSES
+
+    # prefix overhang: first 4 pattern chars hang left of the text start
+    res = semiglobal_search(
+        ["ATCGATCG"], ["ATCGGGGGGGGGG"], 2, mode="all",
+        alpha=0.5, classes=IUPAC_CLASSES,
+    )[0]
+    assert (4, 2) in set(zip(res[0].tolist(), res[1].tolist()))
+    # suffix overhang: last 4 pattern chars hang right of the text end
+    res = semiglobal_search(
+        ["ATCGATCG"], ["GGGGGGGATCG"], 2, mode="all",
+        alpha=0.5, classes=IUPAC_CLASSES,
+    )[0]
+    assert (11, 2) in set(zip(res[0].tolist(), res[1].tolist()))
+
+
+def test_banded_edit_distance_with_classes():
+    from sassy_spark.kernel import banded_edit_distances
+    from sassy_spark.kernel.profiles import IUPAC_CLASSES
+
+    got = banded_edit_distances(
+        ["ACGT", "NNNN", "ACGT"], ["AGGT", "TTTT", "acgt"], 2,
+        classes=IUPAC_CLASSES,
+    )
+    assert got.tolist() == [1, 0, 0]

@@ -169,3 +169,21 @@ def test_stage_checkpoint_invalidated_on_param_change(spark, tmp_path):
     # and same params DO resume to identical output
     n_again = link(pages, k=None, k_frac=0.30, checkpoint_dir=ck).count()
     assert n_again == n_wide
+
+
+def test_score_pairs_containment_alpha_overhang(spark):
+    """K12 at the pair level: with alpha, the shorter text may hang over
+    the longer's ends at cost floor(alpha * overhang). 'worldxx' inside
+    'helloworld': cost 2 plain (xx paid in full), 1 at alpha=0.5."""
+    from sassy_spark.operators.linkage import score_pairs
+
+    pages = spark.createDataFrame(
+        [("n", "worldxx"), ("d", "helloworld")], ["url", "text"]
+    )
+    pairs = spark.createDataFrame([("n", "d")], ["url_a", "url_b"])
+    plain = score_pairs(pairs, pages, k=3, score_mode="containment")
+    assert plain.collect()[0].cost == 2
+    over = score_pairs(
+        pairs, pages, k=3, score_mode="containment", alpha=0.5
+    )
+    assert over.collect()[0].cost == 1

@@ -225,3 +225,16 @@ def test_pattern_cap(spark, texts):
             search(many, texts, k=0)
     finally:
         search_mod.MAX_PATTERNS = old
+
+
+def test_iupac_profile_operator(spark):
+    """IUPAC ambiguity search through the DataFrame operator: R matches A
+    or G; N matches anything (reference src/profiles/iupac.rs)."""
+    pats = spark.createDataFrame([("g", "ACGR")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame(
+        [("t1", "xxACGAxx"), ("t2", "xxACGGxx"), ("t3", "xxACGCxx")],
+        ["text_id", "text"],
+    )
+    rows = search(pats, txts, k=0, mode="all", profile="iupac").collect()
+    assert {r.text_id for r in rows} == {"t1", "t2"}
+    assert all(r.cigar == "4=" for r in rows)
