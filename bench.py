@@ -55,6 +55,15 @@ def main() -> None:
 
     spark = build_spark(app_name="sassy_bench", cores=CPUS)
     qs = E.queries()
+    # steady-state warmup at the smallest sf: JVM JIT, codegen caches,
+    # Python worker daemon fork pool, shuffle service — all per-process
+    # one-time costs that would otherwise be charged to whichever query
+    # runs first (measured: q22 31s cold vs 10.5s warm)
+    for name in BENCH_QUERIES:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

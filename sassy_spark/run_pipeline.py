@@ -78,7 +78,20 @@ def main() -> None:
         n_hashes=args.n_hashes,
         checkpoint_dir=args.checkpoint,
     )
-    scored = linkage._stage(scored, args.checkpoint, "scored")
+    # same fingerprint discipline as the inner stages: a rerun against
+    # different input/params rebuilds instead of reusing stale output
+    fingerprint = {
+        "input_plan": int(pages.semanticHash()),
+        "params": {
+            "k": args.k,
+            "k_frac": args.k_frac,
+            "text_col": args.text_col,
+            "max_block_size": args.max_block_size,
+            "bands": args.bands,
+            "n_hashes": args.n_hashes,
+        },
+    }
+    scored = linkage._stage(scored, args.checkpoint, "scored", fingerprint)
     n_scored = scored.count()
     dt = time.time() - t
     metrics["stages"]["score"] = {
@@ -101,9 +114,15 @@ def main() -> None:
     }
     metrics["total_sec"] = round(time.time() - t_all, 2)
 
-    os.makedirs(args.checkpoint, exist_ok=True)
-    with open(os.path.join(args.checkpoint, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
+    # metrics go through the Hadoop FS API so they land on the same
+    # filesystem as the checkpoints (HDFS/S3 safe, not driver-local)
+    from sassy_spark.operators.cluster import fs_write_text
+
+    fs_write_text(
+        spark,
+        os.path.join(args.checkpoint, "metrics.json"),
+        json.dumps(metrics, indent=2),
+    )
     print(json.dumps(metrics))
 
 

@@ -46,6 +46,12 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (saveAsTable / read.table — the Iceberg-shaped
+        # path of run_pipeline --input <table>) land in tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SASSY_WAREHOUSE_DIR", "/tmp/sassy-warehouse"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large Arrow batches amortize Python worker round-trips; the
         # scoring UDF re-batches internally by (word-count, text length)

@@ -187,3 +187,46 @@ def test_score_pairs_containment_alpha_overhang(spark):
         pairs, pages, k=3, score_mode="containment", alpha=0.5
     )
     assert over.collect()[0].cost == 1
+
+
+def test_run_pipeline_table_input(spark, tmp_path, monkeypatch):
+    """run_pipeline --input <catalog table> (the Iceberg-shaped path,
+    run_pipeline.py spark.read.table) end-to-end: pages saved as a
+    catalog table, pipeline resolves entities, metrics land beside the
+    checkpoints via the Hadoop FS API."""
+    import json
+    import sys as _sys
+
+    from sassy_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 150, seed=5).drop("cluster_id")
+    n_pages = pages.count()
+    spark.sql("DROP TABLE IF EXISTS sassy_test_pages")
+    # the in-memory catalog forgets tables across sessions but leaves the
+    # managed location behind — clear it so saveAsTable can recreate
+    import shutil
+
+    shutil.rmtree("/tmp/sassy-warehouse/sassy_test_pages", ignore_errors=True)
+    pages.write.mode("overwrite").saveAsTable("sassy_test_pages")
+
+    from sassy_spark import run_pipeline
+
+    out = str(tmp_path / "entities")
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "run_pipeline",
+            "--input", "sassy_test_pages",
+            "--output", out,
+            "--checkpoint", ck,
+            "--k-frac", "0.05",
+        ],
+    )
+    run_pipeline.main()
+    ents = spark.read.parquet(out)
+    assert ents.count() == n_pages
+    metrics = json.loads((tmp_path / "ck" / "metrics.json").read_text())
+    assert metrics["n_pages"] == n_pages
+    assert metrics["stages"]["score"]["pairs_scored"] >= 0
