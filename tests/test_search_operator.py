@@ -238,3 +238,34 @@ def test_iupac_profile_operator(spark):
     rows = search(pats, txts, k=0, mode="all", profile="iupac").collect()
     assert {r.text_id for r in rows} == {"t1", "t2"}
     assert all(r.cigar == "4=" for r in rows)
+
+
+def test_searcher_api_round2_verbs(spark):
+    """Searcher constructor vocabulary matches the reference binding
+    (alphabet profile, rc, alpha) and the round-2 verbs work."""
+    from sassy_spark.api import Searcher
+
+    s = Searcher(alphabet="iupac")
+    pats = spark.createDataFrame([("g", "ACGR")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame([("t", "xxACGAxx")], ["text_id", "text"])
+    assert s.search_all(pats, txts, k=0).count() == 1
+    aln = Searcher().search_all_alignments(
+        spark.createDataFrame([("p", "aa")], ["pat_id", "pattern"]),
+        spark.createDataFrame([("t", "aba")], ["text_id", "text"]),
+        k=1,
+    )
+    assert aln.count() >= 4
+    wf = Searcher().search_with_fn(
+        spark.createDataFrame([("p", "needle")], ["pat_id", "pattern"]),
+        spark.createDataFrame([("t", "xxneedlexx")], ["text_id", "text"]),
+        k=1,
+        filter_fn=lambda pat, prefix, strand: prefix.endswith("le"),
+    )
+    assert wf.count() >= 1
+    s_over = Searcher(alpha=0.5, with_trace=False)
+    ov = s_over.search_best(
+        spark.createDataFrame([("p", "worldxx")], ["pat_id", "pattern"]),
+        spark.createDataFrame([("t", "helloworld")], ["text_id", "text"]),
+        k=1,
+    )
+    assert ov.count() == 1
