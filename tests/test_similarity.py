@@ -141,3 +141,32 @@ def test_multiprobe_probes_multibit_buckets(emb):
     s1 = {(r.query_id, r.vec_id) for r in a1.collect()}
     s2 = {(r.query_id, r.vec_id) for r in a2.collect()}
     assert len(e & s2) >= len(e & s1)
+
+
+def test_ivf_topk_recall(emb):
+    """IVF coarse-quantizer ANN: high recall on clustered data with a
+    fraction of the corpus probed."""
+    from sassy_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_centroids=20, n_probe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_self_always_found(emb):
+    from sassy_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(df, queries, k=3, n_centroids=20, n_probe=3)
+    top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
+    assert top1 == {q: q for q in range(5)}
