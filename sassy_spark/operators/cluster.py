@@ -49,12 +49,14 @@ def large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # no distinct here: small_star's groupBy-min and final distinct absorb
+    # duplicate edges, and dropping the exchange saves ~1 shuffle per
+    # iteration x O(log n) iterations
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

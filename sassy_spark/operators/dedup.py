@@ -131,7 +131,14 @@ def ngram_jaccard_verify(
 
     Gram arrays are built only for documents that actually appear in a
     candidate pair (semi-join first): candidates are typically <<1% of the
-    corpus, and the gram explosion is ~100x the text size."""
+    corpus, and the gram explosion is ~100x the text size. Grams are
+    64-bit-hashed before the set ops: intersecting long arrays costs a
+    fraction of intersecting ~n-char strings (equality + hashing per
+    element), and the Jaccard value is identical up to 2^-64 collisions
+    (~1e-12 per doc pair at 5k grams). The gram table is persisted once —
+    it feeds BOTH sides of the pair join."""
+    from pyspark import StorageLevel
+
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
@@ -141,10 +148,13 @@ def ngram_jaccard_verify(
         ids, docs[id_col] == ids["id"], "left_semi"
     ).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(char_ngrams(normalize(F.col(text_col)), ngram)).alias(
-            "grams"
-        ),
-    )
+        F.array_distinct(
+            F.transform(
+                char_ngrams(normalize(F.col(text_col)), ngram),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = (
         pairs.join(g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
         .join(g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
