@@ -78,32 +78,45 @@ def minhash_band_keys(
     agree — the classic LSH S-curve. Deterministic across runs (seeded
     permutations) so checkpoints are resumable."""
     rows_per_band = n_hashes // bands
-    from ..functions.hashing import _splitmix64, oph_signature, shingle_hashes
+    from ..functions.hashing import (
+        _splitmix64,
+        oph_signatures_batch,
+        shingle_hashes_batch,
+    )
 
     seed_mix = np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 63))
 
-    # one Python pass computes signature AND band keys (expressing the
-    # bands as Catalyst transform() over a UDF column re-evaluates the
-    # UDF per band — measured 60x; mapInPandas evaluates once).
-    # Signatures use one-permutation hashing + rotation densification:
-    # O(shingles) instead of O(shingles x n_hashes) — 15x cheaper than
-    # the classic k-permutation minhash at equal band sensitivity.
+    # one Python pass computes signatures AND band keys for the WHOLE
+    # Arrow batch (expressing the bands as Catalyst transform() over a UDF
+    # column re-evaluates the UDF per band — measured 60x; and per-doc
+    # numpy calls cost ~12 dispatches/doc — the batch forms do one
+    # prefix-sum pass + one scatter for all documents). Signatures use
+    # one-permutation hashing + rotation densification: O(shingles)
+    # instead of O(shingles x n_hashes) — 15x cheaper than the classic
+    # k-permutation minhash at equal band sensitivity.
     def bandify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, keys_out = [], []
-            for u, t in zip(pdf["url"], pdf["_norm"]):
-                if not t:
-                    continue
-                h = shingle_hashes(t, ngram) ^ seed_mix
-                sig = oph_signature(h, n_hashes)
-                bands_m = sig.reshape(bands, rows_per_band)
-                # order-dependent band hash: mix each row then combine
-                bh = bands_m[:, 0]
-                for c in range(1, rows_per_band):
-                    bh = _splitmix64(bh ^ bands_m[:, c])
-                for bidx in range(bands):
-                    urls.append(u)
-                    keys_out.append(f"band:{bidx}:{bh[bidx]:016x}")
+            keep = pdf["_norm"].astype(bool)
+            urls_in = pdf["url"][keep].to_numpy()
+            texts_in = pdf["_norm"][keep].tolist()
+            n_docs = len(texts_in)
+            if n_docs == 0:
+                yield pd.DataFrame({"url": [], "block_key": []})
+                continue
+            h_all, doc_idx, _ = shingle_hashes_batch(texts_in, ngram)
+            h_all ^= seed_mix
+            sigs = oph_signatures_batch(h_all, doc_idx, n_docs, n_hashes)
+            bands_m = sigs.reshape(n_docs, bands, rows_per_band)
+            # order-dependent band hash: mix each row then combine
+            bh = bands_m[:, :, 0]
+            for c in range(1, rows_per_band):
+                bh = _splitmix64(bh ^ bands_m[:, :, c])
+            urls = np.repeat(urls_in, bands)
+            bidx = np.tile(np.arange(bands), n_docs)
+            keys_out = [
+                f"band:{i}:{v:016x}"
+                for i, v in zip(bidx.tolist(), bh.ravel().tolist())
+            ]
             yield pd.DataFrame({"url": urls, "block_key": keys_out})
 
     src = pages.select(
