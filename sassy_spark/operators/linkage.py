@@ -309,8 +309,12 @@ def score_pairs(
     if score_partitions is None:
         # AQE coalesces the join output toward 64 MB partitions — a
         # handful of tasks — which starves the CPU-bound kernel stage
-        # (measured: 6 of 32 workers busy). Fan out to 2 tasks/core.
-        score_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        # (measured: 6 of 32 workers busy). Fan out to exactly 1
+        # task/core: 2/core measured 1.6x SLOWER here (each extra task
+        # wave re-pays Python worker handoff + Arrow buffers, and this
+        # box serializes those allocations); at real cluster scale the
+        # per-partition row count, not the wave count, evens stragglers.
+        score_partitions = df.sparkSession.sparkContext.defaultParallelism
     if score_partitions:
         # hash repartition, never round-robin: round-robin repartition
         # locally sorts every column for determinism — on 2 KB text
