@@ -45,3 +45,44 @@ def test_relational_agg_is_codegen(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     assert plans.whole_stage_codegen_spans(q) >= 1
+
+
+def test_ngram_verify_stays_jvm_side(spark, sf_dir):
+    """The near-dup exact-Jaccard verify is pure Catalyst: hashed-gram
+    arrays, no Python eval node anywhere in the plan."""
+    from sassy_spark.operators.dedup import ngram_jaccard_verify
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    q = ngram_jaccard_verify(pairs, d)
+    plans.assert_no_python_in_scan_path(q)
+
+
+def test_length_prefilter_applied_before_text_join(spark):
+    """score_pairs: the |len_a - len_b| <= k prefilter must appear in the
+    optimized plan BEFORE the text columns are joined in (the wide
+    payload only shuffles for surviving pairs)."""
+    from sassy_spark.operators.linkage import score_pairs
+    from sassy_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 80, seed=2).drop("cluster_id")
+    pairs = spark.createDataFrame(
+        [("u1", "u2")], ["url_a", "url_b"]
+    )
+    q = score_pairs(pairs, pages, k=5)
+    plan = plans.optimized_plan(q)
+    assert "k_eff" in plan
+    # Catalyst folds the prefilter into the length join's condition — the
+    # abs() predicate must exist and involve only id/length columns (the
+    # text payload joins in above it, only for surviving pairs)
+    abs_lines = [ln for ln in plan.splitlines() if "abs(" in ln]
+    assert abs_lines, plan[:2000]
+    assert all("text" not in ln for ln in abs_lines), abs_lines
+
+
+def test_cc_star_ops_have_no_window(spark):
+    from sassy_spark.operators.cluster import large_star, small_star
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    for op in (large_star, small_star):
+        assert "Window" not in plans.physical_plan(op(e))
