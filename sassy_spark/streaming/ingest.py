@@ -72,6 +72,81 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_candidate_pairs(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bands: int = 8,
+    n_hashes: int = 64,
+    ngram: int = 5,
+    seed: int = 42,
+    max_block_size: int = 64,
+):
+    """Incremental ER blocking — a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): as page snapshots stream in, each LSH
+    band key keeps the set of members seen so far as group state; every
+    new member emits candidate pairs against the existing members (and
+    the other arrivals of its batch), so downstream scoring sees each
+    candidate pair exactly once across restarts (state lives in the
+    streaming checkpoint).
+
+    Skew safety carries over from the batch design: a band's state is
+    capped at ``max_block_size`` members — a hot boilerplate band stops
+    yielding pairs instead of exploding quadratically. Cross-band
+    duplicate pairs are left to the downstream batch dedup (same as the
+    batch pipeline's dropDuplicates).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.linkage import minhash_band_keys
+
+    src = (
+        spark.readStream.schema(PAGES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        # snapshots arrive as one directory per crawl batch
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    keys = minhash_band_keys(
+        src, text_col="text", n_hashes=n_hashes, bands=bands, ngram=ngram,
+        seed=seed,
+    )
+
+    def emit(key, pdfs, state: GroupState):
+        seen = list(state.get[0]) if state.exists else []
+        new: list[str] = []
+        for pdf in pdfs:
+            new.extend(pdf["url"].tolist())
+        rows = []
+        for u in new:
+            if len(seen) >= max_block_size:
+                break
+            for v in seen:
+                a, b = (u, v) if u < v else (v, u)
+                rows.append((a, b, key[0]))
+            seen.append(u)
+        state.update((seen[:max_block_size],))
+        yield pd.DataFrame(rows, columns=["url_a", "url_b", "block_key"])
+
+    pairs = keys.groupBy("block_key").applyInPandasWithState(
+        emit,
+        outputStructType="url_a string, url_b string, block_key string",
+        stateStructType="urls array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     src_dir: str,
