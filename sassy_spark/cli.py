@@ -52,6 +52,9 @@ def cmd_search(args) -> None:
         with_trace=not args.no_trace,
         case_sensitive=not args.ignore_case,
         rc=args.rc,
+        profile=args.alphabet,
+        alpha=args.alpha,
+        max_overhang=args.max_overhang,
     )
     m = m.orderBy("text_id", "start", "pat_id")
     if args.output:
@@ -97,6 +100,9 @@ def cmd_filter(args) -> None:
         with_trace=False,
         case_sensitive=not args.ignore_case,
         rc=args.rc,
+        profile=args.alphabet,
+        alpha=args.alpha,
+        max_overhang=args.max_overhang,
     )
     kept = filter_matching(texts, m, invert=args.invert)
     if args.output:
@@ -137,6 +143,17 @@ def main() -> None:
         p.add_argument("--text-col", default="text")
         p.add_argument("-i", "--ignore-case", action="store_true")
         p.add_argument("--rc", action="store_true")
+        p.add_argument(
+            "--alphabet",
+            choices=["ascii", "dna", "iupac", "ascii_ci"],
+            default="ascii",
+            help="matching profile (reference: ASCII/DNA/IUPAC)",
+        )
+        p.add_argument(
+            "--alpha", type=float, default=None,
+            help="overhang cost per pattern char hanging over a text end",
+        )
+        p.add_argument("--max-overhang", type=int, default=None)
         p.add_argument("--output")
 
     s = sub.add_parser("search", help="report approximate matches (TSV)")
