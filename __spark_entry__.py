@@ -629,6 +629,41 @@ def _q31_search_end_filter(spark, sf):
     )
 
 
+def _q32_fingerprint_overlap(spark, sf):
+    """Winnowing-fingerprint containment pairs. The exploded (id, hash)
+    inverted index goes to a parquet handoff; the oracle recomputes the
+    stop-hash cap (document frequency <= 64), the overlap join, and the
+    min_shared threshold from the same index."""
+    from sassy_spark.operators.dedup import fingerprint_overlap_pairs
+
+    d = _load(spark, sf, "documents")
+    return fingerprint_overlap_pairs(
+        d, min_shared=3, index_out=f"{HANDOFF_DIR}/q32_index"
+    )
+
+
+def _q33_embedding_near_dup(spark, sf):
+    """Hyperplane-LSH embedding near-dup candidates with exact cosine:
+    bucket-join candidates go to a parquet handoff; the oracle recomputes
+    every candidate's cosine from the raw embeddings table. No threshold
+    (the synthetic embeddings have no planted near-dups) — the check
+    covers the verify computation itself."""
+    from sassy_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _load(spark, sf, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    out = embedding_near_dup_pairs(
+        corpus,
+        threshold=-1.0,
+        n_planes=12,
+        candidates_out=f"{HANDOFF_DIR}/q33_candidates",
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -662,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_nonascii_search": _q29_nonascii_search,
         "q30_nonascii_edit_distance": _q30_nonascii_edit_distance,
         "q31_search_end_filter": _q31_search_end_filter,
+        "q32_fingerprint_overlap": _q32_fingerprint_overlap,
+        "q33_embedding_near_dup": _q33_embedding_near_dup,
     }
 
 
@@ -998,5 +1035,28 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN g.i >= 5 THEN levenshtein(
                          substr(d.text, CAST(g.i - 4 AS INT), 5), 'able')
                          ELSE 99 END) <= 1
+        """,
+        "q32_fingerprint_overlap": f"""
+            WITH inv AS (
+              SELECT id, h
+              FROM read_parquet('{HANDOFF_DIR}/q32_index/*.parquet')),
+            keep AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= 64),
+            i2 AS (SELECT inv.id, inv.h FROM inv JOIN keep USING (h))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_hashes
+            FROM i2 a JOIN i2 b ON a.h = b.h AND a.id < b.id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        "q33_embedding_near_dup": f"""
+            WITH cand AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{HANDOFF_DIR}/q33_candidates/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.id_a
+            JOIN e eb ON eb.vec_id = c.id_b
         """,
     }

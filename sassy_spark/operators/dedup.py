@@ -246,13 +246,21 @@ def fingerprint_overlap_pairs(
     ngram: int = 8,
     window: int = 16,
     min_shared: int = 3,
+    index_out: str | None = None,
 ) -> DataFrame:
     """Winnowing-fingerprint containment: pairs sharing >= min_shared
     selected hashes (catches partial-copy / quote-level duplication that
-    whole-document sketches miss)."""
+    whole-document sketches miss).
+
+    ``index_out``: optional parquet path receiving the exploded
+    (id, hash) inverted index, so an external engine can recompute the
+    overlap join + threshold on the same fingerprints."""
     fpu = make_fingerprint_udf(ngram=ngram, window=window)
     fps = df.select(F.col(id_col).alias("id"), fpu(F.col(text_col)).alias("fp"))
     inv = fps.select("id", F.explode("fp").alias("h"))
+    if index_out is not None:
+        inv.write.mode("overwrite").parquet(index_out)
+        inv = df.sparkSession.read.parquet(index_out)
     sizes = inv.groupBy("h").agg(F.count("*").alias("df_"))
     inv2 = inv.join(sizes, "h").where(F.col("df_") <= 64)  # stop-hash cap
     a, b = inv2.alias("a"), inv2.alias("b")
@@ -275,24 +283,43 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    candidates_out: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH buckets ->
     exact cosine verify inside buckets. Cosine is computed JVM-side with
-    F.aggregate/zip_with (no Python)."""
+    F.aggregate/zip_with (no Python).
+
+    ``candidates_out``: optional parquet path receiving the bucket-join
+    candidate pairs BEFORE the cosine verify (external verify handoff)."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     bkt = hyperplane_bucket(emb, vec_col, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("bucket")
     )
     a, b = bkt.alias("a"), bkt.alias("b")
-    return (
+    cand = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if candidates_out is not None:
+        cand.write.mode("overwrite").parquet(candidates_out)
+        cand = emb.sparkSession.read.parquet(candidates_out)
+    vecs = bkt.select("id", "v").dropDuplicates(["id"])
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
