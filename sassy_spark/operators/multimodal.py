@@ -116,6 +116,73 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id string, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Image resize: payloads whose metadata exceeds ``max_side`` are
+    re-encoded at the scaled dimensions (aspect preserved); others pass
+    through untouched. Same schema in and out, so resize composes with
+    the rest of the media pipeline.
+
+    Decode/encode is the stubbed step (no PIL in this container): the
+    deterministic fake derives the resized payload from the original
+    bytes + target dims, so the Spark-side contract — metadata math,
+    pass-through behavior, schema stability, batch shape — is fully
+    real and tested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not _fake_decode_allowed():
+            raise NotImplementedError(
+                "real image decode requires PIL — not in this image; set "
+                "SASSY_FAKE_DECODE=1 for the deterministic fake"
+            )
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for kind, payload, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if (
+                    kind != "image"
+                    or payload is None
+                    or pd.isna(w)
+                    or pd.isna(h)
+                    or max(int(w), int(h)) <= max_side
+                ):
+                    out_payload.append(payload)
+                    out_w.append(None if pd.isna(w) else int(w))
+                    out_h.append(None if pd.isna(h) else int(h))
+                    continue
+                scale = max_side / max(int(w), int(h))
+                nw = max(1, round(int(w) * scale))
+                nh = max(1, round(int(h) * scale))
+                fake = _fake_feature(
+                    bytes(payload) + nw.to_bytes(4, "little") + nh.to_bytes(4, "little"),
+                    dim=64,
+                )
+                out_payload.append(bytearray(fake.tobytes()))
+                out_w.append(nw)
+                out_h.append(nh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "mime": pdf["mime"],
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary payloads with
     plausible metadata)."""

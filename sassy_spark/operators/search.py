@@ -293,6 +293,25 @@ def filter_matching(
     return texts_df.join(keys, on=text_id, how=how)
 
 
+def write_matches_tsv(matches_df: DataFrame, path: str, sorted_output: bool = True):
+    """The reference's TSV output contract as a sink (README.md:211-239,
+    bin/grep.rs:710-738): tab-separated, headered, one row per match,
+    deterministically ordered when ``sorted_output`` (the reference's
+    --sorted flag; O1 ordered-output semantics)."""
+    df = matches_df.select(
+        "pat_id", "text_id", "cost", "strand", "start", "end",
+        "match_region", "cigar",
+    )
+    if sorted_output:
+        df = df.orderBy("text_id", "start", "end", "pat_id")
+    (
+        df.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+
+
 def cost_histogram(matches_df: DataFrame) -> DataFrame:
     """Match count per edit cost 0..k — Spark's partial/final hash agg is
     the distributed analog of the reference's per-thread local histograms

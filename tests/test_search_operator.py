@@ -269,3 +269,29 @@ def test_searcher_api_round2_verbs(spark):
         k=1,
     )
     assert ov.count() == 1
+
+
+def test_write_matches_tsv_contract(spark, patterns, texts, tmp_path):
+    """S5: the TSV sink reproduces the reference's output contract —
+    tab-separated, headered, deterministic order."""
+    from sassy_spark.operators.search import search, write_matches_tsv
+
+    m = search(patterns, texts, k=0, mode="all")
+    out = str(tmp_path / "matches")
+    write_matches_tsv(m, out)
+    import glob
+
+    files = glob.glob(out + "/*.csv")
+    assert files
+    lines = []
+    for fp in files:
+        with open(fp) as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    header = [ln for ln in lines if ln.startswith("pat_id\t")]
+    assert header and header[0].split("\t") == [
+        "pat_id", "text_id", "cost", "strand", "start", "end",
+        "match_region", "cigar",
+    ]
+    data = [ln for ln in lines if not ln.startswith("pat_id\t")]
+    assert len(data) == m.count()
+    assert all(ln.split("\t")[6] == "needle" for ln in data)

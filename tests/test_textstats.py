@@ -82,3 +82,31 @@ def test_fingerprint_documents(spark):
     fps = {r.doc_id: list(r.fingerprint) for r in textstats.fingerprint_documents(docs).collect()}
     assert fps[1] == fps[2]
     assert len(fps[1]) > 0
+
+
+def test_resize_images_metadata_and_passthrough(spark):
+    """Multimodal resize: oversized images get scaled metadata + a new
+    payload; small images, audio, and video pass through untouched."""
+    from sassy_spark.operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, 60, seed=9).cache()
+    out = resize_images(media, max_side=256)
+    j = (
+        media.selectExpr(
+            "media_id", "kind", "width as w0", "height as h0",
+            "payload as p0",
+        )
+        .join(out, "media_id")
+        .collect()
+    )
+    assert len(j) == 60
+    for r in j:
+        if r.kind != "image" or r.w0 is None or max(r.w0, r.h0) <= 256:
+            assert r.width == r.w0 and r.height == r.h0
+            assert bytes(r.payload or b"") == bytes(r.p0 or b"")
+        else:
+            assert max(r.width, r.height) <= 256
+            scale = 256 / max(r.w0, r.h0)
+            assert r.width == max(1, round(r.w0 * scale))
+            assert r.height == max(1, round(r.h0 * scale))
+            assert bytes(r.payload) != bytes(r.p0)
