@@ -1,1 +1,10 @@
-from . import search, linkage, cluster  # noqa: F401
+from . import (  # noqa: F401
+    cluster,
+    dedup,
+    events,
+    linkage,
+    multimodal,
+    search,
+    similarity,
+    textstats,
+)

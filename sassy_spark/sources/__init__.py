@@ -1,1 +1,1 @@
-from . import pages  # noqa: F401
+from . import pages, warc  # noqa: F401
