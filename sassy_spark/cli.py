@@ -86,6 +86,27 @@ def cmd_search(args) -> None:
     spark.stop()
 
 
+def cmd_crispr(args) -> None:
+    from sassy_spark.operators.search import crispr_search, write_matches_tsv
+    from sassy_spark.session import build_spark
+
+    spark = build_spark(app_name="sassy_cli")
+    m = crispr_search(
+        _patterns_df(spark, args),
+        _read_texts(spark, args),
+        k=args.k,
+        pam_length=args.pam_length,
+        allow_pam_edits=args.allow_pam_edits,
+        max_n_frac=args.max_n_frac,
+        rc=not args.no_rc,
+    )
+    if args.output:
+        write_matches_tsv(m, args.output)
+    else:
+        m.orderBy("text_id", "start").show(100, truncate=False)
+    spark.stop()
+
+
 def cmd_filter(args) -> None:
     from sassy_spark.operators.search import filter_matching, search
     from sassy_spark.session import build_spark
@@ -169,6 +190,16 @@ def main() -> None:
     common(f)
     f.add_argument("--invert", action="store_true")
     f.set_defaults(fn=cmd_filter)
+
+    c = sub.add_parser(
+        "crispr", help="guide search with exact-PAM constraint (IUPAC)"
+    )
+    common(c)
+    c.add_argument("--pam-length", type=int, default=3)
+    c.add_argument("--allow-pam-edits", action="store_true")
+    c.add_argument("--max-n-frac", type=float, default=None)
+    c.add_argument("--no-rc", action="store_true")
+    c.set_defaults(fn=cmd_crispr)
 
     l = sub.add_parser("link", help="full ER pipeline")
     l.add_argument("--input")

@@ -293,6 +293,124 @@ def filter_matching(
     return texts_df.join(keys, on=text_id, how=how)
 
 
+def crispr_search(
+    guides_df: DataFrame,
+    texts_df: DataFrame,
+    k: int,
+    pam_length: int = 3,
+    allow_pam_edits: bool = False,
+    max_n_frac: float | None = None,
+    rc: bool = True,
+    pat_id: str = "pat_id",
+    pattern: str = "pattern",
+    text_id: str = "text_id",
+    text: str = "text",
+) -> DataFrame:
+    """CRISPR guide search — the reference's domain pipeline
+    (bin/crispr.rs): guides INCLUDE their PAM; matches may use up to
+    ``k`` edits outside the PAM but the PAM region itself must
+    profile-match exactly (IUPAC classes, so an NGG PAM matches any
+    base + GG), unless ``allow_pam_edits``. ``max_n_frac`` drops matches
+    whose target region exceeds that fraction of N bases
+    (bin/crispr.rs:86-89); ``rc`` searches both strands.
+
+    Physical shape: one IUPAC-profile search of the full guide at k, the
+    forward-strand PAM constraint pushed pre-traceback via the
+    ``end_filter`` hook (search_with_fn, bin/crispr.rs:198-221), and the
+    strand-aware PAM + N-fraction verification as Catalyst filters on the
+    traced match region (on '-' strand the PAM complement sits at the
+    match START in text coordinates).
+    """
+    from ..kernel.profiles import IUPAC_CLASSES
+
+    def _iupac_eq(a: str, b: str) -> bool:
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            mx = IUPAC_CLASSES.get(ord(x), -1)
+            my = IUPAC_CLASSES.get(ord(y), -1)
+            if mx >= 0 and my >= 0:
+                if not (mx & my):
+                    return False
+            elif x != y:
+                return False
+        return True
+
+    end_filter = None
+    if not allow_pam_edits:
+        # pre-traceback pushdown for the forward strand: the PAM region of
+        # a candidate match is the last pam_length chars of the prefix
+        def end_filter(pat: str, prefix: str, strand: str) -> bool:
+            if strand != "+":
+                return True  # '-' strand verified post-trace (PAM at start)
+            return len(prefix) >= pam_length and _iupac_eq(
+                prefix[-pam_length:], pat[-pam_length:]
+            )
+
+    m = search(
+        guides_df,
+        texts_df,
+        k=k,
+        mode="all",
+        with_trace=True,
+        rc=rc,
+        profile="iupac",
+        end_filter=end_filter,
+        pat_id=pat_id,
+        pattern=pattern,
+        text_id=text_id,
+        text=text,
+    )
+    if not allow_pam_edits:
+        # strand-aware exact-PAM verify on the traced region, via a joined
+        # PAM column (IUPAC classes honored through rlike-free comparison
+        # in a small pandas-safe expression: regenerate the per-guide PAM
+        # and compare against region slices with a broadcast map)
+        pams = {
+            str(r[0]): str(r[1])[-pam_length:]
+            for r in guides_df.select(pat_id, pattern).collect()
+        }
+        from ..functions.text import reverse_complement_str
+
+        spark = texts_df.sparkSession
+        pam_rows = [(pid, p, reverse_complement_str(p)) for pid, p in pams.items()]
+        pam_df = F.broadcast(
+            spark.createDataFrame(pam_rows, ["pat_id", "_pam", "_pam_rc"])
+        )
+        m = m.join(pam_df, "pat_id")
+        fwd_region = F.substring(
+            F.col("match_region"), -pam_length, pam_length
+        )
+        rc_region = F.substring(F.col("match_region"), 1, pam_length)
+        # IUPAC-exactness was already enforced pre-traceback for '+'; the
+        # relational check here guards '-' (and double-checks '+') using
+        # uppercase comparison with N treated as wildcard
+        def pam_ok(region_col, pam_col):
+            cond = F.lit(True)
+            # compare position by position, honoring N/n wildcards
+            for i in range(1, pam_length + 1):
+                rc_ = F.upper(F.substring(region_col, i, 1))
+                pc = F.upper(F.substring(pam_col, i, 1))
+                cond = cond & (
+                    (pc == F.lit("N")) | (rc_ == F.lit("N")) | (rc_ == pc)
+                )
+            return cond
+
+        m = m.where(
+            F.when(F.col("strand") == "+", pam_ok(fwd_region, F.col("_pam")))
+            .otherwise(pam_ok(rc_region, F.col("_pam_rc")))
+        ).drop("_pam", "_pam_rc")
+    if max_n_frac is not None:
+        n_count = F.length(F.col("match_region")) - F.length(
+            F.regexp_replace(F.upper(F.col("match_region")), "N", "")
+        )
+        m = m.where(
+            n_count
+            <= F.lit(max_n_frac) * F.greatest(F.length("match_region"), F.lit(1))
+        )
+    return m
+
+
 def write_matches_tsv(matches_df: DataFrame, path: str, sorted_output: bool = True):
     """The reference's TSV output contract as a sink (README.md:211-239,
     bin/grep.rs:710-738): tab-separated, headered, one row per match,

@@ -295,3 +295,70 @@ def test_write_matches_tsv_contract(spark, patterns, texts, tmp_path):
     data = [ln for ln in lines if not ln.startswith("pat_id\t")]
     assert len(data) == m.count()
     assert all(ln.split("\t")[6] == "needle" for ln in data)
+
+
+def test_crispr_search_pam_constraint(spark):
+    """CRISPR verb (reference bin/crispr.rs): guide includes an NGG PAM;
+    up to k edits allowed OUTSIDE the PAM, the PAM must match exactly
+    (IUPAC: N matches any base)."""
+    from sassy_spark.operators.search import crispr_search
+
+    guide = "ACGTACGTACGTACGTACGT" + "NGG"  # 20bp protospacer + PAM
+    guides = spark.createDataFrame([("g1", guide)], ["pat_id", "pattern"])
+    target_ok = "ACGTACGTACGTACGTACGT" + "TGG"  # N->T, PAM intact
+    target_edit = "ACGTACGAACGTACGTACGT" + "AGG"  # 1 edit outside PAM
+    target_badpam = "ACGTACGTACGTACGTACGT" + "TTT"  # PAM destroyed
+    texts = spark.createDataFrame(
+        [
+            ("ok", f"cccc{target_ok}cccc"),
+            ("edit", f"cccc{target_edit}cccc"),
+            ("badpam", f"cccc{target_badpam}cccc"),
+        ],
+        ["text_id", "text"],
+    )
+    m = crispr_search(guides, texts, k=1, rc=False)
+    got = {r.text_id for r in m.collect()}
+    assert "ok" in got and "edit" in got
+    assert "badpam" not in got
+    # allow_pam_edits admits the destroyed PAM within k... (k=1 edits on
+    # the PAM only: TTT vs NGG = 2 edits -> still out at k=1, in at k=2)
+    m2 = crispr_search(guides, texts, k=2, rc=False, allow_pam_edits=True)
+    assert "badpam" in {r.text_id for r in m2.collect()}
+
+
+def test_crispr_search_rc_strand_pam_at_start(spark):
+    """On the '-' strand the PAM complement sits at the match START in
+    text coordinates; the verify must check that end."""
+    from sassy_spark.functions.text import reverse_complement_str
+    from sassy_spark.operators.search import crispr_search
+
+    guide = "ACGTACGTACGTACGTACGT" + "TGG"
+    target = reverse_complement_str("ACGTACGTACGTACGTACGT" + "TGG")
+    bad = reverse_complement_str("ACGTACGTACGTACGTACGT" + "TTT")
+    guides = spark.createDataFrame([("g1", guide)], ["pat_id", "pattern"])
+    texts = spark.createDataFrame(
+        [("rc_ok", f"aaaa{target}aaaa"), ("rc_bad", f"aaaa{bad}aaaa")],
+        ["text_id", "text"],
+    )
+    m = crispr_search(guides, texts, k=0, rc=True)
+    rows = m.collect()
+    assert {r.text_id for r in rows} == {"rc_ok"}
+    assert all(r.strand == "-" for r in rows)
+
+
+def test_crispr_max_n_frac(spark):
+    from sassy_spark.operators.search import crispr_search
+
+    guide = "ACGTACGTACGTACGTACGT" + "NGG"
+    guides = spark.createDataFrame([("g1", guide)], ["pat_id", "pattern"])
+    noisy = "ACGNNNNNACGTACGTACGT" + "TGG"  # 5 Ns in target region
+    texts = spark.createDataFrame(
+        [("noisy", f"cc{noisy}cc")], ["text_id", "text"]
+    )
+    # N matches anything under IUPAC, so the hit exists at k=0...
+    assert crispr_search(guides, texts, k=0, rc=False).count() == 1
+    # ...but the N-fraction gate drops it (5/23 ≈ 0.22 > 0.1)
+    assert (
+        crispr_search(guides, texts, k=0, rc=False, max_n_frac=0.1).count()
+        == 0
+    )
