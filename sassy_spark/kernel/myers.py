@@ -422,6 +422,11 @@ def semiglobal_search(
     (B, text_len) score matrix is ever materialized.
     """
     bsz = len(patterns)
+    if alpha is not None and not (0.0 <= alpha <= 1.0):
+        # the pv-bit overhang encoding represents 0/1 per-row increments
+        # only — exactly the reference's supported range
+        # (src/search.rs:373-383 asserts 0 <= alpha <= 1)
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     if bsz == 0:
         return []
     k = int(k)
@@ -1118,38 +1123,58 @@ def all_optimal_tracebacks(
     m = match.shape[0]
     results: list[tuple[int, str]] = []
     ops: list[str] = []
-
-    def dfs(i: int, j: int) -> bool:
-        if len(results) >= max_paths:
-            return False
-        if i == 0 and (semiglobal or j == 0):
+    # explicit-stack DFS (recursion depth would be ~m+n per path, which
+    # overflows Python's frame limit for long patterns); each stack entry
+    # is (i, j, next_move_index); moves in greedy preference order so the
+    # first completed path equals traceback()'s answer
+    stack: list[list[int]] = [[m, n, 0]]
+    while stack and len(results) < max_paths:
+        i, j, step = stack[-1]
+        if step == 0 and i == 0 and (semiglobal or j == 0):
             results.append((lo + j, _rle(ops[::-1])))
-            return len(results) < max_paths
-        if i > 0 and j > 0 and match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1]:
-            ops.append("=")
-            go = dfs(i - 1, j - 1)
-            ops.pop()
-            if not go:
-                return False
-        if i > 0 and j > 0 and not match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1] + 1:
-            ops.append("X")
-            go = dfs(i - 1, j - 1)
-            ops.pop()
-            if not go:
-                return False
-        if j > 0 and d[i, j] == d[i, j - 1] + 1:
-            ops.append("D")
-            go = dfs(i, j - 1)
-            ops.pop()
-            if not go:
-                return False
-        if i > 0 and d[i, j] == d[i - 1, j] + 1:
-            ops.append("I")
-            go = dfs(i - 1, j)
-            ops.pop()
-            if not go:
-                return False
-        return True
-
-    dfs(m, n)
+            stack.pop()
+            if ops:
+                ops.pop()
+            continue
+        moved = False
+        while step < 4 and not moved:
+            if step == 0:
+                if i > 0 and j > 0 and match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1]:
+                    ops.append("=")
+                    stack[-1][2] = 1
+                    stack.append([i - 1, j - 1, 0])
+                    moved = True
+                else:
+                    step = 1
+            elif step == 1:
+                if (
+                    i > 0 and j > 0 and not match[i - 1, j - 1]
+                    and d[i, j] == d[i - 1, j - 1] + 1
+                ):
+                    ops.append("X")
+                    stack[-1][2] = 2
+                    stack.append([i - 1, j - 1, 0])
+                    moved = True
+                else:
+                    step = 2
+            elif step == 2:
+                if j > 0 and d[i, j] == d[i, j - 1] + 1:
+                    ops.append("D")
+                    stack[-1][2] = 3
+                    stack.append([i, j - 1, 0])
+                    moved = True
+                else:
+                    step = 3
+            else:
+                if i > 0 and d[i, j] == d[i - 1, j] + 1:
+                    ops.append("I")
+                    stack[-1][2] = 4
+                    stack.append([i - 1, j, 0])
+                    moved = True
+                else:
+                    step = 4
+        if not moved:
+            stack.pop()
+            if ops:
+                ops.pop()
     return results

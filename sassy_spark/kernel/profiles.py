@@ -83,6 +83,26 @@ def resolve_profile(profile) -> dict[int, int] | None:
     raise ValueError(f"unknown profile: {profile!r}")
 
 
+def chars_match(a: str, b: str, classes: dict[int, int]) -> bool:
+    """One-pair form of the profile rule: symbols in ``classes`` match iff
+    their masks intersect; symbols outside match only themselves; a
+    profiled symbol never matches an unprofiled one. THE single source of
+    truth for scalar profile matching (the kernel's compat_matrix is the
+    vectorized form of the same rule)."""
+    ma = classes.get(ord(a), -1)
+    mb = classes.get(ord(b), -1)
+    if ma >= 0 and mb >= 0:
+        return (ma & mb) > 0
+    return ma < 0 and mb < 0 and a == b
+
+
+def seqs_match(a: str, b: str, classes: dict[int, int]) -> bool:
+    """Equal-length sequences match iff every position matches."""
+    return len(a) == len(b) and all(
+        chars_match(x, y, classes) for x, y in zip(a, b)
+    )
+
+
 def compat_matrix(originals: np.ndarray, classes: dict[int, int]) -> np.ndarray:
     """(A, A) bool compatibility matrix over a compact alphabet.
 

@@ -291,11 +291,15 @@ def embedding_near_dup_pairs(
 
     ``candidates_out``: optional parquet path receiving the bucket-join
     candidate pairs BEFORE the cosine verify (external verify handoff)."""
+    from pyspark import StorageLevel
+
     from .similarity import cosine_expr, hyperplane_bucket
 
+    # persisted: the bucket table feeds both self-join sides AND the
+    # vector join-back — unpersisted, the bucketing scan would run 3x
     bkt = hyperplane_bucket(emb, vec_col, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bkt.alias("a"), bkt.alias("b")
     cand = (
         a.join(b, "bucket")

@@ -457,12 +457,15 @@ def _stage(
 
     raw = fs_read_text(spark, meta_p)
     if raw is not None:
-        meta = json.loads(raw)
-        if meta.get("fingerprint") == fingerprint:
-            back = spark.read.parquet(data_p)
-            rows, ghash, _ = _state(back)
-            if rows == meta["rows"] and ghash == meta.get("global_hash"):
-                return back
+        try:
+            meta = json.loads(raw)
+            if meta.get("fingerprint") == fingerprint:
+                back = spark.read.parquet(data_p)
+                rows, ghash, _ = _state(back)
+                if rows == meta["rows"] and ghash == meta.get("global_hash"):
+                    return back
+        except Exception:  # noqa: BLE001 — torn checkpoint (meta without
+            pass  # readable data, corrupt parquet): fall through to rebuild
         # stale (other inputs/params) or damaged -> rebuild below
 
     df.write.mode("overwrite").parquet(data_p)
@@ -506,9 +509,19 @@ def link(
 ) -> DataFrame:
     """End-to-end: pages -> scored candidate pairs (matches + non-matches;
     filter on is_match for the edge list feeding connected components)."""
+    # content-level input fingerprint: the plan hash alone would accept a
+    # REWRITTEN parquet at the same path as "same input" — one scan of
+    # (url, text) hashes the actual data (CC checkpoints do the same for
+    # edges); cost is a single extra input pass per checkpointed run
+    row = pages.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr(f"bit_xor(xxhash64(url, {text_col}))"), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
     fingerprint = {
-        # semantic plan hash of the input + full parameter set: a resume
-        # against other inputs or settings rebuilds instead of reusing
+        "input_rows": int(row["n"]),
+        "input_hash": int(row["h"]),
         "input_plan": int(pages.semanticHash()),
         "params": {
             "k": k,

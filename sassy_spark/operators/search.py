@@ -128,17 +128,25 @@ def search(
         end_filter=end_filter,
         profile=profile,
         text_id=text_id,
-        text=text,
+        text=text if case_sensitive else "_search_text",
+        orig_text=None if case_sensitive else text,
     )
 
     from .linkage import _fan_out_small_input
 
-    text_expr = (
-        F.col(text) if case_sensitive else F.lower(F.col(text)).alias(text)
-    )
-    src = _fan_out_small_input(
-        texts_df.select(F.col(text_id), text_expr), text_id
-    )
+    if case_sensitive:
+        src = texts_df.select(F.col(text_id), F.col(text))
+    else:
+        # search the JVM-lowered column, but keep the original alongside:
+        # match_region / end_filter prefixes report the document's actual
+        # bytes (the reference's Ascii<false> matches case-insensitively
+        # but outputs the original text)
+        src = texts_df.select(
+            F.col(text_id),
+            F.col(text),
+            F.lower(F.col(text)).alias("_search_text"),
+        )
+    src = _fan_out_small_input(src, text_id)
     return src.mapInPandas(run, schema=MATCH_SCHEMA)
 
 
@@ -153,9 +161,14 @@ def _make_runner(
     text_id: str,
     text: str,
     profile: str | dict | None = "ascii",
+    orig_text: str | None = None,
 ):
     """Build the Arrow-batch runner for :func:`search` (module-level so
-    tests can drive the per-batch logic in-process)."""
+    tests can drive the per-batch logic in-process). ``text`` is the
+    column the kernel scans; ``orig_text`` (case-insensitive mode) is the
+    column regions and end_filter prefixes are sliced from — falling back
+    to the searched column for the rare rows where Unicode case folding
+    changes the string length."""
     from ..kernel.profiles import resolve_profile
 
     classes = resolve_profile(profile)
@@ -181,12 +194,24 @@ def _make_runner(
             pdf = pdf.iloc[order]
             tids = pdf[text_id].astype(str).to_numpy()
             txts = pdf[text].to_numpy()
+            if orig_text is not None:
+                origs_all = pdf[orig_text].to_numpy()
+                # offsets are computed on the searched text; keep the
+                # original only where folding preserved length
+                origs_all = np.where(
+                    [len(o) == len(t) for o, t in zip(origs_all, txts)],
+                    origs_all,
+                    txts,
+                )
+            else:
+                origs_all = txts
             rows = []
             # pattern-major lanes over bounded text chunks: worker memory
             # is O(max_lanes x band words), independent of corpus shape
             texts_per_chunk = max(1, max_lanes // n_p)
             for lo in range(0, len(txts), texts_per_chunk):
                 chunk = txts[lo : lo + texts_per_chunk]
+                chunk_orig = origs_all[lo : lo + texts_per_chunk]
                 n_t = len(chunk)
                 rep_p = [p for p in pat_strs for _ in range(n_t)]
                 rep_t = list(chunk) * n_p
@@ -203,7 +228,8 @@ def _make_runner(
                     if len(ends) == 0:
                         continue
                     pi, ti = divmod(lane, n_t)
-                    orig_t = chunk[ti]
+                    search_t = chunk[ti]
+                    orig_t = chunk_orig[ti]
                     tid = tids[lo + ti]
                     for e, c in zip(ends.tolist(), costs.tolist()):
                         e = int(e)
@@ -214,7 +240,7 @@ def _make_runner(
                             continue
                         if mode == "all_alignments":
                             for start, cigar in myers.all_optimal_tracebacks(
-                                pat_strs[pi], orig_t, e, c, classes=classes
+                                pat_strs[pi], search_t, e, c, classes=classes
                             ):
                                 rows.append(
                                     (
@@ -231,7 +257,7 @@ def _make_runner(
                             continue
                         if with_trace:
                             start, cigar = myers.traceback(
-                                pat_strs[pi], orig_t, e, c, classes=classes
+                                pat_strs[pi], search_t, e, c, classes=classes
                             )
                             region = orig_t[start:e]
                         else:
@@ -321,20 +347,7 @@ def crispr_search(
     traced match region (on '-' strand the PAM complement sits at the
     match START in text coordinates).
     """
-    from ..kernel.profiles import IUPAC_CLASSES
-
-    def _iupac_eq(a: str, b: str) -> bool:
-        if len(a) != len(b):
-            return False
-        for x, y in zip(a, b):
-            mx = IUPAC_CLASSES.get(ord(x), -1)
-            my = IUPAC_CLASSES.get(ord(y), -1)
-            if mx >= 0 and my >= 0:
-                if not (mx & my):
-                    return False
-            elif x != y:
-                return False
-        return True
+    from ..kernel.profiles import IUPAC_CLASSES, seqs_match
 
     end_filter = None
     if not allow_pam_edits:
@@ -343,8 +356,8 @@ def crispr_search(
         def end_filter(pat: str, prefix: str, strand: str) -> bool:
             if strand != "+":
                 return True  # '-' strand verified post-trace (PAM at start)
-            return len(prefix) >= pam_length and _iupac_eq(
-                prefix[-pam_length:], pat[-pam_length:]
+            return len(prefix) >= pam_length and seqs_match(
+                prefix[-pam_length:], pat[-pam_length:], IUPAC_CLASSES
             )
 
     m = search(
@@ -362,44 +375,40 @@ def crispr_search(
         text=text,
     )
     if not allow_pam_edits:
-        # strand-aware exact-PAM verify on the traced region, via a joined
-        # PAM column (IUPAC classes honored through rlike-free comparison
-        # in a small pandas-safe expression: regenerate the per-guide PAM
-        # and compare against region slices with a broadcast map)
+        # strand-aware exact-PAM verify on the traced region using the
+        # SAME profile rule as the kernel (profiles.seqs_match — full
+        # IUPAC ambiguity, not just an N wildcard, so Cas12a-style TTTV
+        # PAMs work). Matches are few post-search, so an Arrow-batched
+        # boolean UDF over (pat_id, strand, match_region) is the simple
+        # exact implementation; the broadcast PAM map rides in the
+        # closure.
+        from ..functions.text import reverse_complement_str
+
         pams = {
             str(r[0]): str(r[1])[-pam_length:]
             for r in guides_df.select(pat_id, pattern).collect()
         }
-        from ..functions.text import reverse_complement_str
+        pams_rc = {pid: reverse_complement_str(p) for pid, p in pams.items()}
 
-        spark = texts_df.sparkSession
-        pam_rows = [(pid, p, reverse_complement_str(p)) for pid, p in pams.items()]
-        pam_df = F.broadcast(
-            spark.createDataFrame(pam_rows, ["pat_id", "_pam", "_pam_rc"])
-        )
-        m = m.join(pam_df, "pat_id")
-        fwd_region = F.substring(
-            F.col("match_region"), -pam_length, pam_length
-        )
-        rc_region = F.substring(F.col("match_region"), 1, pam_length)
-        # IUPAC-exactness was already enforced pre-traceback for '+'; the
-        # relational check here guards '-' (and double-checks '+') using
-        # uppercase comparison with N treated as wildcard
-        def pam_ok(region_col, pam_col):
-            cond = F.lit(True)
-            # compare position by position, honoring N/n wildcards
-            for i in range(1, pam_length + 1):
-                rc_ = F.upper(F.substring(region_col, i, 1))
-                pc = F.upper(F.substring(pam_col, i, 1))
-                cond = cond & (
-                    (pc == F.lit("N")) | (rc_ == F.lit("N")) | (rc_ == pc)
-                )
-            return cond
+        @F.pandas_udf("boolean")
+        def pam_ok(
+            pids: pd.Series, strands: pd.Series, regions: pd.Series
+        ) -> pd.Series:
+            out = []
+            for pid, strand, region in zip(pids, strands, regions):
+                region = region or ""
+                if strand == "+":
+                    ok = len(region) >= pam_length and seqs_match(
+                        region[-pam_length:], pams[pid], IUPAC_CLASSES
+                    )
+                else:
+                    ok = len(region) >= pam_length and seqs_match(
+                        region[:pam_length], pams_rc[pid], IUPAC_CLASSES
+                    )
+                out.append(ok)
+            return pd.Series(out)
 
-        m = m.where(
-            F.when(F.col("strand") == "+", pam_ok(fwd_region, F.col("_pam")))
-            .otherwise(pam_ok(rc_region, F.col("_pam_rc")))
-        ).drop("_pam", "_pam_rc")
+        m = m.where(pam_ok(F.col("pat_id"), F.col("strand"), F.col("match_region")))
     if max_n_frac is not None:
         n_count = F.length(F.col("match_region")) - F.length(
             F.regexp_replace(F.upper(F.col("match_region")), "N", "")

@@ -105,17 +105,17 @@ def hyperplane_bucket(
         return df.withColumn("bucket", bucket)
 
     pt = planes.T.astype(np.float64)  # (dim, n_planes)
-    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(
-        np.float64
-    )
+    # integer bit packing: a float dot product with 2^i weights loses
+    # low-order bits past 53 planes (float64 mantissa)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
 
     @F.pandas_udf(T.LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series(np.zeros(0, dtype=np.int64))
         mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
-        signs = mat @ pt > 0  # (B, n_planes)
-        return pd.Series((signs @ weights).astype(np.int64))
+        signs = (mat @ pt > 0).astype(np.uint64)  # (B, n_planes)
+        return pd.Series((signs * weights[None, :]).sum(axis=1).astype(np.int64))
 
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 

@@ -116,17 +116,21 @@ def streaming_candidate_pairs(
 
     def emit(key, pdfs, state: GroupState):
         seen = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         new: list[str] = []
         for pdf in pdfs:
             new.extend(pdf["url"].tolist())
         rows = []
         for u in new:
+            if u in seen_set:
+                continue  # re-crawled page: already paired, keep state flat
             if len(seen) >= max_block_size:
                 break
             for v in seen:
                 a, b = (u, v) if u < v else (v, u)
                 rows.append((a, b, key[0]))
             seen.append(u)
+            seen_set.add(u)
         state.update((seen[:max_block_size],))
         yield pd.DataFrame(rows, columns=["url_a", "url_b", "block_key"])
 

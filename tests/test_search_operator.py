@@ -362,3 +362,45 @@ def test_crispr_max_n_frac(spark):
         crispr_search(guides, texts, k=0, rc=False, max_n_frac=0.1).count()
         == 0
     )
+
+
+def test_case_insensitive_reports_original_region(spark):
+    """Case-insensitive search matches on folded text but reports the
+    document's ACTUAL bytes (reference Ascii<false> semantics)."""
+    pats = spark.createDataFrame([("p", "needle")], ["pat_id", "pattern"])
+    txts = spark.createDataFrame(
+        [("t", "The NeEdLe here")], ["text_id", "text"]
+    )
+    rows = search(pats, txts, k=0, case_sensitive=False).collect()
+    assert len(rows) == 1
+    assert rows[0].match_region == "NeEdLe"
+    assert (rows[0].start, rows[0].end) == (4, 10)
+
+
+def test_crispr_nonN_iupac_pam(spark):
+    """Cas12a-style TTTV PAM (V = A/C/G): ambiguity codes other than N
+    must be honored by the PAM verify on BOTH strands (round-2 review
+    bug: the relational check treated only N as a wildcard)."""
+    from sassy_spark.functions.text import reverse_complement_str
+    from sassy_spark.operators.search import crispr_search
+
+    guide = "ACGTACGTACGTACGTACGT" + "TTTV"
+    guides = spark.createDataFrame([("g1", guide)], ["pat_id", "pattern"])
+    ok_fwd = "ACGTACGTACGTACGTACGT" + "TTTA"  # V ~ A
+    bad_fwd = "ACGTACGTACGTACGTACGT" + "TTTT"  # V !~ T
+    ok_rc = reverse_complement_str("ACGTACGTACGTACGTACGT" + "TTTC")  # V ~ C
+    texts = spark.createDataFrame(
+        [
+            ("okf", f"cc{ok_fwd}cc"),
+            ("badf", f"cc{bad_fwd}cc"),
+            ("okr", f"cc{ok_rc}cc"),
+        ],
+        ["text_id", "text"],
+    )
+    got = {
+        (r.text_id, r.strand)
+        for r in crispr_search(guides, texts, k=0, rc=True).collect()
+    }
+    assert ("okf", "+") in got
+    assert ("okr", "-") in got
+    assert all(t != "badf" for t, _ in got)
