@@ -335,8 +335,9 @@ def main():
         f.write(
             f"\nCalibration: pure-arithmetic (no gathers/allocation) raw "
             f"idle-box efficiency 8 -> 32 = "
-            f"**{cal['arith_efficiency_lo_to_hi']:.3f}** — the machine-"
-            f"dilation floor that bounds any raw-mode number.\n"
+            f"**{cal['arith_efficiency_lo_to_hi']:.3f}** in this window — "
+            f"the machine-dilation reference point (it moves with host "
+            f"co-tenancy, so compare only within a run).\n"
         )
 
 
