@@ -664,6 +664,190 @@ def _q33_embedding_near_dup(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _q34_search_local_minima(spark, sf):
+    """K5 — the reference's DEFAULT search semantics (rightmost local
+    minima of the end-position cost curve, one match per equal-cost
+    plateau; src/search.rs:1286-1369, doc src/lib.rs:17-26) as a driver
+    query: 'able' at k=1. The oracle enumerates the full restricted cost
+    curve per end position, segments it into equal-cost runs, and keeps
+    run ends that are strictly below both neighboring runs (array edges
+    count as +inf) — exactly the kernel's plateau rule."""
+    from sassy_spark.operators.search import search
+
+    d = _load(spark, sf, "documents")
+    pats = spark.createDataFrame([("p1", "able")], ["pat_id", "pattern"])
+    m = search(
+        pats,
+        d.select(F.col("doc_id").cast("string").alias("text_id"), "text"),
+        k=1,
+        mode="local_minima",
+        with_trace=False,
+    )
+    return m.select(
+        F.col("text_id").cast("long").alias("doc_id"),
+        F.col("end"),
+        F.col("cost"),
+    )
+
+
+def _q35_lsh_gate_recall(spark, sf):
+    """Recall pin on the MinHash-LSH GATE (round-2 VERDICT missing #3):
+    plant deterministic near-duplicates (every 5th document truncated to
+    its first 90% of characters), run the PRODUCTION gate
+    (minhash_lsh_candidates, q20 parameters incl. the signature-estimate
+    pre-filter), and return the planted pairs with exact normalized
+    5-gram Jaccard >= 0.8 that the gate found. The oracle returns ALL
+    planted pairs with exact Jaccard >= 0.8 — so a single gate miss
+    breaks the row-count match. Pairs in (0.4, 0.8) are the tolerated
+    S-curve tail (stated margin; gate bands target the q20 verify
+    threshold 0.4, certainty only well above it)."""
+    import sassy_spark.functions.text as X
+    from sassy_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _load(spark, sf, "documents")
+    planted = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.ceil(F.length("text") * 0.9).cast("int")
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    cand = minhash_lsh_candidates(
+        corpus,
+        jaccard_threshold=0.4,
+        candidates_out=f"{HANDOFF_DIR}/q35_candidates",
+    )
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            X.char_ngrams(X.normalize(F.col("text")), 5)
+        ).alias("grams"),
+    )
+    truth = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter")
+                / F.greatest(
+                    F.size("ga") + F.size("gb") - F.col("inter"), F.lit(1)
+                )
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    # inner join against the gate's candidates: a gate miss drops a row
+    return truth.join(cand, ["id_a", "id_b"])
+
+
+def _streaming_pages(spark, sf, with_dups: bool):
+    """documents -> the pipeline's page-stream shape, split into 4
+    snapshot directories (the sandbox stand-in for incremental crawl
+    batches). Returns (src_dir, pages_df)."""
+    import tempfile
+
+    d = _load(spark, sf, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    if with_dups:
+        # re-crawled copies of every 5th page under a different url —
+        # exact-duplicate content the streaming dedup must drop
+        dups = pages.where(F.col("url").cast("long") % 5 == 0).withColumn(
+            "url",
+            F.lpad((F.col("url").cast("long") + 1000000).cast("string"), 8, "0"),
+        )
+        pages = pages.unionByName(dups)
+    src_dir = tempfile.mkdtemp(prefix="sassy_stream_src_")
+    for part in range(4):
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(4)) == part).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/snap{part:02d}")
+    return src_dir, pages
+
+
+def _q36_streaming_candidate_pairs(spark, sf):
+    """Streaming stateful incremental LSH blocking (round-2 VERDICT
+    missing #1) — batch-equivalence oracle: stream the corpus as 4
+    snapshot directories through the applyInPandasWithState operator
+    (availableNow trigger), then return the distinct emitted candidate
+    pairs. The same deterministic band-key function writes its (url,
+    block_key) table to a parquet handoff; the oracle recomputes the full
+    pair set as a SQL self-join on block_key — incremental emission
+    across snapshots must reproduce the batch answer exactly (the state
+    cap is set above every block size so the documented cap semantics
+    don't bite at test scale)."""
+    import tempfile
+
+    from sassy_spark.operators.linkage import minhash_band_keys
+    from sassy_spark.streaming.ingest import streaming_candidate_pairs
+
+    src_dir, pages = _streaming_pages(spark, sf, with_dups=False)
+    minhash_band_keys(
+        pages, text_col="text", n_hashes=64, bands=8, ngram=5, seed=42
+    ).write.mode("overwrite").parquet(f"{HANDOFF_DIR}/q36_bandkeys")
+    out_dir = tempfile.mkdtemp(prefix="sassy_stream_out_")
+    ck_dir = tempfile.mkdtemp(prefix="sassy_stream_ck_")
+    q = streaming_candidate_pairs(
+        spark,
+        src_dir,
+        f"{out_dir}/pairs",
+        ck_dir,
+        bands=8,
+        n_hashes=64,
+        ngram=5,
+        seed=42,
+        max_block_size=1_000_000,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{out_dir}/pairs")
+    return (
+        got.select("url_a", "url_b")
+        .dropDuplicates(["url_a", "url_b"])
+        .select(
+            F.col("url_a").cast("long").alias("id_a"),
+            F.col("url_b").cast("long").alias("id_b"),
+        )
+    )
+
+
+def _q37_streaming_exact_dedup(spark, sf):
+    """Streaming exact dedup (state in dropDuplicates within watermark):
+    stream 4 snapshots with planted re-crawls (every 5th page duplicated
+    under a new url); exactly one survivor per distinct text must be
+    emitted regardless of arrival interleaving. Output (text, n_emitted);
+    the oracle is simply the distinct texts of the corpus with n=1."""
+    import tempfile
+
+    from sassy_spark.streaming.ingest import streaming_exact_dedup
+
+    src_dir, _ = _streaming_pages(spark, sf, with_dups=True)
+    out_dir = tempfile.mkdtemp(prefix="sassy_dedup_out_")
+    ck_dir = tempfile.mkdtemp(prefix="sassy_dedup_ck_")
+    q = streaming_exact_dedup(spark, src_dir, f"{out_dir}/pages", ck_dir)
+    q.awaitTermination()
+    got = spark.read.parquet(f"{out_dir}/pages")
+    return got.groupBy("text").agg(F.count("*").alias("n_emitted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -699,6 +883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_search_end_filter": _q31_search_end_filter,
         "q32_fingerprint_overlap": _q32_fingerprint_overlap,
         "q33_embedding_near_dup": _q33_embedding_near_dup,
+        "q34_search_local_minima": _q34_search_local_minima,
+        "q35_lsh_gate_recall": _q35_lsh_gate_recall,
+        "q36_streaming_candidate_pairs": _q36_streaming_candidate_pairs,
+        "q37_streaming_exact_dedup": _q37_streaming_exact_dedup,
     }
 
 
@@ -796,10 +984,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
         """,
         "q14_search_occurrences": """
+            -- per-row unnest(generate_series(...)) derives the position
+            -- range from each document's actual length (no fixed cap that
+            -- could silently truncate a larger future fixture)
             SELECT d.doc_id, count(*) AS n_occurrences
-            FROM documents d
-            JOIN generate_series(1, 100000) AS g(i)
-              ON g.i <= length(d.text) - 4
+            FROM documents d,
+                 unnest(generate_series(1, greatest(length(d.text) - 4, 0)))
+                     AS g(i)
             WHERE substr(d.text, CAST(g.i AS INT), 5) = 'table'
             GROUP BY d.doc_id
         """,
@@ -807,9 +998,9 @@ def oracle_sql() -> dict[str, str]:
             WITH grams AS (
               SELECT DISTINCT d.doc_id,
                      substr(d.text, CAST(g.i AS INT), 5) AS gram
-              FROM documents d
-              JOIN generate_series(1, 100000) AS g(i)
-                ON g.i <= length(d.text) - 4),
+              FROM documents d,
+                   unnest(generate_series(1, greatest(length(d.text) - 4, 0)))
+                       AS g(i)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -881,9 +1072,9 @@ def oracle_sql() -> dict[str, str]:
             grams AS (
               SELECT DISTINCT n.doc_id,
                      substr(n.t, CAST(g.i AS INT), 5) AS gram
-              FROM norm n
-              JOIN generate_series(1, 100000) AS g(i)
-                ON g.i <= length(n.t) - 4),
+              FROM norm n,
+                   unnest(generate_series(1, greatest(length(n.t) - 4, 0)))
+                       AS g(i)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
             inter AS (
               SELECT c.id_a, c.id_b, count(*) AS i
@@ -990,9 +1181,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g.i - 1 AS BIGINT) AS start,
                    CAST(g.i + 4 AS BIGINT) AS "end",
                    'táblé' AS match_region
-            FROM t
-            JOIN generate_series(1, 100000) AS g(i)
-              ON g.i <= length(t.tt) - 4
+            FROM t,
+                 unnest(generate_series(1, greatest(length(t.tt) - 4, 0)))
+                     AS g(i)
             WHERE substr(t.tt, CAST(g.i AS INT), 5) = 'táblé'
         """,
         "q30_nonascii_edit_distance": """
@@ -1022,8 +1213,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN g.i >= 5 THEN levenshtein(
                           substr(d.text, CAST(g.i - 4 AS INT), 5), 'able')
                           ELSE 99 END) AS INT) AS cost
-            FROM documents d
-            JOIN generate_series(2, 100000) AS g(i) ON g.i <= length(d.text)
+            FROM documents d,
+                 unnest(generate_series(2, length(d.text))) AS g(i)
             WHERE substr(d.text, CAST(g.i - 1 AS INT), 2) = 'le'
               AND least(
                     CASE WHEN g.i >= 3 THEN levenshtein(
@@ -1058,5 +1249,117 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN e ea ON ea.vec_id = c.id_a
             JOIN e eb ON eb.vec_id = c.id_b
+        """,
+        "q34_search_local_minima": """
+            -- rightmost-local-minima selection over the per-end cost
+            -- curve (the reference's default `sassy search` output rule):
+            -- segment the curve into equal-cost runs; report the run END
+            -- where the run's cost <= k and strictly below BOTH
+            -- neighboring runs (array edges count as +inf). Costs above k
+            -- may differ from the kernel's banded values, but every
+            -- comparison against a reported (<= k) run is exact.
+            WITH curve AS (
+              SELECT d.doc_id, g.i AS e,
+                     least(
+                       CASE WHEN g.i >= 3 THEN levenshtein(
+                            substr(d.text, CAST(g.i - 2 AS INT), 3), 'able')
+                            ELSE 99 END,
+                       CASE WHEN g.i >= 4 THEN levenshtein(
+                            substr(d.text, CAST(g.i - 3 AS INT), 4), 'able')
+                            ELSE 99 END,
+                       CASE WHEN g.i >= 5 THEN levenshtein(
+                            substr(d.text, CAST(g.i - 4 AS INT), 5), 'able')
+                            ELSE 99 END) AS cost
+              FROM documents d,
+                   unnest(generate_series(1, length(d.text))) AS g(i)),
+            runs AS (
+              SELECT doc_id, e, cost,
+                     CASE WHEN lag(cost) OVER (
+                              PARTITION BY doc_id ORDER BY e) IS DISTINCT
+                              FROM cost THEN 1 ELSE 0 END AS new_run
+              FROM curve),
+            rid AS (
+              SELECT doc_id, e, cost,
+                     sum(new_run) OVER (PARTITION BY doc_id ORDER BY e
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM runs),
+            per_run AS (
+              SELECT doc_id, run_id, max(e) AS run_end,
+                     min(cost) AS run_cost
+              FROM rid GROUP BY doc_id, run_id),
+            nbr AS (
+              SELECT doc_id, run_end, run_cost,
+                     lag(run_cost) OVER (
+                        PARTITION BY doc_id ORDER BY run_id) AS prev_cost,
+                     lead(run_cost) OVER (
+                        PARTITION BY doc_id ORDER BY run_id) AS next_cost
+              FROM per_run)
+            SELECT doc_id, CAST(run_end AS BIGINT) AS "end",
+                   CAST(run_cost AS INT) AS cost
+            FROM nbr
+            WHERE run_cost <= 1
+              AND run_cost < coalesce(next_cost, run_cost + 1)
+              AND run_cost < coalesce(prev_cost, run_cost + 1)
+        """,
+        "q35_lsh_gate_recall": """
+            -- ALL planted near-dup pairs with exact normalized 5-gram
+            -- Jaccard >= 0.8. The Spark side returns the same set
+            -- INTERSECTED with the LSH gate's candidate handoff — equality
+            -- here IS the gate-recall containment assertion.
+            WITH planted AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     substr(text, 1,
+                            CAST(ceil(0.9 * length(text)) AS INT)) AS text
+              FROM documents WHERE doc_id % 5 = 0),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM planted),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM corpus),
+            grams AS (
+              SELECT DISTINCT n.doc_id,
+                     substr(n.t, CAST(g.i AS INT), 5) AS gram
+              FROM norm n,
+                   unnest(generate_series(1, greatest(length(n.t) - 4, 0)))
+                       AS g(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+              FROM documents WHERE doc_id % 5 = 0),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1), 4)
+                       AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1) >= 0.8
+        """,
+        "q36_streaming_candidate_pairs": f"""
+            -- batch equivalence: the streaming stateful blocking operator
+            -- must emit exactly the pairs implied by the deterministic
+            -- band-key table (written to the handoff by the SAME batch
+            -- band-key function the streaming path uses)
+            WITH h AS (
+              SELECT url, block_key
+              FROM read_parquet('{HANDOFF_DIR}/q36_bandkeys/*.parquet'))
+            SELECT DISTINCT CAST(a.url AS BIGINT) AS id_a,
+                            CAST(b.url AS BIGINT) AS id_b
+            FROM h a JOIN h b
+              ON a.block_key = b.block_key AND a.url < b.url
+        """,
+        "q37_streaming_exact_dedup": """
+            SELECT text, CAST(1 AS BIGINT) AS n_emitted
+            FROM (SELECT DISTINCT text FROM documents)
         """,
     }

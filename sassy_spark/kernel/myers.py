@@ -1005,6 +1005,51 @@ def _window_column_min(
 # ---------------------------------------------------------------- traceback
 
 
+def _class_match(pa: np.ndarray, ta: np.ndarray, classes: dict) -> np.ndarray:
+    """(len(pa), len(ta)) bool profile-match matrix: chars match iff their
+    class masks intersect; chars outside the profile match by equality."""
+    pm = np.array([classes.get(int(c), -1) for c in pa], dtype=np.int64)
+    tm = np.array([classes.get(int(c), -1) for c in ta], dtype=np.int64)
+    both = (pm[:, None] >= 0) & (tm[None, :] >= 0)
+    neither = (pm[:, None] < 0) & (tm[None, :] < 0)
+    return np.where(
+        both,
+        (pm[:, None] & np.maximum(tm[None, :], 0)) > 0,
+        neither & (pa[:, None] == ta[None, :]),
+    )
+
+
+def _fill_dp_batch(
+    match: np.ndarray, semiglobal: bool
+) -> np.ndarray:
+    """Batched DP fill — the engine analog of the reference's SIMD batch
+    refill (simd_fill, reference src/trace.rs:107-252; MatchBatch::process
+    src/search.rs:1613-1689): all matrices of a batch advance one pattern
+    row per numpy pass. ``match`` is (B, m_max, n_max) bool; returns
+    (B, m_max+1, n_max+1) int32 cost tensors.
+
+    The row recurrence's left-to-right dependency (run = min(cand, run+1))
+    is the classic "clamped running min": D[i][j] = min_{j' <= j}
+    (cand[j'] + (j - j')), vectorized as minimum.accumulate over
+    (cand[j] - j) plus j — no per-column Python loop."""
+    bsz, m_max, n_max = match.shape
+    d = np.empty((bsz, m_max + 1, n_max + 1), dtype=np.int32)
+    d[:, 0, :] = 0 if semiglobal else np.arange(n_max + 1, dtype=np.int32)
+    d[:, :, 0] = np.arange(m_max + 1, dtype=np.int32)
+    jj = np.arange(n_max + 1, dtype=np.int32)
+    t = np.empty((bsz, n_max + 1), dtype=np.int32)
+    for i in range(1, m_max + 1):
+        prev = d[:, i - 1, :]
+        cand = np.minimum(
+            prev[:, 1:] + 1, prev[:, :-1] + (~match[:, i - 1, :])
+        )
+        t[:, 0] = i  # D[i][0] - 0
+        np.subtract(cand, jj[None, 1:], out=t[:, 1:])
+        np.minimum.accumulate(t, axis=1, out=t)
+        d[:, i, :] = t + jj[None, :]
+    return d
+
+
 def _traceback_dp(
     pattern, text, end: int, cost: int, semiglobal: bool,
     classes: dict | None = None,
@@ -1023,28 +1068,8 @@ def _traceback_dp(
     if classes is None:
         match = pa[:, None] == ta[None, :]
     else:
-        pm = np.array([classes.get(int(c), -1) for c in pa], dtype=np.int64)
-        tm = np.array([classes.get(int(c), -1) for c in ta], dtype=np.int64)
-        both = (pm[:, None] >= 0) & (tm[None, :] >= 0)
-        neither = (pm[:, None] < 0) & (tm[None, :] < 0)
-        match = np.where(
-            both,
-            (pm[:, None] & np.maximum(tm[None, :], 0)) > 0,
-            neither & (pa[:, None] == ta[None, :]),
-        )
-    d = np.empty((m + 1, n + 1), dtype=np.int32)
-    d[0, :] = 0 if semiglobal else np.arange(n + 1)
-    d[:, 0] = np.arange(m + 1)
-    for i in range(1, m + 1):
-        sub = d[i - 1, :-1] + (~match[i - 1])
-        row = np.minimum(d[i - 1, 1:] + 1, sub)
-        # left-to-right dependency (deletion from text / gap): cumulative
-        run = d[i, 0]
-        out_row = np.empty(n, dtype=np.int32)
-        for j in range(n):
-            run = min(row[j], run + 1)
-            out_row[j] = run
-        d[i, 1:] = out_row
+        match = _class_match(pa, ta, classes)
+    d = _fill_dp_batch(match[None, :, :], semiglobal)[0]
     return d, match, n, lo
 
 
@@ -1094,6 +1119,117 @@ def traceback(
             raise AssertionError("traceback stuck")
     ops.reverse()
     return lo + j, _rle(ops)
+
+
+def _walk_greedy(d: np.ndarray, match: np.ndarray, m: int, n: int,
+                 semiglobal: bool) -> tuple[int, str]:
+    """Greedy backtrace over one filled DP window (preference order
+    match > sub > del > ins, reference src/lib.rs:42-50). O(m + n)."""
+    i, j = m, n
+    ops: list[str] = []
+    while i > 0 or (not semiglobal and j > 0):
+        if i > 0 and j > 0 and match[i - 1, j - 1] and d[i, j] == d[i - 1, j - 1]:
+            ops.append("=")
+            i -= 1
+            j -= 1
+        elif i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + 1:
+            ops.append("X")
+            i -= 1
+            j -= 1
+        elif j > 0 and d[i, j] == d[i, j - 1] + 1:
+            ops.append("D")
+            j -= 1
+        elif i > 0 and d[i, j] == d[i - 1, j] + 1:
+            ops.append("I")
+            i -= 1
+        else:  # pragma: no cover - DP invariant
+            raise AssertionError("traceback stuck")
+    ops.reverse()
+    return j, _rle(ops)
+
+
+def traceback_batch(
+    patterns: list,
+    texts: list,
+    ends: list,
+    costs: list,
+    semiglobal: bool = True,
+    classes: dict | None = None,
+    max_cells: int = 1 << 25,
+) -> list[tuple[int, str]]:
+    """(start, cigar) for a BATCH of accepted matches — the engine analog
+    of the reference's batched trace refill (K11/B7: ``simd_fill``
+    reference src/trace.rs:107-252, driven per accepted-match batch by
+    ``MatchBatch::process`` src/search.rs:1613-1689): every DP window of
+    the batch is filled by the shared vectorized row recurrence
+    (:func:`_fill_dp_batch`), one numpy pass per pattern row instead of a
+    per-match per-cell Python loop; only the O(m+n) backtrace walk stays
+    per-match. Windows are padded to the batch max (m_max, n_max) —
+    ``max_cells`` bounds the padded tensor, chunking oversized batches.
+    """
+    bsz = len(patterns)
+    if bsz == 0:
+        return []
+    pas = [_as_symbols(p) for p in patterns]
+    # dense-match batches trace the SAME text at many end positions —
+    # convert each distinct string once, slice windows from the cache
+    sym_cache: dict[int, np.ndarray] = {}
+    los: list[int] = []
+    tas: list[np.ndarray] = []
+    for pa, t, e, c in zip(pas, texts, ends, costs):
+        full = sym_cache.get(id(t))
+        if full is None:
+            full = _as_symbols(t)
+            sym_cache[id(t)] = full
+        e = int(e)
+        lo = max(0, e - len(pa) - int(c)) if semiglobal else 0
+        los.append(lo)
+        tas.append(full[lo:e])
+    m_arr = np.array([len(p) for p in pas], dtype=np.int64)
+    n_arr = np.array([len(t) for t in tas], dtype=np.int64)
+    m_max = int(m_arr.max()) if bsz else 0
+    n_max = int(n_arr.max()) if bsz else 0
+    cells = bsz * max(m_max, 1) * max(n_max, 1)
+    if cells > max_cells and bsz > 1:
+        half = bsz // 2
+        return traceback_batch(
+            patterns[:half], texts[:half], ends[:half], costs[:half],
+            semiglobal, classes, max_cells,
+        ) + traceback_batch(
+            patterns[half:], texts[half:], ends[half:], costs[half:],
+            semiglobal, classes, max_cells,
+        )
+    pmat = np.zeros((bsz, m_max), dtype=np.uint32)
+    tmat = np.zeros((bsz, n_max), dtype=np.uint32)
+    for i, (pa, ta) in enumerate(zip(pas, tas)):
+        pmat[i, : len(pa)] = pa
+        tmat[i, : len(ta)] = ta
+    if classes is None:
+        match = pmat[:, :, None] == tmat[:, None, :]
+    else:
+        # class masks via one dict pass over the distinct symbols of the
+        # batch, then a vectorized table lookup
+        uniq, inv = np.unique(np.concatenate([pmat.ravel(), tmat.ravel()])
+                              if bsz else np.zeros(0, np.uint32),
+                              return_inverse=True)
+        lut = np.array([classes.get(int(u), -1) for u in uniq], dtype=np.int64)
+        sym_m = lut[inv].reshape(-1)
+        pm = sym_m[: pmat.size].reshape(bsz, m_max)
+        tm = sym_m[pmat.size :].reshape(bsz, n_max)
+        both = (pm[:, :, None] >= 0) & (tm[:, None, :] >= 0)
+        neither = (pm[:, :, None] < 0) & (tm[:, None, :] < 0)
+        match = np.where(
+            both,
+            (pm[:, :, None] & np.maximum(tm[:, None, :], 0)) > 0,
+            neither & (pmat[:, :, None] == tmat[:, None, :]),
+        )
+    d = _fill_dp_batch(match, semiglobal)
+    out: list[tuple[int, str]] = []
+    for i in range(bsz):
+        m_i, n_i = int(m_arr[i]), int(n_arr[i])
+        j, cigar = _walk_greedy(d[i], match[i], m_i, n_i, semiglobal)
+        out.append((los[i] + j, cigar))
+    return out
 
 
 def all_optimal_tracebacks(

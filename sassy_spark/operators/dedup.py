@@ -60,7 +60,54 @@ def dedup_exact_keep_first(
 # ----------------------------------------------------------------- minhash
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    ngram: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>): one-permutation minhash signatures over
+    normalized char n-grams — one Arrow pass per batch (prefix-sum shingle
+    hashing + one scatter for the whole batch; same sketch family as
+    linkage.minhash_band_keys, so the band keys derived from these
+    signatures gate the same pairs)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import oph_signatures_batch, shingle_hashes_batch
+
+    seed_mix = np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 63))
+
+    def sig_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf["_norm"].astype(bool)
+            ids_in = pdf["id"][keep].to_numpy()
+            texts_in = pdf["_norm"][keep].tolist()
+            n_docs = len(texts_in)
+            if n_docs == 0:
+                yield pd.DataFrame({"id": [], "sig": []})
+                continue
+            h_all, doc_idx, _ = shingle_hashes_batch(texts_in, ngram)
+            h_all ^= seed_mix
+            sigs = oph_signatures_batch(h_all, doc_idx, n_docs, n_hashes)
+            yield pd.DataFrame(
+                {"id": ids_in, "sig": list(sigs.astype(np.int64))}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        normalize(F.col(text_col)).alias("_norm"),
+    )
+    out = src.mapInPandas(sig_batch, schema="id string, sig array<bigint>")
+    return out.select(F.col("id").cast(id_type).alias("id"), "sig")
+
+
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -71,35 +118,35 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     max_block_size: int = 512,
     candidates_out: str | None = None,
+    est_margin: float | None = 0.2,
 ) -> DataFrame:
-    """Near-duplicate pairs via shingle->minhash->band->bucket-join, with an
-    exact n-gram Jaccard verify on candidates. Output:
-    (id_a, id_b, jaccard).
-
-    ``candidates_out``: optional parquet path that receives the LSH-gated
-    candidate pair set BEFORE verification — the audit handoff that lets an
-    external engine (the DuckDB oracle) recompute the exact-Jaccard verify
-    stage on the same candidates."""
+    """The GATE of :func:`minhash_lsh_pairs` alone: staged candidate pairs
+    (id_a, id_b) after band-bucket join + signature-estimate pre-filter,
+    before the exact verify. Exposed so recall pins (q35) can audit the
+    production gate directly. Leaves no persisted RDDs behind."""
     from pyspark import StorageLevel
 
-    from .linkage import minhash_band_keys
+    from .staging import stage_parquet
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    band_keys = minhash_band_keys(
-        df.select(F.col(id_col).cast("string").alias("url"), F.col(text_col)),
-        text_col=text_col,
-        n_hashes=n_hashes,
-        bands=bands,
-        ngram=ngram,
-        seed=seed,
-    ).select(
-        F.col("url").cast(id_type).alias("id"),
-        F.col("block_key").alias("bucket"),
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        ngram=ngram, seed=seed,
     )
-    # eager persist: the bucket table feeds a size agg + both sides of the
-    # self-join — lazy, the sketch UDF would run in every branch
-    band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
-    band_keys.count()
+    # eager persist: the signature table feeds band keys (size agg + both
+    # self-join sides) AND the estimate pre-filter joins — lazily, the
+    # sketch UDF would run once per branch. Released after staging.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi), F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        )
+        for bi in range(bands)
+    ]
+    band_keys = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
     sizes = band_keys.groupBy("bucket").agg(F.count("*").alias("bs"))
     bk = band_keys.join(sizes, "bucket").where(
         (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
@@ -111,9 +158,77 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    if candidates_out is not None:
-        cand.write.mode("overwrite").parquet(candidates_out)
-        cand = df.sparkSession.read.parquet(candidates_out)
+    if est_margin is not None:
+        agree = F.aggregate(
+            F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        cand = (
+            cand.join(
+                sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")),
+                "id_a",
+            )
+            .join(
+                sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")),
+                "id_b",
+            )
+            .where(
+                agree / F.lit(float(n_hashes))
+                >= F.lit(jaccard_threshold - est_margin)
+            )
+            .select("id_a", "id_b")
+        )
+    cand = stage_parquet(cand, candidates_out, "minhash_cand")
+    sigs.unpersist()
+    return cand
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 5,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+    max_block_size: int = 512,
+    candidates_out: str | None = None,
+    est_margin: float | None = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via shingle->minhash->band->bucket-join, with an
+    exact n-gram Jaccard verify on candidates. Output:
+    (id_a, id_b, jaccard).
+
+    Physical shape (all shuffles on narrow columns):
+      1. signatures once per doc (Python, one Arrow pass), band keys
+         derived JVM-side (xxhash64 over signature slices);
+      2. bucket self-join -> candidate pairs, blocks capped at
+         ``max_block_size``;
+      3. signature-estimate pre-filter: the minhash agreement fraction
+         estimates Jaccard with sigma ~ sqrt(j(1-j)/n_hashes) (~0.044 at
+         128 hashes), so candidates whose estimate falls below
+         ``jaccard_threshold - est_margin`` (default margin 0.2 ~ 4.5
+         sigma) cannot plausibly pass the exact verify and are dropped
+         BEFORE the gram explosion — the dominant cost. ``est_margin=None``
+         disables the pre-filter.
+      4. exact n-gram Jaccard verify on the surviving candidates.
+
+    ``candidates_out``: optional parquet path that receives the gated
+    candidate pair set (post pre-filter) BEFORE the exact verification —
+    the audit handoff that lets an external engine (the DuckDB oracle)
+    recompute the exact-Jaccard verify stage on the same candidates.
+
+    Leaves no persisted RDDs behind: the signature cache is released once
+    the candidate set is staged to parquet (handoff path or RAM scratch).
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        bands=bands, ngram=ngram, seed=seed,
+        jaccard_threshold=jaccard_threshold, max_block_size=max_block_size,
+        candidates_out=candidates_out, est_margin=est_margin,
+    )
     return ngram_jaccard_verify(
         cand, df, id_col=id_col, text_col=text_col, ngram=ngram
     ).where(F.col("jaccard") >= jaccard_threshold)
@@ -135,9 +250,13 @@ def ngram_jaccard_verify(
     64-bit-hashed before the set ops: intersecting long arrays costs a
     fraction of intersecting ~n-char strings (equality + hashing per
     element), and the Jaccard value is identical up to 2^-64 collisions
-    (~1e-12 per doc pair at 5k grams). The gram table is persisted once —
-    it feeds BOTH sides of the pair join."""
+    (~1e-12 per doc pair at 5k grams). The gram table is persisted for
+    the verify job — it feeds BOTH sides of the pair join — and released
+    when the (eagerly staged) result materializes, so the call leaves no
+    persisted RDDs behind."""
     from pyspark import StorageLevel
+
+    from .staging import stage_parquet
 
     ids = (
         pairs.select(F.col("id_a").alias("id"))
@@ -170,7 +289,9 @@ def ngram_jaccard_verify(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    staged = stage_parquet(out, None, "jaccard_verify")
+    g.unpersist()
+    return staged
 
 
 # ----------------------------------------------------------------- simhash
@@ -193,10 +314,18 @@ def simhash_pairs(
     ``candidates_out``: optional parquet path receiving the chunk-join
     candidates (id_a, id_b, fp_a, fp_b) BEFORE the popcount verify, so an
     external engine can recompute the Hamming verify on the same set."""
+    from pyspark import StorageLevel
+
+    from .staging import stage_parquet
+
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
     sh = make_simhash_udf(seed=seed)
     fp = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("fp"))
+    # eager persist for the verify job only (the fingerprint UDF feeds
+    # both self-join sides); released once the candidates are staged
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count()
     # shiftrightunsigned needs a literal shift — build the chunk-key array
     # with a Python loop over the (statically known) chunk count
     chunk_cols = [
@@ -223,9 +352,8 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    if candidates_out is not None:
-        cand.write.mode("overwrite").parquet(candidates_out)
-        cand = df.sparkSession.read.parquet(candidates_out)
+    cand = stage_parquet(cand, candidates_out, "simhash_cand")
+    fp.unpersist()
     return (
         cand.select(
             "id_a",
@@ -255,12 +383,15 @@ def fingerprint_overlap_pairs(
     ``index_out``: optional parquet path receiving the exploded
     (id, hash) inverted index, so an external engine can recompute the
     overlap join + threshold on the same fingerprints."""
+    from .staging import stage_parquet
+
     fpu = make_fingerprint_udf(ngram=ngram, window=window)
     fps = df.select(F.col(id_col).alias("id"), fpu(F.col(text_col)).alias("fp"))
     inv = fps.select("id", F.explode("fp").alias("h"))
-    if index_out is not None:
-        inv.write.mode("overwrite").parquet(index_out)
-        inv = df.sparkSession.read.parquet(index_out)
+    # always staged: the inverted index feeds the df-cap agg + both join
+    # sides (the fingerprint UDF would otherwise run 3x), and the staged
+    # path doubles as the audit handoff
+    inv = stage_parquet(inv, index_out, "fp_index")
     sizes = inv.groupBy("h").agg(F.count("*").alias("df_"))
     inv2 = inv.join(sizes, "h").where(F.col("df_") <= 64)  # stop-hash cap
     a, b = inv2.alias("a"), inv2.alias("b")
@@ -291,15 +422,21 @@ def embedding_near_dup_pairs(
 
     ``candidates_out``: optional parquet path receiving the bucket-join
     candidate pairs BEFORE the cosine verify (external verify handoff)."""
-    from pyspark import StorageLevel
-
     from .similarity import cosine_expr, hyperplane_bucket
 
-    # persisted: the bucket table feeds both self-join sides AND the
-    # vector join-back — unpersisted, the bucketing scan would run 3x
-    bkt = hyperplane_bucket(emb, vec_col, n_planes=n_planes, seed=seed).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from .staging import stage_parquet
+
+    # the bucket table is staged WITHOUT the vectors (narrow self-join:
+    # id + bucket only — the verify re-joins vectors from the source
+    # table), and the staging makes the bucketing UDF run exactly once
+    # with nothing left persisted
+    bkt = stage_parquet(
+        hyperplane_bucket(emb, vec_col, n_planes=n_planes, seed=seed).select(
+            F.col(id_col).alias("id"), F.col("bucket")
+        ),
+        None,
+        "emb_buckets",
+    )
     a, b = bkt.alias("a"), bkt.alias("b")
     cand = (
         a.join(b, "bucket")
@@ -307,10 +444,10 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    if candidates_out is not None:
-        cand.write.mode("overwrite").parquet(candidates_out)
-        cand = emb.sparkSession.read.parquet(candidates_out)
-    vecs = bkt.select("id", "v").dropDuplicates(["id"])
+    cand = stage_parquet(cand, candidates_out, "emb_cand")
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     return (
         cand.join(
             vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),

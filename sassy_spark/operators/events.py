@@ -57,32 +57,48 @@ def funnel(
 ) -> DataFrame:
     """Ordered-funnel counts: users reaching step i = users whose earliest
     step-i event follows their earliest step-(i-1) event. Returns
-    (step, step_idx, n_users)."""
+    (step, step_idx, n_users).
+
+    One aggregation pass for the whole funnel: per-user reached flags are
+    conditional expressions over the pivoted first-timestamps, summed in a
+    single job (the per-step-job + union-of-single-rows form costs N tiny
+    jobs and N scans of the firsts table)."""
     firsts = (
         events.where(F.col("event_type").isin(steps))
         .groupBy(user_col)
         .pivot("event_type", steps)
         .agg(F.min(ts_col))
     )
-    out_rows = []
-    cond = F.lit(True)
+    reached = []
     for i, s in enumerate(steps):
         if i == 0:
             cond = F.col(steps[0]).isNotNull()
         else:
-            cond = cond & F.col(s).isNotNull() & (
+            cond = reached[i - 1] & F.col(s).isNotNull() & (
                 F.col(s) >= F.col(steps[i - 1])
             )
-        out_rows.append(
-            firsts.where(cond)
-            .agg(F.count("*").alias("n_users"))
-            .select(
+        reached.append(cond)
+    counts = firsts.agg(
+        *[
+            F.sum(r.cast("long")).alias(f"_n{i}")
+            for i, r in enumerate(reached)
+        ]
+    )
+    # one row of N counts -> (step, step_idx, n_users) rows, still
+    # plan-side (posexplode over a literal-keyed array, no driver collect)
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(s).alias("step"),
-                F.lit(i).alias("step_idx"),
-                "n_users",
+                F.coalesce(F.col(f"_n{i}"), F.lit(0)).alias("n_users"),
             )
-        )
-    res = out_rows[0]
-    for r in out_rows[1:]:
-        res = res.unionByName(r)
-    return res
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(
+        F.posexplode(pairs).alias("step_idx", "kv")
+    ).select(
+        F.col("kv.step").alias("step"),
+        F.col("step_idx").cast("int").alias("step_idx"),
+        F.col("kv.n_users").alias("n_users"),
+    )

@@ -90,24 +90,28 @@ def search(
     the reference's search_handle_rc semantics (src/search.rs:787-881)
     realized as an extra broadcast lane instead of reversed-text machinery.
     ``end_filter(pattern, text_prefix, strand) -> bool`` drops end
-    positions before traceback (search_with_fn, K8).
+    positions before traceback (search_with_fn, K8). The prefix is the
+    SEARCHED text (lowered when ``case_sensitive=False``), so pattern
+    characters compare against it consistently; ``match_region`` still
+    reports the document's original bytes.
     ``profile``: 'ascii' (exact), 'dna', 'iupac' (ambiguity-class
     matching: chars match iff their class masks intersect, reference
     src/profiles/iupac.rs:136-138), 'ascii_ci', or a codepoint->mask
     dict.
     """
-    n_pats = patterns_df.count()
-    if n_pats > MAX_PATTERNS:
+    # one driver job: limit(MAX+1) bounds the collect even on a huge
+    # patterns_df, and len() replaces the separate count() job
+    pat_rows = (
+        patterns_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).collect()
+    )
+    if len(pat_rows) > MAX_PATTERNS:
         raise ValueError(
-            f"search(): {n_pats} patterns > MAX_PATTERNS={MAX_PATTERNS}; "
+            f"search(): > MAX_PATTERNS={MAX_PATTERNS} patterns; "
             "the broadcast-pattern plan is for small pattern sets — for "
             "large ones generate candidate pairs and use "
             "linkage.score_pairs (or raise SASSY_MAX_PATTERNS)"
         )
-    pats_local = [
-        (str(r[0]), str(r[1]), "+")
-        for r in patterns_df.select(pat_id, pattern).collect()
-    ]
+    pats_local = [(str(r[0]), str(r[1]), "+") for r in pat_rows]
     if rc:
         from ..functions.text import reverse_complement_str
 
@@ -165,10 +169,10 @@ def _make_runner(
 ):
     """Build the Arrow-batch runner for :func:`search` (module-level so
     tests can drive the per-batch logic in-process). ``text`` is the
-    column the kernel scans; ``orig_text`` (case-insensitive mode) is the
-    column regions and end_filter prefixes are sliced from — falling back
-    to the searched column for the rare rows where Unicode case folding
-    changes the string length."""
+    column the kernel scans (and the one end_filter prefixes slice from);
+    ``orig_text`` (case-insensitive mode) is the column match regions are
+    sliced from — falling back to the searched column for the rare rows
+    where Unicode case folding changes the string length."""
     from ..kernel.profiles import resolve_profile
 
     classes = resolve_profile(profile)
@@ -206,6 +210,16 @@ def _make_runner(
             else:
                 origs_all = txts
             rows = []
+            # accepted matches awaiting trace: batched so the DP fill is
+            # one vectorized pass over ALL matches of this Arrow batch
+            # (K11/B7 — the engine analog of the reference's simd_fill,
+            # reference src/trace.rs:107-252, src/search.rs:1613-1689)
+            tb_p: list = []
+            tb_t: list = []
+            tb_e: list = []
+            tb_c: list = []
+            tb_orig: list = []
+            tb_idx: list = []
             # pattern-major lanes over bounded text chunks: worker memory
             # is O(max_lanes x band words), independent of corpus shape
             texts_per_chunk = max(1, max_lanes // n_p)
@@ -234,8 +248,11 @@ def _make_runner(
                     for e, c in zip(ends.tolist(), costs.tolist()):
                         e = int(e)
                         c = int(c)
+                        # the predicate sees the SEARCHED prefix (lowered in
+                        # case-insensitive mode) so it compares against the
+                        # same folding as the (folded) pattern
                         if end_filter is not None and not end_filter(
-                            pat_strs[pi], orig_t[:e], strands[pi]
+                            pat_strs[pi], search_t[:e], strands[pi]
                         ):
                             continue
                         if mode == "all_alignments":
@@ -256,24 +273,33 @@ def _make_runner(
                                 )
                             continue
                         if with_trace:
-                            start, cigar = myers.traceback(
-                                pat_strs[pi], search_t, e, c, classes=classes
+                            # placeholder row; patched after the batched
+                            # trace fill below
+                            tb_p.append(pat_strs[pi])
+                            tb_t.append(search_t)
+                            tb_e.append(e)
+                            tb_c.append(c)
+                            tb_orig.append(orig_t)
+                            tb_idx.append(len(rows))
+                            rows.append(
+                                (pat_ids[pi], tid, c, strands[pi],
+                                 None, e, None, None)
                             )
-                            region = orig_t[start:e]
                         else:
-                            start, cigar, region = None, None, None
-                        rows.append(
-                            (
-                                pat_ids[pi],
-                                tid,
-                                c,
-                                strands[pi],
-                                start,
-                                e,
-                                region,
-                                cigar,
+                            rows.append(
+                                (pat_ids[pi], tid, c, strands[pi],
+                                 None, e, None, None)
                             )
-                        )
+            if tb_p:
+                traced = myers.traceback_batch(
+                    tb_p, tb_t, tb_e, tb_c, classes=classes
+                )
+                for ri, orig_t, (start, cigar) in zip(tb_idx, tb_orig, traced):
+                    pid, tid, c, strand, _, e, _, _ = rows[ri]
+                    rows[ri] = (
+                        pid, tid, c, strand, start, e,
+                        orig_t[start:e], cigar,
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -349,6 +375,15 @@ def crispr_search(
     """
     from ..kernel.profiles import IUPAC_CLASSES, seqs_match
 
+    # collect the guides ONCE: both the search's broadcast pattern set and
+    # the PAM map come from these rows (one driver job on the guide source)
+    guide_rows = (
+        guides_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).collect()
+    )
+    guides_local = guides_df.sparkSession.createDataFrame(
+        [(str(r[0]), str(r[1])) for r in guide_rows], [pat_id, pattern]
+    )
+
     end_filter = None
     if not allow_pam_edits:
         # pre-traceback pushdown for the forward strand: the PAM region of
@@ -361,7 +396,7 @@ def crispr_search(
             )
 
     m = search(
-        guides_df,
+        guides_local,
         texts_df,
         k=k,
         mode="all",
@@ -385,8 +420,7 @@ def crispr_search(
         from ..functions.text import reverse_complement_str
 
         pams = {
-            str(r[0]): str(r[1])[-pam_length:]
-            for r in guides_df.select(pat_id, pattern).collect()
+            str(r[0]): str(r[1])[-pam_length:] for r in guide_rows
         }
         pams_rc = {pid: reverse_complement_str(p) for pid, p in pams.items()}
 

@@ -165,8 +165,22 @@ def ivf_topk(
     touches ~n_probe/n_centroids of the corpus per query instead of all
     of it. Partition/bucket the assigned table by cell for repeated
     query workloads.
+
+    The quantizer trains on a uniform ``df.sample`` of the corpus, NOT
+    ``limit()`` — limit takes whichever partitions answer first (in
+    practice the head of the corpus), so on data sorted/clustered by
+    region the centroids would see one region and recall silently
+    degrades. The sample fraction costs one extra count scan, paid once
+    per quantizer build.
     """
-    sample = corpus.select(vec_col).limit(train_sample).toPandas()
+    n_corpus = corpus.count()
+    frac = min(1.0, (train_sample * 1.2) / max(n_corpus, 1))
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(train_sample)
+        .toPandas()
+    )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     cent = _train_centroids(mat, n_centroids, seed)
     cent_t = cent.T  # (dim, k)

@@ -114,6 +114,11 @@ def main() -> None:
     }
     metrics["total_sec"] = round(time.time() - t_all, 2)
 
+    # every output is on disk — release the input cache (the only persist
+    # this pipeline takes; stages go through parquet staging) so a run
+    # leaves no persisted RDDs behind
+    pages.unpersist()
+
     # metrics go through the Hadoop FS API so they land on the same
     # filesystem as the checkpoints (HDFS/S3 safe, not driver-local)
     from sassy_spark.operators.cluster import fs_write_text

@@ -44,6 +44,15 @@ def build_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce toward the advisory size even below defaultParallelism:
+        # iterative stages (connected components) move KB-scale edge sets —
+        # at the default (parallelismFirst=true) every tiny stage still
+        # launches ~2xCores tasks, and on this VM concurrent task startup
+        # faults serialize; a real cluster pays the scheduler overhead
+        # instead. CPU-bound stages (the scoring kernel) fan out with an
+        # explicit repartition, which AQE leaves alone.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # catalog tables (saveAsTable / read.table — the Iceberg-shaped

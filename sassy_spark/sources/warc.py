@@ -111,9 +111,18 @@ def read_warc(
 
 
 def write_warc(df: DataFrame, path: str, url: str = "url", html: str = "html"):
-    """Write (url, html) rows as one WARC file per partition — the
-    round-trip fixture writer used by tests and by exports back to the
-    archive format."""
+    """Write (url, html) rows as WARC files (one file per Arrow batch) —
+    the round-trip FIXTURE writer used by tests.
+
+    NON-TRANSACTIONAL by design: files are written as a side effect
+    inside ``mapInPandas`` with uuid names, so a retried or speculatively
+    executed task leaves duplicate files behind (no task-commit protocol,
+    no cleanup), and output granularity follows Arrow batch boundaries,
+    not partitions. Fine for local test fixtures; a production export
+    sink must go through a Spark committer instead (write the serialized
+    WARC records as binary rows via ``df.write``, then concatenate, or
+    use a custom FileFormat) — that path is intentionally not implemented
+    here."""
 
     def to_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os

@@ -161,6 +161,9 @@ def streaming_exact_dedup(
     already seen (state kept by dropDuplicates within the watermark)."""
     src = (
         spark.readStream.schema(PAGES_STREAM_SCHEMA)
+        # snapshots arrive as one directory per crawl batch
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 4)
         .parquet(src_dir)
         .withColumn("content_hash", F.xxhash64("text"))
         .withWatermark("warc_ts", "1 day")

@@ -237,6 +237,67 @@ def test_traceback_cost_consistent_fuzz():
         assert tot == cost
 
 
+def test_traceback_batch_equals_single():
+    """K11/B7: the batched trace fill must be bit-identical to the
+    per-match traceback, across mixed pattern/text sizes, dense
+    same-text batches, and profile classes."""
+    from sassy_spark.kernel.myers import traceback_batch
+    from sassy_spark.kernel.profiles import resolve_profile
+
+    cases = []
+    for _ in range(120):
+        pat = _rand_s(rng.randrange(2, 30))
+        text = _rand_s(rng.randrange(5, 120))
+        res = semiglobal_search([pat], [text], k=rng.randrange(0, 5),
+                                mode="all")[0]
+        for e, c in zip(res[0].tolist(), res[1].tolist()):
+            cases.append((pat, text, int(e), int(c)))
+    # dense same-text tail: many end positions over one string
+    pat = "abcabcabc"
+    text = "abcabcabcxyz" * 40
+    res = semiglobal_search([pat], [text], k=2, mode="all")[0]
+    for e, c in zip(res[0].tolist(), res[1].tolist()):
+        cases.append((pat, text, int(e), int(c)))
+    assert len(cases) > 100
+    ps, ts, es, cs = zip(*cases)
+    batch = traceback_batch(list(ps), list(ts), list(es), list(cs))
+    single = [traceback(p, t, e, c) for p, t, e, c in cases]
+    assert batch == single
+
+    classes = resolve_profile("iupac")
+    dna_cases = []
+    for _ in range(60):
+        pat = "".join(rng.choice("ACGTN") for _ in range(rng.randrange(3, 20)))
+        text = "".join(rng.choice("ACGT") for _ in range(rng.randrange(10, 80)))
+        res = semiglobal_search([pat], [text], 2, mode="all",
+                                classes=classes)[0]
+        for e, c in zip(res[0].tolist(), res[1].tolist()):
+            dna_cases.append((pat, text, int(e), int(c)))
+    ps, ts, es, cs = zip(*dna_cases)
+    batch = traceback_batch(list(ps), list(ts), list(es), list(cs),
+                            classes=classes)
+    single = [traceback(p, t, e, c, classes=classes) for p, t, e, c in dna_cases]
+    assert batch == single
+
+
+def test_traceback_batch_chunking():
+    """max_cells chunking splits oversized batches without changing output."""
+    from sassy_spark.kernel.myers import traceback_batch
+
+    cases = []
+    for _ in range(50):
+        pat = _rand_s(rng.randrange(4, 24))
+        text = _rand_s(rng.randrange(20, 100))
+        res = semiglobal_search([pat], [text], k=2, mode="all")[0]
+        for e, c in zip(res[0].tolist(), res[1].tolist()):
+            cases.append((pat, text, int(e), int(c)))
+    ps, ts, es, cs = zip(*cases)
+    full = traceback_batch(list(ps), list(ts), list(es), list(cs))
+    tiny = traceback_batch(list(ps), list(ts), list(es), list(cs),
+                           max_cells=1024)
+    assert full == tiny
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
 

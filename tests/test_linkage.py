@@ -230,3 +230,16 @@ def test_run_pipeline_table_input(spark, tmp_path, monkeypatch):
     metrics = json.loads((tmp_path / "ck" / "metrics.json").read_text())
     assert metrics["n_pages"] == n_pages
     assert metrics["stages"]["score"]["pairs_scored"] >= 0
+
+
+def test_link_leaves_no_persisted_rdds(pages, spark):
+    """link() without a checkpoint dir stages through RAM-scratch parquet;
+    a full run must leave no persisted RDDs behind (round-2 VERDICT #9)."""
+    from sassy_spark.operators import linkage as L
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    L.link(pages.limit(120), k_frac=0.05).count()
+    assert n_persisted() == base

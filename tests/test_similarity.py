@@ -170,3 +170,36 @@ def test_ivf_self_always_found(emb):
     got = ivf_topk(df, queries, k=3, n_centroids=20, n_probe=3)
     top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
     assert top1 == {q: q for q in range(5)}
+
+
+def test_ivf_trains_on_sample_not_head(spark):
+    """VERDICT 'What's wrong' #1: quantizer training on limit() sees only
+    the head of a sorted corpus. Corpus sorted by cluster (one partition,
+    cluster A first), train_sample smaller than cluster A: a head-trained
+    quantizer has no centroid near cluster B and scatters B across cells,
+    so a B query at n_probe=1 loses its neighbors; sample-trained
+    centroids cover both clusters and recall survives."""
+    import numpy as np
+
+    from sassy_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    a_dir = np.zeros(dim); a_dir[0] = 1.0
+    b_dir = np.zeros(dim); b_dir[1] = 1.0
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(x) for x in a_dir + rng.standard_normal(dim) * 0.05]))
+    for i in range(200, 400):
+        rows.append((i, [float(x) for x in b_dir + rng.standard_normal(dim) * 0.05]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    queries = corpus.where(F.col("vec_id") >= 395).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = ivf_topk(
+        corpus, queries, k=5, n_centroids=2, n_probe=1, train_sample=100
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9, (len(e & a), len(e))

@@ -169,11 +169,14 @@ def measure(n_procs: int, n_pairs: int, background: int = 0) -> dict:
         "procs": n_procs,
         "background": background,
         "wall_sec": round(t1 - t0, 3),
-        # headline aggregate uses the MEDIAN per-proc duration: on this
-        # host the slowest of 32 procs runs ~1.3x the median purely from
-        # co-tenant descheduling (measured durations 2.6-4.2s in one run),
-        # so a max-duration window would charge a random straggler tax to
-        # whichever sample drew it. The full window rate stays reported.
+        "t0": t0,
+        "t1": t1,
+        # median-duration aggregate: on this host the slowest of 32 procs
+        # runs ~1.3x the median purely from co-tenant descheduling
+        # (measured durations 2.6-4.2s in one run), so a max-duration
+        # window charges a random straggler tax to whichever sample drew
+        # it. The synchronized-window rate is reported ALONGSIDE and
+        # efficiency is computed under BOTH definitions (round-2 ADVICE).
         "aggregate_pairs_per_sec": round(total / med_dur / 1.0, 1)
         if n_procs == 1
         else round(n_procs * (results[0][2] / med_dur), 1),
@@ -182,6 +185,45 @@ def measure(n_procs: int, n_pairs: int, background: int = 0) -> dict:
             statistics.median(r[2] / (r[1] - r[0]) for r in results), 1
         ),
     }
+
+
+# ------------------------------------------------- in-window dilation probe
+
+
+def _pulse_probe(stop_evt, q):
+    """Low-duty-cycle machine-dilation monitor: every ~50 ms run one fixed
+    ~1-2 ms arithmetic burst and record (timestamp, burst_duration). Burst
+    durations measure host dilation INSIDE a measured window with ~50 ms
+    resolution at <5% duty cycle (negligible contention), so a co-tenant
+    spike that lands in one window but not the other is detected rather
+    than silently read as bad scaling."""
+    import numpy as np
+
+    x = np.arange(1 << 13, dtype=np.uint64)
+    y = x.copy()
+
+    def burst():
+        for _ in range(40):
+            np.multiply(x, np.uint64(0x9E3779B97F4A7C15), out=y)
+            np.bitwise_xor(y, x, out=y)
+
+    for _ in range(20):  # warmup
+        burst()
+    samples = []
+    while not stop_evt.is_set():
+        t = time.time()
+        burst()
+        samples.append((t, time.time() - t))
+        time.sleep(0.05)
+    q.put(samples)
+
+
+def _probe_median(samples, t0: float, t1: float) -> float | None:
+    """Median burst duration among probe samples inside [t0, t1]."""
+    inside = [d for (t, d) in samples if t0 <= t <= t1]
+    if len(inside) < 5:
+        return None
+    return statistics.median(inside)
 
 
 def _arith_worker(barrier, q, n_iters: int):
@@ -251,17 +293,60 @@ def run_protocol(
     # steady-state thermal burn, discarded (cold-package turbo deflates
     # early-repeat ratios)
     measure(hi, max(512, n_pairs // 2))
+    ctx = mp.get_context("spawn")
     samples = []
-    for rep in range(repeats):
+    discarded = []
+    attempts = 0
+    max_attempts = repeats * 3  # hard cap; discards are reported, not hidden
+    while len(samples) < repeats and attempts < max_attempts:
+        attempts += 1
+        # the pulse probe spans BOTH windows of the rep; its in-window
+        # burst medians are the contamination detector
+        stop_evt = ctx.Event()
+        pq = ctx.Queue()
+        probe = ctx.Process(target=_pulse_probe, args=(stop_evt, pq), daemon=True)
+        probe.start()
+        time.sleep(0.3)  # probe warmup overlap
         r_lo = measure(
             lo, n_pairs, background=(hi - lo) if same_conditions else 0
         )
         r_hi = measure(hi, n_pairs)
+        stop_evt.set()
+        probe_samples = pq.get()
+        probe.join()
+        p_lo = _probe_median(probe_samples, r_lo["t0"], r_lo["t1"])
+        p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
+        # validity rule (stated, applied uniformly): a rep counts only if
+        # the machine-dilation probe agrees across the two compared
+        # windows within 20% — otherwise a co-tenant spike hit one window
+        # and the ratio measures the spike, not the algorithm. Discarded
+        # reps are recorded with their probe readings.
+        valid = (
+            p_lo is not None
+            and p_hi is not None
+            and max(p_lo, p_hi) / max(min(p_lo, p_hi), 1e-9) <= 1.20
+        )
         eff = (
             r_hi["aggregate_pairs_per_sec"] / r_lo["aggregate_pairs_per_sec"]
         ) / (hi / lo)
-        samples.append({"rep": rep, "lo": r_lo, "hi": r_hi, "eff": round(eff, 3)})
+        eff_window = (
+            r_hi["window_pairs_per_sec"] / r_lo["window_pairs_per_sec"]
+        ) / (hi / lo)
+        entry = {
+            "rep": len(samples),
+            "lo": r_lo,
+            "hi": r_hi,
+            "eff": round(eff, 3),
+            "eff_window": round(eff_window, 3),
+            "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
+            "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
+        }
+        if valid:
+            samples.append(entry)
+        else:
+            discarded.append(entry)
     effs = [s["eff"] for s in samples]
+    effs_w = [s["eff_window"] for s in samples]
     return {
         "n_pairs_per_proc": n_pairs,
         "procs_lo": lo,
@@ -269,35 +354,69 @@ def run_protocol(
         "repeats": repeats,
         "same_conditions": same_conditions,
         "samples": samples,
+        "discarded_contaminated": discarded,
+        "n_discarded": len(discarded),
         "efficiencies": effs,
-        "efficiency_median": round(statistics.median(effs), 3),
-        "efficiency_min": min(effs),
+        "efficiency_median": round(statistics.median(effs), 3) if effs else None,
+        "efficiency_min": min(effs) if effs else None,
+        "efficiency_window_median": round(statistics.median(effs_w), 3)
+        if effs_w
+        else None,
+        "efficiency_window_min": min(effs_w) if effs_w else None,
         "agg_lo_median": round(
             statistics.median(s["lo"]["aggregate_pairs_per_sec"] for s in samples), 1
-        ),
+        )
+        if samples
+        else None,
         "agg_hi_median": round(
             statistics.median(s["hi"]["aggregate_pairs_per_sec"] for s in samples), 1
-        ),
+        )
+        if samples
+        else None,
     }
 
 
 def _md_table(out: dict) -> str:
     rows = "\n".join(
         f"| {s['rep']} | {s['lo']['aggregate_pairs_per_sec']} | "
-        f"{s['hi']['aggregate_pairs_per_sec']} | {s['eff']:.3f} |"
+        f"{s['hi']['aggregate_pairs_per_sec']} | {s['eff']:.3f} | "
+        f"{s['eff_window']:.3f} | {s['probe_ms_lo']} / {s['probe_ms_hi']} |"
         for s in out["samples"]
     )
     label = (
-        "same-conditions (8 metered + 24 burners vs 32 metered)"
+        "occupancy-normalized (8 metered + 24 burners vs 32 metered; "
+        "equal machine occupancy in both windows — what N and 4N "
+        "executors on a real fleet see)"
         if out["same_conditions"]
-        else "raw idle-box"
+        else "raw idle-box (conservative bound; conflates algorithm "
+        "scaling with single-box turbo/cache dilation)"
     )
+    disc = ""
+    if out["n_discarded"]:
+        dl = ", ".join(
+            f"eff={d['eff']:.3f} probe {d['probe_ms_lo']}/{d['probe_ms_hi']} ms"
+            for d in out["discarded_contaminated"]
+        )
+        disc = (
+            f"\nDiscarded {out['n_discarded']} contaminated rep(s) under the "
+            f"stated probe rule (in-window dilation probes disagree > 20% "
+            f"between the two compared windows): {dl}\n"
+        )
     return (
         f"\n**{label}**\n\n"
-        f"| rep | agg pairs/s @8 | agg pairs/s @32 | efficiency |\n"
-        f"|---|---|---|---|\n{rows}\n\n"
+        f"Validity rule: each rep carries a <5%-duty arithmetic pulse probe "
+        f"(~1.5 ms burst / 50 ms); a rep counts only if the median in-window "
+        f"burst duration agrees within 20% between the 8-proc and 32-proc "
+        f"windows (otherwise a host co-tenant spike, not the algorithm, set "
+        f"the ratio). All discards reported.\n\n"
+        f"| rep | agg pairs/s @8 | agg pairs/s @32 | eff (median-dur) | "
+        f"eff (sync window) | probe ms @8/@32 |\n"
+        f"|---|---|---|---|---|---|\n{rows}\n\n"
         f"Efficiency 8 -> 32: **median {out['efficiency_median']:.3f}, "
-        f"min {out['efficiency_min']:.3f}** (target >= 0.8)\n"
+        f"min {out['efficiency_min']:.3f}** (median-duration definition); "
+        f"median {out['efficiency_window_median']:.3f}, "
+        f"min {out['efficiency_window_min']:.3f} (synchronized-window "
+        f"definition) — target >= 0.8\n" + disc
     )
 
 
