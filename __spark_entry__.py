@@ -848,6 +848,92 @@ def _q37_streaming_exact_dedup(spark, sf):
     return got.groupBy("text").agg(F.count("*").alias("n_emitted"))
 
 
+def _q38_ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH approximate top-k over embeddings (the scale-path
+    ANN), driver-oracled via candidate handoff: the bucket join (+ full
+    1-bit multiprobe) writes its gated (query_id, vec_id) set to parquet
+    BEFORE the exact-cosine re-rank, and the oracle recomputes the
+    re-rank on exactly that set. Query set = vec_id < 5 (as q19)."""
+    from sassy_spark.operators.similarity import lsh_topk
+
+    e = _load(spark, sf, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(
+        corpus,
+        queries_df,
+        k=10,
+        n_planes=8,
+        multiprobe=1,
+        seed=42,
+        candidates_out=f"{HANDOFF_DIR}/q38_candidates",
+    )
+    return out.where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _q39_ann_ivf_topk(spark, sf):
+    """IVF approximate top-k over embeddings (coarse-quantizer scale
+    path), driver-oracled via candidate handoff: the cell equi-join
+    (n_probe=4 of 16 spherical-k-means cells, quantizer trained on a
+    uniform sample) writes its gated (query_id, vec_id) set to parquet
+    before the exact re-rank; the oracle recomputes the re-rank on the
+    same set."""
+    from sassy_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        corpus,
+        queries_df,
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+        seed=42,
+        train_sample=1000,
+        candidates_out=f"{HANDOFF_DIR}/q39_candidates",
+    )
+    return out.where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _q40_rc_search(spark, sf):
+    """Reverse-complement search (K14, search_handle_rc semantics,
+    reference src/search.rs:787-881): project each document to its
+    DNA-alphabet residue (lowercased text, non-acgt chars removed — the
+    deterministic stand-in corpus), then search the pattern 'atta' at
+    k=0 on BOTH strands. '+' rows are occurrences of the pattern, '-'
+    rows are occurrences of revcomp('atta') = 'taat' at the same text
+    coordinates — exactly the extra broadcast lane the operator adds."""
+    from sassy_spark.operators.search import search
+
+    d = _load(spark, sf, "documents")
+    dna = d.select(
+        F.col("doc_id").cast("string").alias("text_id"),
+        F.regexp_replace(F.lower("text"), "[^acgt]", "").alias("text"),
+    ).where(F.length("text") >= 4)
+    pats = spark.createDataFrame([("p1", "atta")], ["pat_id", "pattern"])
+    m = search(pats, dna, k=0, mode="all", rc=True, with_trace=False)
+    return m.select(
+        F.col("text_id").cast("long").alias("doc_id"),
+        F.col("end").cast("long").alias("end"),
+        "strand",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -887,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_lsh_gate_recall": _q35_lsh_gate_recall,
         "q36_streaming_candidate_pairs": _q36_streaming_candidate_pairs,
         "q37_streaming_exact_dedup": _q37_streaming_exact_dedup,
+        "q38_ann_lsh_topk": _q38_ann_lsh_topk,
+        "q39_ann_ivf_topk": _q39_ann_ivf_topk,
+        "q40_rc_search": _q40_rc_search,
     }
 
 
@@ -1361,5 +1450,63 @@ def oracle_sql() -> dict[str, str]:
         "q37_streaming_exact_dedup": """
             SELECT text, CAST(1 AS BIGINT) AS n_emitted
             FROM (SELECT DISTINCT text FROM documents)
+        """,
+        "q38_ann_lsh_topk": f"""
+            -- exact-cosine re-rank recomputed on the LSH gate's candidate
+            -- handoff: top-10 per query within candidates, self excluded
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{HANDOFF_DIR}/q38_candidates/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(eq.v, ec.v) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ec ON ec.vec_id = c.vec_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, round(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 10 AND query_id <> vec_id
+        """,
+        "q39_ann_ivf_topk": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{HANDOFF_DIR}/q39_candidates/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(eq.v, ec.v) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ec ON ec.vec_id = c.vec_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, round(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 10 AND query_id <> vec_id
+        """,
+        "q40_rc_search": """
+            -- both-strand exact occurrences over the DNA-residue corpus:
+            -- '+' = the pattern, '-' = its reverse complement, ends are
+            -- 0-based char offsets one past the match (kernel convention)
+            WITH dna AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^acgt]', '', 'g') AS t
+              FROM documents),
+            hits AS (
+              SELECT d.doc_id, CAST(g.i AS BIGINT) + 3 AS "end",
+                     CASE substr(d.t, CAST(g.i AS INT), 4)
+                       WHEN 'atta' THEN '+' ELSE '-' END AS strand
+              FROM dna d,
+                   unnest(generate_series(1, greatest(length(d.t) - 3, 0)))
+                       AS g(i)
+              WHERE substr(d.t, CAST(g.i AS INT), 4) IN ('atta', 'taat'))
+            SELECT doc_id, "end", strand FROM hits
         """,
     }

@@ -123,17 +123,53 @@ def main() -> None:
         raw = run_protocol(2048, SCALING_REPEATS, same_conditions=False)
         cal = calibrate_dilation()
         out["kernel_scaling"] = {
-            "protocol": "tools/kernel_scaling.py (barrier-synced, median "
-            "per-proc duration, warmup+synthesis excluded)",
+            "protocol": "tools/kernel_scaling.py (barrier-synced, "
+            "warmup+synthesis excluded, in-window pulse-probe contamination "
+            "rule: reps whose dilation probes disagree >20% between the two "
+            "compared windows are discarded and reported)",
             "same_conditions_efficiency_8_to_32": same["efficiency_median"],
             "same_conditions_samples": same["efficiencies"],
+            "same_conditions_min": same["efficiency_min"],
+            "same_conditions_window_efficiency": same[
+                "efficiency_window_median"
+            ],
+            "same_conditions_window_samples": [
+                s["eff_window"] for s in same["samples"]
+            ],
+            "same_conditions_discarded": same["n_discarded"],
             "raw_idlebox_efficiency_8_to_32": raw["efficiency_median"],
             "raw_idlebox_samples": raw["efficiencies"],
+            "raw_idlebox_window_efficiency": raw["efficiency_window_median"],
+            "raw_idlebox_discarded": raw["n_discarded"],
             "arith_dilation_floor": cal["arith_efficiency_lo_to_hi"],
             "agg_pairs_per_sec_8_loaded": same["agg_lo_median"],
             "agg_pairs_per_sec_32": same["agg_hi_median"],
         }
         out["kernel_scaling_efficiency_8_to_32"] = same["efficiency_median"]
+
+    # Spark-level same-conditions scaling (north metric #3, the ENGINE):
+    # the real score_pairs stage (join + repartition + Arrow + mapInPandas
+    # kernel) in fresh JVMs at local[8]+24 burners vs local[32], same
+    # parquet input, scoring action only. Costs ~2 JVM starts per rep.
+    if os.environ.get("SASSY_BENCH_SPARK_SCALING", "1") == "1":
+        from spark_scaling import run_protocol as spark_run_protocol
+
+        ss = spark_run_protocol(
+            int(os.environ.get("SASSY_BENCH_SPARK_PAIRS", "24576")),
+            int(os.environ.get("SASSY_BENCH_SPARK_REPEATS", "3")),
+        )
+        out["spark_scaling"] = {
+            "protocol": "tools/spark_scaling.py (score_pairs stage, fresh "
+            "JVM per run, occupancy-normalized: local[8]+24 kernel burners "
+            "vs local[32]; same probe contamination rule)",
+            "n_pairs": ss["n_pairs"],
+            "efficiency_median_8_to_32": ss["efficiency_median"],
+            "efficiency_min": ss["efficiency_min"],
+            "samples": ss["efficiencies"],
+            "n_discarded": ss["n_discarded"],
+            "pairs_per_sec_8_loaded": ss["pps_lo_median"],
+            "pairs_per_sec_32": ss["pps_hi_median"],
+        }
     print(json.dumps(out))
 
 

@@ -142,6 +142,42 @@ def _train_centroids(
     return cent
 
 
+def _rerank_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of gated (query_id, id) candidate pairs:
+    join the embedding payloads back in (only for survivors), score
+    JVM-side, window top-k per query. Shared by the LSH and IVF paths."""
+    cand = (
+        pairs.join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), id_col
+        )
+        .join(
+            queries.select(F.col(query_id), F.col(vec_col).alias("_qv")),
+            query_id,
+        )
+        .select(
+            query_id,
+            id_col,
+            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,6 +189,7 @@ def ivf_topk(
     query_id: str = "query_id",
     seed: int = 42,
     train_sample: int = 20000,
+    candidates_out: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path: a spherical k-means quantizer (trained on a bounded driver-side
@@ -172,6 +209,10 @@ def ivf_topk(
     region the centroids would see one region and recall silently
     degrades. The sample fraction costs one extra count scan, paid once
     per quantizer build.
+
+    ``candidates_out``: optional parquet handoff of the gated
+    (query_id, id) candidate set before the exact re-rank (q39's oracle
+    recomputes the re-rank on the same set).
     """
     n_corpus = corpus.count()
     frac = min(1.0, (train_sample * 1.2) / max(n_corpus, 1))
@@ -206,26 +247,27 @@ def ivf_topk(
         return pd.Series([row.astype(np.int32) for row in top])
 
     c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cv")
-    ).withColumn("cell", cell_of(F.col("_cv")))
+        F.col(id_col), cell_of(F.col(vec_col)).alias("cell")
+    )
     q = queries.select(
         F.col(query_id),
-        F.col(vec_col).alias("_qv"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
-    cand = c.join(q, "cell").select(
-        query_id,
-        id_col,
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    # candidate join carries IDS ONLY (a query probing n_probe cells can
+    # reach the same doc once per cell -> dropDuplicates); the embedding
+    # payload joins in afterwards, so the cell shuffle stays narrow — at
+    # 100 TB this is the difference between shuffling ids and shuffling
+    # the vector column n_probe times
+    pairs = (
+        c.join(q, "cell")
+        .select(query_id, id_col)
+        .dropDuplicates([query_id, id_col])
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "cosine", "rank")
-    )
+    if candidates_out is not None:
+        from .staging import stage_parquet
+
+        pairs = stage_parquet(pairs, candidates_out, "ivf_ann_cand")
+    return _rerank_pairs(pairs, corpus, queries, k, id_col, vec_col, query_id)
 
 
 def lsh_topk(
@@ -238,17 +280,26 @@ def lsh_topk(
     n_planes: int = 12,
     seed: int = 42,
     multiprobe: int = 1,
+    candidates_out: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket (+ multiprobe:
     also probe every bucket within Hamming distance ``multiprobe`` of the
     query's bucket — all bit-flip combinations, not just single flips),
     exact cosine re-rank within candidates. At 100 TB the bucket join
-    replaces the full cross product with a hash shuffle on bucket."""
+    replaces the full cross product with a hash shuffle on bucket — and
+    the shuffle carries IDS ONLY (the vector payload joins back in for
+    the surviving candidates), so multiprobe fan-out never replicates
+    embeddings.
+
+    ``candidates_out``: optional parquet path receiving the gated
+    (query_id, id) candidate set BEFORE the exact re-rank — the audit
+    handoff that lets an external engine recompute the re-rank stage on
+    the same candidates (q38's oracle)."""
     from itertools import combinations
 
     dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     c = hyperplane_bucket(corpus, vec_col, n_planes, seed, dim).select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), "bucket"
+        F.col(id_col), "bucket"
     )
     qb = hyperplane_bucket(queries, vec_col, n_planes, seed, dim)
     probes = [F.col("bucket")]
@@ -260,19 +311,15 @@ def lsh_topk(
             probes.append(F.col("bucket").bitwiseXOR(F.lit(m)))
     q = qb.select(
         F.col(query_id),
-        F.col(vec_col).alias("_qv"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
-    cand = c.join(q, "bucket").select(
-        query_id,
-        id_col,
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
-    ).dropDuplicates([query_id, id_col])
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
+    pairs = (
+        c.join(q, "bucket")
+        .select(query_id, id_col)
+        .dropDuplicates([query_id, id_col])
     )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "cosine", "rank")
-    )
+    if candidates_out is not None:
+        from .staging import stage_parquet
+
+        pairs = stage_parquet(pairs, candidates_out, "lsh_ann_cand")
+    return _rerank_pairs(pairs, corpus, queries, k, id_col, vec_col, query_id)
