@@ -65,7 +65,12 @@ BIG = np.int64(1 << 20)  # "not a valid cost" placeholder
 def _as_symbols(s) -> np.ndarray:
     """Sequence -> uint32 symbol array. str -> Unicode codepoints (so all
     offsets are character offsets, valid for Python str slicing and equal
-    to SQL levenshtein units); bytes -> raw byte values."""
+    to SQL levenshtein units); bytes -> raw byte values; ndarray -> raw
+    symbol values (the zero-copy Arrow path: callers slice uint8 views
+    straight out of Arrow string buffers — valid when the batch is pure
+    ASCII, where byte == codepoint, which the caller must check)."""
+    if isinstance(s, np.ndarray):
+        return s if s.dtype == np.uint32 else s.astype(np.uint32)
     if isinstance(s, (bytes, bytearray)):
         return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.uint32)
     return np.frombuffer(

@@ -315,7 +315,13 @@ def score_pairs(
         # box serializes those allocations); at real cluster scale the
         # per-partition row count, not the wave count, evens stragglers.
         score_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if score_partitions:
+    if score_partitions == 0:
+        # inherit the text-attach join's own partitioning (no extra
+        # exchange): one fewer full shuffle of the wide text payload —
+        # task count then comes from AQE's advisory-size coalesce of the
+        # join output, so parallelism follows data volume, not cores
+        pass
+    elif score_partitions:
         # hash repartition, never round-robin: round-robin repartition
         # locally sorts every column for determinism — on 2 KB text
         # payloads that costs 7x the scoring itself (measured)
@@ -335,61 +341,98 @@ def score_pairs(
 
     chunk_rows = int(os.environ.get("SASSY_CHUNK_ROWS", "512"))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def run_arrow(batches):
+        # Arrow-native scoring: texts reach the kernel as numpy uint8
+        # VIEWS over the Arrow string buffers — no PyUnicode
+        # materialization, no pandas object columns, no per-chunk
+        # tolist(). That object churn (2 PyUnicode + 1 bytes temp per
+        # pair, each ~2-4 KB) was measured to triple the per-worker cost
+        # at 32 concurrent workers (allocator/bandwidth contention) while
+        # being invisible at 8 — i.e., it was the scaling bottleneck, not
+        # the kernel. Pure-ASCII batches take the view path (byte ==
+        # codepoint); a batch containing any non-ASCII byte falls back to
+        # Python str per string, preserving codepoint cost semantics.
+        import pyarrow as pa
+
+        def string_views(arr: "pa.Array"):
+            if arr.null_count:
+                return arr.to_pylist()
+            bufs = arr.buffers()
+            odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            lo, hi = int(offs[0]), int(offs[-1])
+            if hi > lo and (data[lo:hi] & 0x80).any():
+                return [s.as_py() for s in arr]
+            return [data[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
+            len_a = batch.column("len_a").to_numpy()
+            len_b = batch.column("len_b").to_numpy()
+            k_eff_arr = batch.column("k_eff").to_numpy().astype(np.int64)
+            texts_a = string_views(batch.column("text_a"))
+            texts_b = string_views(batch.column("text_b"))
             # sort by text length: kernel chunks become length-homogeneous
             # -> less padding waste (the reference's length-sorting advice,
-            # src/search.rs:326-334)
-            order = np.argsort(pdf["len_b"].to_numpy(), kind="stable")
-            pdf = pdf.iloc[order]
-            for lo in range(0, len(pdf), chunk_rows):
-                ch = pdf.iloc[lo : lo + chunk_rows]
-                k_eff_arr = ch["k_eff"].to_numpy()
+            # src/search.rs:326-334); costs scatter back to input order so
+            # the url columns pass through untouched (zero copy)
+            order = np.argsort(len_b, kind="stable")
+            cost = np.empty(n, dtype=np.int64)
+            for lo in range(0, n, chunk_rows):
+                sel = order[lo : lo + chunk_rows]
+                k_sel = k_eff_arr[sel]
                 if score_mode == "containment":
-                    la = ch["len_a"].to_numpy()
-                    lb = ch["len_b"].to_numpy()
-                    shorter = np.where(la <= lb, ch["text_a"], ch["text_b"])
-                    longer = np.where(la <= lb, ch["text_b"], ch["text_a"])
+                    la, lb = len_a[sel], len_b[sel]
+                    shorter = [
+                        texts_a[i] if len_a[i] <= len_b[i] else texts_b[i]
+                        for i in sel
+                    ]
+                    longer = [
+                        texts_b[i] if len_a[i] <= len_b[i] else texts_a[i]
+                        for i in sel
+                    ]
                     res = myers.semiglobal_search(
-                        list(shorter), list(longer), int(k_eff_arr.max()),
+                        shorter, longer, int(k_sel.max()),
                         mode="best", alpha=alpha, max_overhang=max_overhang,
                     )
-                    cost = np.array(
-                        [
-                            int(c[0]) if len(c) else int(kk) + 1
-                            for (_, c), kk in zip(res, k_eff_arr)
-                        ],
-                        dtype=np.int64,
-                    )
-                    denom = np.minimum(la, lb).clip(min=1)
+                    cost[sel] = [
+                        int(c[0]) if len(c) else int(kk) + 1
+                        for (_, c), kk in zip(res, k_sel)
+                    ]
                 else:
-                    cost = myers.edit_distances(
-                        ch["text_a"].tolist(), ch["text_b"].tolist(), k=k_eff_arr
+                    cost[sel] = myers.edit_distances(
+                        [texts_a[i] for i in sel],
+                        [texts_b[i] for i in sel],
+                        k=k_sel,
                     )
-                    denom = None
-                maxlen = (
-                    denom
-                    if denom is not None
-                    else np.maximum(
-                        ch["len_a"].to_numpy(), ch["len_b"].to_numpy()
-                    ).clip(min=1)
-                )
-                yield pd.DataFrame(
-                    {
-                        "url_a": ch["url_a"].to_numpy(),
-                        "url_b": ch["url_b"].to_numpy(),
-                        "len_a": ch["len_a"].to_numpy().astype("int32"),
-                        "len_b": ch["len_b"].to_numpy().astype("int32"),
-                        "k_eff": k_eff_arr.astype("int32"),
-                        "cost": cost.astype("int32"),
-                        "normalized_cost": cost / maxlen,
-                        "is_match": cost <= k_eff_arr,
-                    }
-                )
+            denom = (
+                np.minimum(len_a, len_b)
+                if score_mode == "containment"
+                else np.maximum(len_a, len_b)
+            ).clip(min=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("url_a"),
+                    batch.column("url_b"),
+                    pa.array(len_a.astype(np.int32)),
+                    pa.array(len_b.astype(np.int32)),
+                    pa.array(k_eff_arr.astype(np.int32)),
+                    pa.array(cost.astype(np.int32)),
+                    pa.array(cost / denom),
+                    pa.array(cost <= k_eff_arr),
+                ],
+                names=[
+                    "url_a", "url_b", "len_a", "len_b", "k_eff",
+                    "cost", "normalized_cost", "is_match",
+                ],
+            )
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.mapInArrow(run_arrow, schema=out_schema)
 
 
 # --------------------------------------------------------------- pipeline

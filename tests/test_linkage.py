@@ -97,12 +97,74 @@ def test_length_prefilter_is_pushed(pages):
     pairs = linkage.candidate_pairs(keys)
     scored = linkage.score_pairs(pairs, inp, k=5)
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    udf_pos = plan.find("MapInPandas")
+    # the scoring stage is the Arrow-native node (MapInArrow), not the
+    # pandas one (the blocking stage's bandify UDF is still MapInPandas)
+    udf_pos = plan.find("MapInArrow")
     filt_pos = plan.find("Filter")
     assert udf_pos != -1 and filt_pos != -1
     # physical plans print top-down: the UDF node must appear ABOVE (before
     # in string order) the length filter it consumes from
     assert udf_pos < filt_pos, plan[:2000]
+
+
+def test_score_pairs_nonascii_codepoint_costs(spark):
+    """The Arrow zero-copy path is ASCII-only by construction; a batch
+    containing non-ASCII must fall back to str decoding so costs stay in
+    CODEPOINT units ('ééé' vs 'eee' = 3, not the 6 a byte-mode UTF-8
+    comparison would report)."""
+    from sassy_spark.operators.linkage import score_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("a", "community café garden news"),
+            ("b", "community cafe garden news"),
+            ("c", "ééé summary report"),
+            ("d", "eee summary report"),
+        ],
+        ["url", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], ["url_a", "url_b"]
+    )
+    got = {
+        (r.url_a, r.url_b): r.cost
+        for r in score_pairs(pairs, pages, k=10).collect()
+    }
+    assert got[("a", "b")] == 1
+    assert got[("c", "d")] == 3
+
+
+def test_score_pairs_ascii_view_path_matches_str_path(spark):
+    """Same costs whether texts travel as Arrow-buffer views (ASCII batch)
+    or as decoded strs (forced by appending one non-ASCII pair)."""
+    from sassy_spark.operators.linkage import score_pairs
+
+    rows = [(f"u{i}", f"the quick brown fox {i} jumps " * (3 + i % 4))
+            for i in range(20)]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    pairs = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(19)], ["url_a", "url_b"]
+    )
+    ascii_costs = {
+        (r.url_a, r.url_b): r.cost
+        for r in score_pairs(pairs, pages, k_frac=0.5).collect()
+    }
+    # force the str path for EVERY pair: single scoring partition (one
+    # Arrow batch) that also contains a scored non-ASCII pair, so the
+    # batch-level ASCII check fails and all texts decode as str
+    pages_na = pages.union(
+        spark.createDataFrame([("zz", "café " * 10)], ["url", "text"])
+    )
+    pairs_na = pairs.union(
+        spark.createDataFrame([("u0", "zz")], ["url_a", "url_b"])
+    )
+    str_costs = {
+        (r.url_a, r.url_b): r.cost
+        for r in score_pairs(
+            pairs_na, pages_na, k_frac=0.5, score_partitions=1
+        ).collect()
+    }
+    assert all(str_costs[p] == c for p, c in ascii_costs.items())
 
 
 def test_containment_scoring(spark):

@@ -191,12 +191,18 @@ def measure(n_procs: int, n_pairs: int, background: int = 0) -> dict:
 
 
 def _pulse_probe(stop_evt, q):
-    """Low-duty-cycle machine-dilation monitor: every ~50 ms run one fixed
-    ~1-2 ms arithmetic burst and record (timestamp, burst_duration). Burst
-    durations measure host dilation INSIDE a measured window with ~50 ms
-    resolution at <5% duty cycle (negligible contention), so a co-tenant
-    spike that lands in one window but not the other is detected rather
-    than silently read as bad scaling."""
+    """Low-duty-cycle machine-dilation monitor: every ~50 ms run (a) one
+    fixed ~1-2 ms arithmetic burst and (b) one page-fault burst (mmap 2 MB
+    anonymous, touch every page, munmap), recording
+    (timestamp, arith_duration, fault_duration). The arithmetic burst
+    senses frequency/scheduling dilation; the fault burst senses the
+    memory-management path (mmap/fault serialization — on this sandbox VM
+    concurrent first-touch faults serialize box-wide, so an mm-side storm
+    can crush a Spark job while pure arithmetic reads calm). A co-tenant
+    spike on EITHER axis that lands in one window but not the other is
+    detected rather than silently read as bad scaling. <5% duty cycle."""
+    import mmap as _mmap
+
     import numpy as np
 
     x = np.arange(1 << 13, dtype=np.uint64)
@@ -207,20 +213,34 @@ def _pulse_probe(stop_evt, q):
             np.multiply(x, np.uint64(0x9E3779B97F4A7C15), out=y)
             np.bitwise_xor(y, x, out=y)
 
+    def fault_burst() -> float:
+        t = time.time()
+        m = _mmap.mmap(-1, 2 << 20)
+        try:
+            for off in range(0, 2 << 20, 4096):
+                m[off] = 1
+        finally:
+            m.close()
+        return time.time() - t
+
     for _ in range(20):  # warmup
         burst()
+    fault_burst()
     samples = []
     while not stop_evt.is_set():
         t = time.time()
         burst()
-        samples.append((t, time.time() - t))
+        a_dur = time.time() - t
+        f_dur = fault_burst()
+        samples.append((t, a_dur, f_dur))
         time.sleep(0.05)
     q.put(samples)
 
 
-def _probe_median(samples, t0: float, t1: float) -> float | None:
-    """Median burst duration among probe samples inside [t0, t1]."""
-    inside = [d for (t, d) in samples if t0 <= t <= t1]
+def _probe_median(samples, t0: float, t1: float, idx: int = 1) -> float | None:
+    """Median burst duration among probe samples inside [t0, t1].
+    idx=1 -> arithmetic burst, idx=2 -> page-fault burst."""
+    inside = [s[idx] for s in samples if t0 <= s[0] <= t1]
     if len(inside) < 5:
         return None
     return statistics.median(inside)
@@ -316,15 +336,22 @@ def run_protocol(
         probe.join()
         p_lo = _probe_median(probe_samples, r_lo["t0"], r_lo["t1"])
         p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
+        f_lo = _probe_median(probe_samples, r_lo["t0"], r_lo["t1"], idx=2)
+        f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
         # validity rule (stated, applied uniformly): a rep counts only if
-        # the machine-dilation probe agrees across the two compared
-        # windows within 20% — otherwise a co-tenant spike hit one window
-        # and the ratio measures the spike, not the algorithm. Discarded
-        # reps are recorded with their probe readings.
+        # BOTH machine-dilation probes agree across the two compared
+        # windows — arithmetic within 20%, page-fault path within 2x
+        # (fault latency is noisier but storms move it 10-50x) —
+        # otherwise a co-tenant spike hit one window and the ratio
+        # measures the spike, not the algorithm. Discarded reps are
+        # recorded with their probe readings.
         valid = (
             p_lo is not None
             and p_hi is not None
             and max(p_lo, p_hi) / max(min(p_lo, p_hi), 1e-9) <= 1.20
+            and f_lo is not None
+            and f_hi is not None
+            and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
         )
         eff = (
             r_hi["aggregate_pairs_per_sec"] / r_lo["aggregate_pairs_per_sec"]
@@ -340,6 +367,8 @@ def run_protocol(
             "eff_window": round(eff_window, 3),
             "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
             "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
+            "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
+            "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
         }
         if valid:
             samples.append(entry)
