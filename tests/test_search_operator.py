@@ -125,13 +125,17 @@ def test_end_filter_skips_traceback(monkeypatch):
     import sassy_spark.operators.search as search_mod
 
     calls = {"n": 0}
-    real_tb = search_mod.myers.traceback
+    real_tb = search_mod.myers.traceback_batch
 
-    def counting_tb(*a, **kw):
-        calls["n"] += 1
-        return real_tb(*a, **kw)
+    def counting_tb(patterns, texts, ends, costs, **kw):
+        # count MATCHES traced, not calls: traceback is batch-vectorized
+        # (one traceback_batch call per Arrow chunk covers every
+        # surviving end), so the skip property is "ends dropped by the
+        # filter never enter the batch"
+        calls["n"] += len(ends)
+        return real_tb(patterns, texts, ends, costs, **kw)
 
-    monkeypatch.setattr(search_mod.myers, "traceback", counting_tb)
+    monkeypatch.setattr(search_mod.myers, "traceback_batch", counting_tb)
     pdf = pd.DataFrame(
         {
             "text_id": ["t1", "t2"],
