@@ -147,10 +147,11 @@ def main() -> None:
         }
         out["kernel_scaling_efficiency_8_to_32"] = same["efficiency_median"]
 
-    # Spark-level same-conditions scaling (north metric #3, the ENGINE):
-    # the real score_pairs stage (join + repartition + Arrow + mapInPandas
-    # kernel) in fresh JVMs at local[8]+24 burners vs local[32], same
-    # parquet input, scoring action only. Costs ~2 JVM starts per rep.
+    # Spark-level capacity-normalized scaling (north metric #3, the
+    # ENGINE): the real score_pairs stage (join + repartition + Arrow +
+    # mapInPandas kernel) as 4 CONCURRENT fresh-JVM local[8] engines
+    # (barrier-synced measured passes) vs one local[32] engine on the
+    # same parquet input, scoring action only. ~5 JVM starts per rep.
     if os.environ.get("SASSY_BENCH_SPARK_SCALING", "1") == "1":
         from spark_scaling import run_protocol as spark_run_protocol
 
@@ -159,9 +160,14 @@ def main() -> None:
             int(os.environ.get("SASSY_BENCH_SPARK_REPEATS", "3")),
         )
         out["spark_scaling"] = {
-            "protocol": "tools/spark_scaling.py (score_pairs stage, fresh "
-            "JVM per run, occupancy-normalized: local[8]+24 kernel burners "
-            "vs local[32]; same probe contamination rule)",
+            "protocol": "tools/spark_scaling.py (score_pairs stage, "
+            "capacity-normalized strong scaling: 4 concurrent fresh-JVM "
+            "local[8] engines, barrier-synced, vs one local[32] engine on "
+            "the same input; efficiency = hi pairs/s over the SUM of the "
+            "concurrent engines' pairs/s; contamination rules: two-axis "
+            "pulse-probe agreement (arith 20%, fault 2x) AND efficiency "
+            "<= 1.15 — super-unity reps are discarded as lo-window "
+            "dilation evidence)",
             "n_pairs": ss["n_pairs"],
             "efficiency_median_8_to_32": ss["efficiency_median"],
             "efficiency_min": ss["efficiency_min"],

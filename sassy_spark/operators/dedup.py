@@ -151,6 +151,10 @@ def minhash_lsh_candidates(
     bk = band_keys.join(sizes, "bucket").where(
         (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
     )
+    # eager persist: bk feeds BOTH sides of the bucket self-join — without
+    # it the explode + size-agg + join subtree (2 shuffles) runs twice
+    bk = bk.persist(StorageLevel.MEMORY_AND_DISK)
+    bk.count()
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, "bucket")
@@ -181,6 +185,7 @@ def minhash_lsh_candidates(
         )
     cand = stage_parquet(cand, candidates_out, "minhash_cand")
     sigs.unpersist()
+    bk.unpersist()
     return cand
 
 
@@ -263,13 +268,22 @@ def ngram_jaccard_verify(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # normalize is bound in its OWN projection before the gram transform:
+    # inlined into the higher-order-function lambda (via text.substr),
+    # Catalyst re-evaluates the regexp PER GRAM ELEMENT — measured 10x the
+    # whole gram-build cost at sf0.1 (20.2s -> 2.0s). CollapseProject keeps
+    # the split because _norm is non-cheap and referenced more than once
+    # (sequence length + lambda body).
     g = docs.join(
         ids, docs[id_col] == ids["id"], "left_semi"
     ).select(
         F.col(id_col).alias("id"),
+        normalize(F.col(text_col)).alias("_norm"),
+    ).select(
+        "id",
         F.array_distinct(
             F.transform(
-                char_ngrams(normalize(F.col(text_col)), ngram),
+                char_ngrams(F.col("_norm"), ngram),
                 lambda s: F.xxhash64(s),
             )
         ).alias("grams"),

@@ -387,7 +387,6 @@ def score_pairs(
                 sel = order[lo : lo + chunk_rows]
                 k_sel = k_eff_arr[sel]
                 if score_mode == "containment":
-                    la, lb = len_a[sel], len_b[sel]
                     shorter = [
                         texts_a[i] if len_a[i] <= len_b[i] else texts_b[i]
                         for i in sel

@@ -120,6 +120,91 @@ def hyperplane_bucket(
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
+def _reservoir_sample_vectors(
+    df: DataFrame, vec_col: str, train_sample: int, seed: int
+) -> np.ndarray:
+    """Uniform sample of ~``train_sample`` vectors in ONE corpus scan — no
+    ``count()`` pre-pass (round-3 "What's wrong" #4 dropped it): each
+    partition keeps a vectorized Algorithm-R reservoir (capped at a quota
+    sized from the partition count) plus its exact row count, and the
+    driver merges reservoirs with largest-remainder apportionment by the
+    true per-partition counts. Uniform within each partition by Algorithm
+    R's invariant; across partitions, exact as long as no partition's fair
+    share exceeds its quota (4x the mean partition size — beyond that the
+    overflowing partition is slightly under-weighted, harmless for k-means
+    training)."""
+    from typing import Iterator
+
+    src = df.select(F.col(vec_col).alias("v"))
+    # planning only — building the RDD lineage runs no job
+    n_parts = max(1, src.rdd.getNumPartitions())
+    quota = max(256, -(-4 * train_sample // n_parts))
+
+    def reservoir(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rng = np.random.default_rng([seed, pid])
+        res: list[object] = []
+        n_seen = 0
+        for pdf in batches:
+            vals = pdf["v"].to_numpy()
+            m = len(vals)
+            if m == 0:
+                continue
+            fill = min(quota - len(res), m) if len(res) < quota else 0
+            res.extend(vals[:fill])
+            rest = vals[fill:]
+            n_seen += fill
+            if len(rest):
+                # vectorized Algorithm R: element t (1-indexed stream pos)
+                # enters with prob quota/t into a uniform slot; in-order
+                # fancy assignment == sequential replacement
+                t = np.arange(n_seen + 1, n_seen + len(rest) + 1)
+                accept = rng.random(len(rest)) < (quota / t)
+                slots = rng.integers(0, quota, size=int(accept.sum()))
+                taken = rest[accept]
+                for s, val in zip(slots, taken):
+                    res[s] = val
+                n_seen += len(rest)
+        yield pd.DataFrame(
+            {
+                "pid": np.full(len(res), pid, dtype=np.int32),
+                "n_local": np.full(len(res), n_seen, dtype=np.int64),
+                "v": res,
+            }
+        )
+
+    vt = df.schema[vec_col].dataType.simpleString()
+    pdf = src.mapInPandas(
+        reservoir, schema=f"pid int, n_local bigint, v {vt}"
+    ).toPandas()
+    if len(pdf) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    groups = {
+        int(pid): g for pid, g in pdf.groupby("pid", sort=True)
+    }
+    counts = {pid: int(g["n_local"].iloc[0]) for pid, g in groups.items()}
+    total = sum(counts.values())
+    want = min(train_sample, total)
+    # largest-remainder apportionment of `want` draws by true counts
+    exact = {pid: want * c / total for pid, c in counts.items()}
+    draws = {pid: int(x) for pid, x in exact.items()}
+    short = want - sum(draws.values())
+    for pid, _ in sorted(
+        exact.items(), key=lambda kv: kv[1] - int(kv[1]), reverse=True
+    )[:short]:
+        draws[pid] += 1
+    picked = []
+    for pid, g in groups.items():
+        d = min(draws.get(pid, 0), len(g))
+        if d > 0:
+            idx = rng.choice(len(g), size=d, replace=False)
+            picked.extend(g["v"].to_numpy()[idx])
+    return np.stack(picked).astype(np.float64)
+
+
 def _train_centroids(
     mat: np.ndarray, n_centroids: int, seed: int, iters: int = 12
 ) -> np.ndarray:
@@ -150,10 +235,19 @@ def _rerank_pairs(
     id_col: str,
     vec_col: str,
     query_id: str,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact-cosine re-rank of gated (query_id, id) candidate pairs:
     join the embedding payloads back in (only for survivors), score
-    JVM-side, window top-k per query. Shared by the LSH and IVF paths."""
+    JVM-side, window top-k per query. Shared by the LSH and IVF paths.
+
+    ``round_to``: quantize the cosine to this many decimals BEFORE the
+    rank window, so an engine recomputing the re-rank with a different
+    float summation order (the DuckDB oracle) ranks near-ties at the
+    top-k boundary identically (ADVICE r03)."""
+    score = cosine_expr(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
     cand = (
         pairs.join(
             corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), id_col
@@ -162,11 +256,7 @@ def _rerank_pairs(
             queries.select(F.col(query_id), F.col(vec_col).alias("_qv")),
             query_id,
         )
-        .select(
-            query_id,
-            id_col,
-            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+        .select(query_id, id_col, score.alias("cosine"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -190,6 +280,7 @@ def ivf_topk(
     seed: int = 42,
     train_sample: int = 20000,
     candidates_out: str | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path: a spherical k-means quantizer (trained on a bounded driver-side
@@ -203,26 +294,17 @@ def ivf_topk(
     of it. Partition/bucket the assigned table by cell for repeated
     query workloads.
 
-    The quantizer trains on a uniform ``df.sample`` of the corpus, NOT
-    ``limit()`` — limit takes whichever partitions answer first (in
-    practice the head of the corpus), so on data sorted/clustered by
-    region the centroids would see one region and recall silently
-    degrades. The sample fraction costs one extra count scan, paid once
-    per quantizer build.
+    The quantizer trains on a UNIFORM single-pass reservoir sample of the
+    corpus (:func:`_reservoir_sample_vectors`) — NOT ``limit()`` (head
+    bias: on data sorted/clustered by region the centroids would see one
+    region and recall silently degrades) and NOT ``count()+sample()``
+    (a second full corpus scan per quantizer build).
 
     ``candidates_out``: optional parquet handoff of the gated
     (query_id, id) candidate set before the exact re-rank (q39's oracle
     recomputes the re-rank on the same set).
     """
-    n_corpus = corpus.count()
-    frac = min(1.0, (train_sample * 1.2) / max(n_corpus, 1))
-    sample = (
-        corpus.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .limit(train_sample)
-        .toPandas()
-    )
-    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = _reservoir_sample_vectors(corpus, vec_col, train_sample, seed)
     cent = _train_centroids(mat, n_centroids, seed)
     cent_t = cent.T  # (dim, k)
 
@@ -267,7 +349,9 @@ def ivf_topk(
         from .staging import stage_parquet
 
         pairs = stage_parquet(pairs, candidates_out, "ivf_ann_cand")
-    return _rerank_pairs(pairs, corpus, queries, k, id_col, vec_col, query_id)
+    return _rerank_pairs(
+        pairs, corpus, queries, k, id_col, vec_col, query_id, round_to
+    )
 
 
 def lsh_topk(
@@ -281,6 +365,7 @@ def lsh_topk(
     seed: int = 42,
     multiprobe: int = 1,
     candidates_out: str | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket (+ multiprobe:
     also probe every bucket within Hamming distance ``multiprobe`` of the
@@ -322,4 +407,6 @@ def lsh_topk(
         from .staging import stage_parquet
 
         pairs = stage_parquet(pairs, candidates_out, "lsh_ann_cand")
-    return _rerank_pairs(pairs, corpus, queries, k, id_col, vec_col, query_id)
+    return _rerank_pairs(
+        pairs, corpus, queries, k, id_col, vec_col, query_id, round_to
+    )

@@ -149,14 +149,17 @@ def test_score_pairs_ascii_view_path_matches_str_path(spark):
         (r.url_a, r.url_b): r.cost
         for r in score_pairs(pairs, pages, k_frac=0.5).collect()
     }
-    # force the str path for EVERY pair: single scoring partition (one
-    # Arrow batch) that also contains a scored non-ASCII pair, so the
-    # batch-level ASCII check fails and all texts decode as str
+    # force the str path for EVERY pair in BOTH columns: the ASCII check
+    # in string_views is per-column, so the non-ASCII text must appear in
+    # text_a AND text_b (one scored pair each way round) within the single
+    # scoring partition (one Arrow batch) for both columns to decode as str
     pages_na = pages.union(
         spark.createDataFrame([("zz", "café " * 10)], ["url", "text"])
     )
     pairs_na = pairs.union(
-        spark.createDataFrame([("u0", "zz")], ["url_a", "url_b"])
+        spark.createDataFrame(
+            [("u0", "zz"), ("zz", "u1")], ["url_a", "url_b"]
+        )
     )
     str_costs = {
         (r.url_a, r.url_b): r.cost

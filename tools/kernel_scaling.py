@@ -200,7 +200,8 @@ def _pulse_probe(stop_evt, q):
     concurrent first-touch faults serialize box-wide, so an mm-side storm
     can crush a Spark job while pure arithmetic reads calm). A co-tenant
     spike on EITHER axis that lands in one window but not the other is
-    detected rather than silently read as bad scaling. <5% duty cycle."""
+    detected rather than silently read as bad scaling. Both bursts
+    together are ~2-4 ms per ~50 ms cycle (<10% duty)."""
     import mmap as _mmap
 
     import numpy as np
@@ -213,11 +214,24 @@ def _pulse_probe(stop_evt, q):
             np.multiply(x, np.uint64(0x9E3779B97F4A7C15), out=y)
             np.bitwise_xor(y, x, out=y)
 
+    # 4 MB region + MADV_NOHUGEPAGE: on THP-enabled hosts a 2 MB
+    # anonymous mapping can be backed by ONE huge page (~1 fault), which
+    # would blind the probe to the mm-storm contamination it exists to
+    # detect (ADVICE r03); NOHUGEPAGE forces 4 KB pages -> ~1024 real
+    # first-touch faults per burst
+    _FAULT_BYTES = 4 << 20
+    _NOHUGE = getattr(_mmap, "MADV_NOHUGEPAGE", None)
+
     def fault_burst() -> float:
         t = time.time()
-        m = _mmap.mmap(-1, 2 << 20)
+        m = _mmap.mmap(-1, _FAULT_BYTES)
         try:
-            for off in range(0, 2 << 20, 4096):
+            if _NOHUGE is not None:
+                try:
+                    m.madvise(_NOHUGE)
+                except OSError:
+                    pass
+            for off in range(0, _FAULT_BYTES, 4096):
                 m[off] = 1
         finally:
             m.close()
