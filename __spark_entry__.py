@@ -967,6 +967,94 @@ def _q40_rc_search(spark, sf):
     )
 
 
+def _q41_overhang_scores(spark, sf):
+    """K12 alpha-overhang scoring driver oracle (round-3 missing #2),
+    closed form: needle = the document's LAST 30 chars with 'a'->'z'
+    (n_z forced substitutions — 'z' never occurs in the corpus, the q24
+    construction) plus d = doc_id % 6 trailing 'z's positioned to hang
+    past the text end. Minimal containment cost = n_z + floor(alpha*d):
+    hanging all d trailing 'z's costs floor(0.5*d) — cheaper than the
+    >= 1-per-char substitution/deletion of aligning any of them inside
+    the text (floor(alpha*d) <= floor(alpha*(d-1)) + 1 for alpha <= 1)
+    — and the 30-char block embeds at its original offset for exactly
+    n_z. Exercises score_pairs(score_mode='containment', alpha=0.5) ->
+    the kernel's overhang column-0 init (kernel/myers.py:372-380,
+    reference src/search.rs:1694-1748). Cost capped at k_eff+1 like the
+    kernel; the oracle replicates the cap."""
+    from sassy_spark.operators import linkage
+
+    d = _load(spark, sf, "documents").where(F.length("text") >= 40)
+    tail = F.expr("substring(text, length(text) - 29, 30)")
+    needles = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_n")).alias("url"),
+        F.concat(
+            F.translate(tail, "a", "z"),
+            F.repeat(F.lit("z"), (F.col("doc_id") % 6).cast("int")),
+        ).alias("text"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    ).unionByName(needles)
+    pairs = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_n")).alias("url_a"),
+        F.col("doc_id").cast("string").alias("url_b"),
+    )
+    out = linkage.score_pairs(
+        pairs, pages, k_frac=0.5, score_mode="containment", alpha=0.5
+    )
+    return out.select(
+        F.col("url_b").cast("long").alias("doc_id"),
+        F.col("cost").cast("long").alias("overhang_cost"),
+    )
+
+
+def _q42_crispr_search(spark, sf):
+    """Composed crispr_search verb driver oracle (round-3 missing #3):
+    IUPAC guide 'catngg' (body 'cat' + ambiguous base + PAM 'ngg') at
+    k=1 on BOTH strands over a PLANTED corpus with a closed-form
+    expectation. Each doc (ids drive the plant; text unused) is
+    x-junk-separated sites ('x' has the empty IUPAC class — matches
+    nothing, kernel/profiles.py:38 — so alignments cannot leak across
+    sites and every optimal traceback start is unique):
+
+      J(20) + S1 + J(20) + S2 + J(20) + S3 + J(20)
+      S1 '+'-site  'catagg' (r1 = doc_id%2 body chars -> 'x')
+      S2 '-'-site  'cctatg' = revcomp('catagg') (r2 = (doc_id//2)%2
+                   mutations in its non-PAM chars)
+      S3 broken-PAM 'catatt' (exact body, PAM fails -> must NOT match)
+
+    Expected rows: '+' emits exactly (end=26, cost=r1) — neighbor ends
+    are killed by the PRE-trace PAM end_filter (text[e-2:e] must be
+    'gg'); '-' has no pre-trace filter, so the post-trace PAM verify
+    (region[:3] ~ 'ccn') admits the cost-1 NEIGHBOR ends of a perfect
+    site: r2=0 emits (51,1),(52,0),(53,1); r2=1 emits only (52,1). The
+    oracle enumerates this closed form from doc_id arithmetic — a single
+    wrong end_filter, strand map, PAM complement, or IUPAC class breaks
+    the row set. Reference bin/crispr.rs:145-269."""
+    from sassy_spark.operators.search import crispr_search
+
+    d = _load(spark, sf, "documents")
+    j = "x" * 20
+    r1 = (F.col("doc_id") % 2).cast("int")
+    r2 = ((F.col("doc_id") / 2).cast("long") % 2).cast("int")
+    s1 = F.when(r1 == 1, F.lit("cxtagg")).otherwise(F.lit("catagg"))
+    s2 = F.when(r2 == 1, F.lit("cctaxg")).otherwise(F.lit("cctatg"))
+    texts = d.select(
+        F.col("doc_id").cast("string").alias("text_id"),
+        F.concat(
+            F.lit(j), s1, F.lit(j), s2, F.lit(j), F.lit("catatt"), F.lit(j)
+        ).alias("text"),
+    )
+    guides = spark.createDataFrame([("g1", "catngg")], ["pat_id", "pattern"])
+    m = crispr_search(guides, texts, k=1, pam_length=3, rc=True)
+    return m.select(
+        F.col("text_id").cast("long").alias("doc_id"),
+        F.col("end").cast("long").alias("end"),
+        F.col("cost").cast("long").alias("cost"),
+        "strand",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1009,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_ann_lsh_topk": _q38_ann_lsh_topk,
         "q39_ann_ivf_topk": _q39_ann_ivf_topk,
         "q40_rc_search": _q40_rc_search,
+        "q41_overhang_scores": _q41_overhang_scores,
+        "q42_crispr_search": _q42_crispr_search,
     }
 
 
@@ -1547,5 +1637,52 @@ def oracle_sql() -> dict[str, str]:
                        AS g(i)
               WHERE substr(d.t, CAST(g.i AS INT), 4) IN ('atta', 'taat'))
             SELECT doc_id, "end", strand FROM hits
+        """,
+        "q41_overhang_scores": """
+            -- closed-form alpha-overhang expectation: needle = last 30
+            -- chars with 'a'->'z' (n_z forced substitutions) + (doc_id%6)
+            -- trailing 'z's hanging past the text end at alpha=0.5 ->
+            -- cost = n_z + floor(0.5*d). The k_eff cap (>= 16) never
+            -- binds: max n_z + floor(0.5*5) = 10 on these fixtures.
+            WITH src AS (
+              SELECT doc_id,
+                     substr(text, length(text) - 29, 30) AS tail,
+                     doc_id % 6 AS d
+              FROM documents WHERE length(text) >= 40)
+            SELECT doc_id,
+                   CAST(length(tail) - length(replace(tail, 'a', ''))
+                        + floor(0.5 * d) AS BIGINT) AS overhang_cost
+            FROM src
+        """,
+        "q42_crispr_search": """
+            -- closed-form planted expectation for the composed
+            -- crispr_search verb (guide 'catngg', k=1, both strands; see
+            -- _q42_crispr_search for the plant layout and why every
+            -- optimal traceback start is unique): '+' emits exactly
+            -- (26, r1) — neighbor ends fail the pre-trace PAM suffix
+            -- filter; '-' (no pre-trace filter, PAM complement verified
+            -- post-trace at region start) emits the cost-1 neighbor ends
+            -- of a perfect site: r2=0 -> (51,1),(52,0),(53,1); r2=1 ->
+            -- (52,1). The broken-PAM site S3 must emit NOTHING.
+            WITH r AS (
+              SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS r1,
+                     CAST((doc_id // 2) % 2 AS BIGINT) AS r2
+              FROM documents),
+            plus_rows AS (
+              SELECT doc_id, CAST(26 AS BIGINT) AS "end", r1 AS cost,
+                     '+' AS strand
+              FROM r),
+            minus_perfect AS (
+              SELECT doc_id, CAST(v.e AS BIGINT) AS "end",
+                     CAST(v.c AS BIGINT) AS cost, '-' AS strand
+              FROM r, (VALUES (51, 1), (52, 0), (53, 1)) AS v(e, c)
+              WHERE r2 = 0),
+            minus_mut AS (
+              SELECT doc_id, CAST(52 AS BIGINT) AS "end",
+                     CAST(1 AS BIGINT) AS cost, '-' AS strand
+              FROM r WHERE r2 = 1)
+            SELECT * FROM plus_rows
+            UNION ALL SELECT * FROM minus_perfect
+            UNION ALL SELECT * FROM minus_mut
         """,
     }
