@@ -46,7 +46,11 @@ Semantics intentionally mirror the reference (RagnarGrootKoerkamp/sassy):
   alignments with cost <= k (minus "clearly inefficient" ones); this
   engine enumerates exactly the cost-minimal paths per end position
   (which automatically excludes the reference's filtered sub->ins+del
-  rewrites, since those cost strictly more).
+  rewrites, since those cost strictly more). On cases where every
+  reference alignment is cost-minimal the two enumerations coincide
+  exactly — pinned by the reference's own combinatorial count
+  (src/search.rs:1841-1853, C(8,3)=56 paths:
+  tests/test_search_operator.py::test_all_alignments_combinatorial_count).
 
 No code is copied from the reference; the recurrence follows the
 published algorithm (G. Myers, JACM 46(3), 1999; H. Hyyro, 2003).

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The decode kernels (PIL/ffmpeg/librosa) are NOT in this container, so the
-byte-level decoders are stubbed behind ``SASSY_FAKE_DECODE`` — a
-deterministic fake that produces stable pseudo-features from the bytes —
-or raise NotImplementedError when a real decode is demanded. Everything
-Spark-side (schemas, batch iteration, partitioning, UDF signatures) is
-real and tested: swapping in a real decoder is a one-function change.
+IMAGE decode is REAL for PNG and BMP: the pure-python codec in
+``functions/imagecodec.py`` (zlib + struct, no PIL) decodes, resizes
+(nearest-neighbor), and re-encodes payloads, and features come from the
+decoded pixels (luminance histogram). Formats beyond that coverage
+(JPEG/WebP/video/audio — these genuinely need PIL/ffmpeg, absent from
+this container) fall back to the deterministic fake behind
+``SASSY_FAKE_DECODE`` or raise NotImplementedError when a real decode is
+demanded. Everything Spark-side (schemas, batch iteration, partitioning,
+UDF signatures) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -44,23 +47,58 @@ def _fake_feature(payload: bytes, dim: int = 32) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _decode_image(payload: bytes):
+    """(H, W, C) uint8 for PNG/BMP payloads, None for anything else
+    (caller decides fake-vs-raise for the rest)."""
+    from ..functions.imagecodec import (
+        UnsupportedImageError,
+        decode_bmp,
+        decode_png,
+        sniff_format,
+    )
+
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "png":
+            return decode_png(payload)
+        if fmt == "bmp":
+            return decode_bmp(payload)
+    except UnsupportedImageError:
+        return None
+    return None
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, batch_hint: int | None = None
 ) -> DataFrame:
     """binary payload -> feature vector, Arrow-batched. Real pipeline shape:
-    one pass, no shuffle, output co-partitioned with input."""
+    one pass, no shuffle, output co-partitioned with input.
+
+    PNG/BMP payloads get a REAL decode-backed feature (L1-normalized
+    ``dim``-bin luminance histogram of the decoded pixels); other
+    payloads use the deterministic fake (or raise when
+    ``SASSY_FAKE_DECODE=0``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not _fake_decode_allowed():
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg — not in this image; "
-                "set SASSY_FAKE_DECODE=1 for the deterministic fake"
-            )
+        from ..functions.imagecodec import gray_histogram
+
         for pdf in batches:
-            feats = [
-                _fake_feature(bytes(p), dim) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                arr = _decode_image(bytes(p))
+                if arr is not None:
+                    feats.append(gray_histogram(arr, bins=dim))
+                elif _fake_decode_allowed():
+                    feats.append(_fake_feature(bytes(p), dim))
+                else:
+                    raise NotImplementedError(
+                        "real decode beyond PNG/BMP requires PIL/ffmpeg — "
+                        "not in this image; set SASSY_FAKE_DECODE=1 for the "
+                        "deterministic fake"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -130,18 +168,19 @@ def resize_images(
     through untouched. Same schema in and out, so resize composes with
     the rest of the media pipeline.
 
-    Decode/encode is the stubbed step (no PIL in this container): the
-    deterministic fake derives the resized payload from the original
-    bytes + target dims, so the Spark-side contract — metadata math,
-    pass-through behavior, schema stability, batch shape — is fully
-    real and tested."""
+    PNG/BMP payloads take the REAL path: decode (pure-python codec),
+    nearest-neighbor resample, re-encode in the SAME container format.
+    Other image formats fall back to the deterministic fake payload (or
+    raise when ``SASSY_FAKE_DECODE=0``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not _fake_decode_allowed():
-            raise NotImplementedError(
-                "real image decode requires PIL — not in this image; set "
-                "SASSY_FAKE_DECODE=1 for the deterministic fake"
-            )
+        from ..functions.imagecodec import (
+            encode_bmp,
+            encode_png,
+            resize_nearest,
+            sniff_format,
+        )
+
         for pdf in batches:
             out_payload, out_w, out_h = [], [], []
             for kind, payload, w, h in zip(
@@ -161,11 +200,26 @@ def resize_images(
                 scale = max_side / max(int(w), int(h))
                 nw = max(1, round(int(w) * scale))
                 nh = max(1, round(int(h) * scale))
-                fake = _fake_feature(
-                    bytes(payload) + nw.to_bytes(4, "little") + nh.to_bytes(4, "little"),
-                    dim=64,
-                )
-                out_payload.append(bytearray(fake.tobytes()))
+                raw = bytes(payload)
+                arr = _decode_image(raw)
+                if arr is not None:
+                    resized = resize_nearest(arr, nw, nh)
+                    if sniff_format(raw) == "bmp":
+                        enc = encode_bmp(resized)
+                    else:
+                        enc = encode_png(resized)
+                    out_payload.append(bytearray(enc))
+                elif _fake_decode_allowed():
+                    fake = _fake_feature(
+                        raw + nw.to_bytes(4, "little") + nh.to_bytes(4, "little"),
+                        dim=64,
+                    )
+                    out_payload.append(bytearray(fake.tobytes()))
+                else:
+                    raise NotImplementedError(
+                        "real decode beyond PNG/BMP requires PIL — set "
+                        "SASSY_FAKE_DECODE=1 for the deterministic fake"
+                    )
                 out_w.append(nw)
                 out_h.append(nh)
             yield pd.DataFrame(
@@ -184,13 +238,34 @@ def resize_images(
 
 
 def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (binary payloads with
-    plausible metadata)."""
+    """Deterministic media table for tests. IMAGE payloads are REAL
+    encoded PNGs (even image index) / BMPs (odd) — gradient + noise
+    pixels, metadata width/height = the actual encoded dimensions — so
+    the decode-backed feature/resize paths are exercised end-to-end.
+    Audio/video payloads stay opaque random bytes (no pure-python codec
+    for those; the fake path covers them)."""
+    from ..functions.imagecodec import encode_bmp, encode_png
+
     rows = []
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        if kind == "image":
+            w = int(rng.integers(16, 400))
+            h = int(rng.integers(16, 400))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+            noise = rng.integers(0, 32, (h, w, 3), dtype=np.uint8)
+            arr = (base[:, :, None] + noise).astype(np.uint8)
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_png(arr), "image/png"
+            else:
+                payload, mime = encode_bmp(arr), "image/bmp"
+            rows.append(
+                (f"m{i:05d}", kind, bytearray(payload), mime, w, h, None)
+            )
+            continue
         payload = rng.integers(0, 256, int(rng.integers(64, 2048))).astype(
             np.uint8
         ).tobytes()
@@ -199,10 +274,10 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 f"m{i:05d}",
                 kind,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 1920)) if kind != "audio" else None,
-                int(rng.integers(16, 1080)) if kind != "audio" else None,
-                int(rng.integers(500, 60000)) if kind != "image" else None,
+                {"audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 1920)) if kind == "video" else None,
+                int(rng.integers(16, 1080)) if kind == "video" else None,
+                int(rng.integers(500, 60000)),
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -82,7 +82,12 @@ def search(
     mode: 'local_minima' (reference default search), 'all' (search_all),
     'best' (only_best_match), 'all_alignments' (search_all_alignments:
     every distinct cost-minimal alignment per end position — rows share
-    (pat_id, text_id, cost, end) and differ in start/cigar).
+    (pat_id, text_id, cost, end) and differ in start/cigar). NOTE the
+    documented deviation: the reference additionally enumerates bounded
+    SUBOPTIMAL alignments with cost <= k; this engine enumerates exactly
+    the cost-minimal paths per end (identical output whenever every
+    reference alignment is cost-minimal — pinned by the C(8,3)=56
+    combinatorial-count test; see kernel/myers.py module doc).
     ``with_trace=False`` mirrors without_trace (src/search.rs:448-451):
     skips traceback, cigar/start/match_region null.
     ``rc=True`` also reports reverse-complement-strand matches

@@ -191,6 +191,35 @@ def test_all_alignments_mode(spark):
     assert set(by_end) == all_ends
 
 
+def test_all_alignments_combinatorial_count(spark):
+    """K7 enumeration parity pin (round-3 missing #4), the reference's own
+    closed-form case (src/search.rs:1841-1853): pattern 'a'*8 vs text
+    'a'*5 at k=3 has exactly C(8,3) = 56 alignments — choose which 3 of
+    the 8 pattern chars are unaligned insertions. All 56 are COST-MINIMAL
+    (cost 3 = the length difference, only end=5 reaches cost <= k), so on
+    this case the engine's cost-minimal enumeration and the reference's
+    bounded-suboptimal enumeration coincide exactly — the documented
+    deviation (kernel/myers.py module doc) is pinned to affect only
+    strictly-suboptimal paths."""
+    import math
+
+    from sassy_spark.kernel.myers import all_optimal_tracebacks
+
+    paths = all_optimal_tracebacks("a" * 8, "a" * 5, end=5, cost=3, max_paths=200)
+    assert len(paths) == math.comb(8, 3) == 56
+    assert len(set(paths)) == 56  # all distinct (start, cigar)
+    assert all(s == 0 for s, _ in paths)
+
+    # same count through the operator surface (mode='all_alignments');
+    # max_paths default 64 > 56 so the cap does not bind
+    pats = spark.createDataFrame([("p", "a" * 8)], ["pat_id", "pattern"])
+    txts = spark.createDataFrame([("t", "a" * 5)], ["text_id", "text"])
+    rows = search(pats, txts, k=3, mode="all_alignments").collect()
+    assert len(rows) == 56
+    assert {(r.cost, r.end) for r in rows} == {(3, 5)}
+    assert len({r.cigar for r in rows}) == 56
+
+
 def test_nonascii_offsets_and_region(spark):
     """Byte/char offset regression: start/end must be CHARACTER offsets for
     non-ASCII text (round-1 VERDICT bug: str sliced by byte offsets)."""
