@@ -110,6 +110,89 @@ def read_warc(
     return df
 
 
+def _warc_record(u: str, h: bytes, ts: str) -> bytes:
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + h
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Target-URI: {u}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode()
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def export_warc(
+    df: DataFrame,
+    path: str,
+    url: str = "url",
+    html: str = "html",
+    ts: str | None = None,
+) -> dict:
+    """Transactional WARC export (round-3 "What's missing" #5): ONE file
+    per input partition, committed by write-to-temp + atomic rename with
+    a DETERMINISTIC final name (``part-{partition:05d}.warc``), plus a
+    driver-written ``_SUCCESS`` manifest after the job completes.
+
+    Commit semantics (the rename-committer discipline, same shape as
+    Hadoop's FileOutputCommitter v2):
+      * a retried or speculatively-executed task re-derives the SAME
+        bytes for its partition and renames onto the SAME final name —
+        converging instead of leaving duplicates (the defect of the
+        fixture writer below);
+      * a partially-failed job leaves no ``_SUCCESS``; readers that
+        honor the marker see either the whole export or none of it;
+      * rename atomicity holds on POSIX/HDFS; on S3-like stores swap the
+        rename for a conditional multipart complete (documented caveat).
+
+    ``ts``: optional timestamp column for WARC-Date (ISO-formatted);
+    defaults to a fixed date. Returns {files, records}.
+    """
+    ts_col = (
+        F.date_format(F.col(ts), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if ts is not None
+        else F.lit("2024-01-01T00:00:00Z")
+    )
+    src = df.select(
+        F.col(url).alias("u"), F.col(html).alias("h"), ts_col.alias("t")
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        chunks = []
+        n = 0
+        for pdf in batches:
+            for u, h, t in zip(pdf["u"], pdf["h"], pdf["t"]):
+                chunks.append(_warc_record(str(u), bytes(h or b""), str(t)))
+                n += 1
+        if n == 0:
+            yield pd.DataFrame({"file": [], "records": []})
+            return
+        os.makedirs(path, exist_ok=True)
+        final = f"{path}/part-{pid:05d}.warc"
+        tmp = f"{final}._tmp_attempt{attempt}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(tmp, final)  # atomic commit; retries converge
+        yield pd.DataFrame({"file": [final], "records": [n]})
+
+    manifest = src.mapInPandas(
+        write_partition, schema="file string, records long"
+    ).collect()
+    files = sorted(r["file"] for r in manifest)
+    n_records = sum(r["records"] for r in manifest)
+    import json as _json
+
+    with open(f"{path}/_SUCCESS", "w") as f:
+        _json.dump({"files": files, "records": int(n_records)}, f)
+    return {"files": files, "records": int(n_records)}
+
+
 def write_warc(df: DataFrame, path: str, url: str = "url", html: str = "html"):
     """Write (url, html) rows as WARC files (one file per Arrow batch) —
     the round-trip FIXTURE writer used by tests.
@@ -118,31 +201,19 @@ def write_warc(df: DataFrame, path: str, url: str = "url", html: str = "html"):
     inside ``mapInPandas`` with uuid names, so a retried or speculatively
     executed task leaves duplicate files behind (no task-commit protocol,
     no cleanup), and output granularity follows Arrow batch boundaries,
-    not partitions. Fine for local test fixtures; a production export
-    sink must go through a Spark committer instead (write the serialized
-    WARC records as binary rows via ``df.write``, then concatenate, or
-    use a custom FileFormat) — that path is intentionally not implemented
-    here."""
+    not partitions. Fine for local test fixtures; production exports go
+    through :func:`export_warc` (deterministic per-partition names +
+    atomic rename + _SUCCESS manifest)."""
 
     def to_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
         import uuid
 
         for pdf in batches:
-            chunks = []
-            for u, h in zip(pdf[url], pdf[html]):
-                body = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + bytes(h)
-                )
-                head = (
-                    f"WARC/1.0\r\n"
-                    f"WARC-Type: response\r\n"
-                    f"WARC-Target-URI: {u}\r\n"
-                    f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
-                    f"Content-Length: {len(body)}\r\n"
-                ).encode()
-                chunks.append(head + b"\r\n" + body + b"\r\n\r\n")
+            chunks = [
+                _warc_record(str(u), bytes(h), "2024-01-01T00:00:00Z")
+                for u, h in zip(pdf[url], pdf[html])
+            ]
             os.makedirs(path, exist_ok=True)
             name = f"{path}/part-{uuid.uuid4().hex}.warc"
             with open(name, "wb") as f:

@@ -69,3 +69,43 @@ def test_parse_warc_bytes_unit():
         ("http://x/1", b"hi1"),
         ("http://x/2", b"hi2"),
     ]
+
+
+def test_export_warc_transactional_roundtrip(spark, pages, tmp_path):
+    """Committer-backed export (S5+ round-3 missing #5): deterministic
+    per-partition file names + atomic rename + _SUCCESS manifest; a
+    re-run (the retry/speculation stand-in) converges onto the SAME file
+    set with no duplicates, and the export round-trips byte-identically
+    through read_warc."""
+    import json
+    import os
+
+    src = (
+        pages.drop("cluster_id").limit(60)
+        .select("url", "text", "html")
+        .repartition(4, "url")
+    )
+    out_dir = str(tmp_path / "warc_export")
+    m1 = W.export_warc(src, out_dir)
+    assert m1["records"] == 60
+    assert all(f.endswith(".warc") for f in m1["files"])
+    assert os.path.exists(f"{out_dir}/_SUCCESS")
+    with open(f"{out_dir}/_SUCCESS") as f:
+        assert json.load(f)["records"] == 60
+
+    # retry convergence: same deterministic names, no extra files
+    m2 = W.export_warc(src, out_dir)
+    assert m2["files"] == m1["files"]
+    on_disk = sorted(
+        f"{out_dir}/{n}" for n in os.listdir(out_dir) if n.endswith(".warc")
+    )
+    assert on_disk == m1["files"]
+    assert not any("_tmp_attempt" in n for n in os.listdir(out_dir))
+
+    back = W.read_warc(spark, out_dir + "/*.warc")
+    j = (
+        src.select("url", F.col("text").alias("orig"))
+        .join(back.select("url", "text"), "url")
+    )
+    assert j.count() == 60
+    assert j.where(F.col("orig") != F.col("text")).count() == 0
