@@ -1055,6 +1055,41 @@ def _q42_crispr_search(spark, sf):
     )
 
 
+def _q43_language_id(spark, sf):
+    """Driver pin for the pure-Catalyst language-ID operator (pytest-only
+    in round 3's LLM-pipeline table): planted closed form — each doc's
+    text is the FULL stopword dictionary of langs[doc_id % 6] (strict
+    dominance over every other dictionary verified: min own-score 18 vs
+    max cross-score 7), except doc_id % 7 == 0 rows get a digits-only
+    text that must come back 'unknown' (zero stopword hits). A wrong
+    dictionary, vote rule, tie-break, or tokenizer flips rows."""
+    from sassy_spark.functions.text import _STOPWORDS, lang_id
+
+    d = _load(spark, sf, "documents")
+    langs = list(_STOPWORDS)
+    c = F.when(F.col("doc_id") % 7 == 0, F.lit("12345 67890 00 11 22"))
+    for i, lng in enumerate(langs):
+        c = c.when(
+            F.col("doc_id") % 6 == i, F.lit(" ".join(_STOPWORDS[lng]))
+        )
+    texts = d.select("doc_id", c.alias("text"))
+    return texts.select("doc_id", lang_id(F.col("text")).alias("lang"))
+
+
+def _q44_quality_score(spark, sf):
+    """Driver oracle for the composite quality score: the DuckDB side
+    recomputes the full heuristic formula (alpha/stop/token/punct/digit
+    terms, least-capped, weighted) from the raw text — every feature
+    regexp, the tokenizer, and the weight vector must agree to 4
+    decimals over the whole corpus."""
+    from sassy_spark.functions.text import quality_score
+
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1099,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_rc_search": _q40_rc_search,
         "q41_overhang_scores": _q41_overhang_scores,
         "q42_crispr_search": _q42_crispr_search,
+        "q43_language_id": _q43_language_id,
+        "q44_quality_score": _q44_quality_score,
     }
 
 
@@ -1684,5 +1721,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM plus_rows
             UNION ALL SELECT * FROM minus_perfect
             UNION ALL SELECT * FROM minus_mut
+        """,
+        "q43_language_id": """
+            -- planted closed form: text = the full stopword dictionary of
+            -- langs[doc_id % 6] (strict dominance verified), digits-only
+            -- text for doc_id % 7 = 0 -> 'unknown'
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+                        ELSE (['en','de','fr','es','pt','nl'])
+                             [CAST(doc_id % 6 AS INT) + 1]
+                   END AS lang
+            FROM documents
+        """,
+        "q44_quality_score": f"""
+            -- full recomputation of the quality heuristic from raw text:
+            -- same feature regexps, tokenizer, weights, caps as
+            -- functions/text.py::quality_score
+            WITH t AS (
+              SELECT doc_id, text,
+                     greatest(length(text), 1) AS ne,
+                     list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / ne AS alpha_ratio,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / ne AS digit_ratio,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                         / ne AS punct_ratio,
+                     len(toks) AS n_tokens,
+                     greatest(len(toks), 1) AS n_tok,
+                     len(list_intersect(list_distinct(toks),
+                                        [{stop_list}])) AS stop
+              FROM t)
+            SELECT doc_id,
+                   round(least(
+                       0.35 * least(alpha_ratio / 0.7, 1.0)
+                       + 0.2 * least((stop / n_tok) / 0.3, 1.0)
+                       + 0.2 * least(ln(1.0 + n_tokens) / 6.0, 1.0)
+                       + 0.15 * (1.0 - least(punct_ratio * 4, 1.0))
+                       + 0.1 * (1.0 - least(digit_ratio * 4, 1.0)),
+                       1.0), 4) AS quality
+            FROM f
         """,
     }
