@@ -445,6 +445,14 @@ def _md_table(out: dict) -> str:
             f"stated probe rule (in-window dilation probes disagree > 20% "
             f"between the two compared windows): {dl}\n"
         )
+    if not out["samples"]:
+        # every rep was discarded — render the discard evidence instead
+        # of crashing on None medians (same guard as spark_scaling)
+        return (
+            f"\n**{label}** — NO VALID REPS: all {out['n_discarded']} "
+            f"attempt(s) discarded under the contamination rule; no "
+            f"efficiency claim from this run.\n" + disc
+        )
     return (
         f"\n**{label}**\n\n"
         f"Validity rule: each rep carries a <5%-duty arithmetic pulse probe "
