@@ -86,3 +86,32 @@ def test_cc_star_ops_have_no_window(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
     for op in (large_star, small_star):
         assert "Window" not in plans.physical_plan(op(e))
+
+
+def test_gram_normalize_not_inlined_into_lambda(spark, sf_dir):
+    """Round-4 q20 fix pin: the normalize regexp must be BOUND in its own
+    projection, not inlined into the gram transform's lambda — inlined,
+    Catalyst re-evaluates the regexp PER GRAM ELEMENT (measured 10x the
+    whole gram-build cost at sf0.1). Structural check on the optimized
+    plan: no plan line may contain both transform( and regexp_replace."""
+    # build the gram subplan exactly as ngram_jaccard_verify does
+    # (pre-staging)
+    from sassy_spark.functions.text import char_ngrams, normalize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = d.select(
+        F.col("doc_id").alias("id"), normalize(F.col("text")).alias("_norm")
+    ).select(
+        "id",
+        F.array_distinct(
+            F.transform(char_ngrams(F.col("_norm"), 5), lambda s: F.xxhash64(s))
+        ).alias("grams"),
+    )
+    plan = g._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        ln for ln in plan.splitlines()
+        if "transform(" in ln and "regexp_replace" in ln
+    ]
+    assert not bad, f"normalize re-inlined into the gram lambda:\n{bad[0]}"
+    # and the regexp appears exactly once (the bound projection)
+    assert plan.count("regexp_replace") == 1, plan
