@@ -1090,6 +1090,49 @@ def _q44_quality_score(spark, sf):
     )
 
 
+def _q45_image_decode_histogram(spark, sf):
+    """Driver pin for the REAL pure-python PNG codec (round-4 multimodal
+    upgrade): per doc, a deterministic 16x16 gray image with pixel
+    value (7x + 3y + doc_id) % 256 is ENCODED to PNG and DECODED back
+    through functions/imagecodec inside the executor, then bucketed into
+    8 luminance bins (value >> 5). The oracle computes the same bin
+    counts straight from the closed-form pixel arithmetic — any encode,
+    unfilter, or shape bug in the codec changes the counts."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = _load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sassy_spark.functions.imagecodec import decode_png, encode_png
+
+        yy, xx = np.mgrid[0:16, 0:16]
+        base = (7 * xx + 3 * yy).astype(np.int64)
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                arr = ((base + int(doc_id)) % 256).astype(np.uint8)
+                back = decode_png(encode_png(arr))  # the REAL round-trip
+                hist = np.bincount(
+                    (back.ravel().astype(np.int64) >> 5), minlength=8
+                )
+                for b in range(8):
+                    if hist[b] == 0:
+                        continue  # oracle's GROUP BY omits empty bins
+                    ids.append(doc_id)
+                    bins.append(b)
+                    counts.append(int(hist[b]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bins, "n_pixels": counts}
+            )
+
+    return d.mapInPandas(
+        run, schema="doc_id bigint, bin int, n_pixels bigint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1136,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_crispr_search": _q42_crispr_search,
         "q43_language_id": _q43_language_id,
         "q44_quality_score": _q44_quality_score,
+        "q45_image_decode_histogram": _q45_image_decode_histogram,
     }
 
 
@@ -1766,5 +1810,20 @@ def oracle_sql() -> dict[str, str]:
                        + 0.1 * (1.0 - least(digit_ratio * 4, 1.0)),
                        1.0), 4) AS quality
             FROM f
+        """,
+        "q45_image_decode_histogram": """
+            -- closed-form pixel oracle for the real PNG codec round-trip:
+            -- 16x16 gray image, pixel = (7x + 3y + doc_id) % 256, bin =
+            -- pixel >> 5; the Spark side must reproduce these counts
+            -- through encode_png -> decode_png on the executor
+            SELECT d.doc_id,
+                   CAST(((7 * g.x + 3 * g.y + d.doc_id) % 256) // 32
+                        AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pixels
+            FROM documents d,
+                 (SELECT a.x, b.y
+                  FROM unnest(generate_series(0, 15)) AS a(x),
+                       unnest(generate_series(0, 15)) AS b(y)) g
+            GROUP BY 1, 2
         """,
     }
