@@ -1133,6 +1133,47 @@ def _q45_image_decode_histogram(spark, sf):
     )
 
 
+def _q46_audio_decode_envelope(spark, sf):
+    """Driver pin for the REAL pure-python WAV codec (round-4 multimodal
+    upgrade, audio analogue of q45): per doc, 256 8-bit PCM samples with
+    value (13*i + 7*doc_id) % 256 are ENCODED to WAV and DECODED back
+    through functions/audiocodec inside the executor, then each
+    32-sample segment yields its exact integer energy
+    sum((v - 128)^2). The oracle computes the same sums straight from
+    the closed-form sample arithmetic — any header, chunk-walk, or
+    sample-layout bug in the codec changes the values."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = _load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sassy_spark.functions.audiocodec import decode_wav, encode_wav
+
+        i = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            ids, bins, energies = [], [], []
+            for doc_id in pdf["doc_id"]:
+                vals = ((13 * i + 7 * int(doc_id)) % 256).astype(np.uint8)
+                back, rate = decode_wav(encode_wav(vals, 8000))
+                assert rate == 8000
+                c = back[:, 0].astype(np.int64) - 128
+                e = (c * c).reshape(8, 32).sum(axis=1)
+                for b in range(8):
+                    ids.append(doc_id)
+                    bins.append(b)
+                    energies.append(int(e[b]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bins, "energy": energies}
+            )
+
+    return d.mapInPandas(
+        run, schema="doc_id bigint, bin int, energy bigint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1180,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_language_id": _q43_language_id,
         "q44_quality_score": _q44_quality_score,
         "q45_image_decode_histogram": _q45_image_decode_histogram,
+        "q46_audio_decode_envelope": _q46_audio_decode_envelope,
     }
 
 
@@ -1824,6 +1866,25 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT a.x, b.y
                   FROM unnest(generate_series(0, 15)) AS a(x),
                        unnest(generate_series(0, 15)) AS b(y)) g
+            GROUP BY 1, 2
+        """,
+        "q46_audio_decode_envelope": """
+            -- closed-form sample oracle for the real WAV codec
+            -- round-trip: 256 8-bit PCM samples, value
+            -- (13i + 7*doc_id) % 256, 8 segments of 32; energy =
+            -- sum((v-128)^2) per segment. The Spark side must reproduce
+            -- these integers through encode_wav -> decode_wav on the
+            -- executor.
+            SELECT d.doc_id,
+                   CAST(g.i // 32 AS INT) AS bin,
+                   CAST(SUM(
+                       CAST((13 * g.i + 7 * d.doc_id) % 256 - 128
+                            AS BIGINT)
+                       * ((13 * g.i + 7 * d.doc_id) % 256 - 128)
+                   ) AS BIGINT) AS energy
+            FROM documents d,
+                 (SELECT a.i
+                  FROM unnest(generate_series(0, 255)) AS a(i)) g
             GROUP BY 1, 2
         """,
     }

@@ -164,8 +164,14 @@ def main() -> None:
     if os.environ.get("SASSY_BENCH_SPARK_SCALING", "1") == "1":
         from spark_scaling import run_protocol as spark_run_protocol
 
+        # 98304 pairs (not 24576): at 24k the local[32] engine finishes its
+        # measured pass in ~8 s on a quiet box, so ~1.5 s of fixed job cost
+        # (stage scheduling, Python worker handoff) depresses measured
+        # efficiency by ~20% — a strong-scaling artifact of the INPUT SIZE,
+        # not the engine. 4x the input puts both windows >= ~18 s and the
+        # artifact inside the noise floor.
         ss = spark_run_protocol(
-            int(os.environ.get("SASSY_BENCH_SPARK_PAIRS", "24576")),
+            int(os.environ.get("SASSY_BENCH_SPARK_PAIRS", "98304")),
             int(os.environ.get("SASSY_BENCH_SPARK_REPEATS", "3")),
         )
         out["spark_scaling"] = {
@@ -181,6 +187,9 @@ def main() -> None:
             "efficiency_median_8_to_32": ss["efficiency_median"],
             "efficiency_min": ss["efficiency_min"],
             "samples": ss["efficiencies"],
+            "efficiency_fleet_median": ss.get("efficiency_fleet_median"),
+            "efficiency_fleet_min": ss.get("efficiency_fleet_min"),
+            "samples_fleet": ss.get("efficiencies_fleet"),
             "n_discarded": ss["n_discarded"],
             "pairs_per_sec_8_loaded": ss["pps_lo_median"],
             "pairs_per_sec_32": ss["pps_hi_median"],

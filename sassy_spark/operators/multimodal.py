@@ -4,12 +4,15 @@ with typed metadata, processed in Arrow batches via mapInPandas.
 IMAGE decode is REAL for PNG and BMP: the pure-python codec in
 ``functions/imagecodec.py`` (zlib + struct, no PIL) decodes, resizes
 (nearest-neighbor), and re-encodes payloads, and features come from the
-decoded pixels (luminance histogram). Formats beyond that coverage
-(JPEG/WebP/video/audio — these genuinely need PIL/ffmpeg, absent from
-this container) fall back to the deterministic fake behind
-``SASSY_FAKE_DECODE`` or raise NotImplementedError when a real decode is
-demanded. Everything Spark-side (schemas, batch iteration, partitioning,
-UDF signatures) is real and tested either way.
+decoded pixels (luminance histogram). AUDIO decode is REAL for PCM WAV:
+``functions/audiocodec.py`` (struct + numpy, no ffmpeg) decodes 8/16-bit
+RIFF PCM and features come from the decoded signal (RMS energy
+envelope). Formats beyond that coverage (JPEG/WebP/MP3/video — these
+genuinely need PIL/ffmpeg, absent from this container) fall back to the
+deterministic fake behind ``SASSY_FAKE_DECODE`` or raise
+NotImplementedError when a real decode is demanded. Everything
+Spark-side (schemas, batch iteration, partitioning, UDF signatures) is
+real and tested either way.
 """
 
 from __future__ import annotations
@@ -68,6 +71,24 @@ def _decode_image(payload: bytes):
     return None
 
 
+def _decode_audio(payload: bytes):
+    """(n_frames, n_channels) samples for PCM WAV payloads, None for
+    anything else (caller decides fake-vs-raise for the rest)."""
+    from ..functions.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+        sniff_wav,
+    )
+
+    if not sniff_wav(payload):
+        return None
+    try:
+        samples, _rate = decode_wav(payload)
+        return samples
+    except UnsupportedAudioError:
+        return None
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, batch_hint: int | None = None
 ) -> DataFrame:
@@ -75,11 +96,13 @@ def extract_features(
     one pass, no shuffle, output co-partitioned with input.
 
     PNG/BMP payloads get a REAL decode-backed feature (L1-normalized
-    ``dim``-bin luminance histogram of the decoded pixels); other
-    payloads use the deterministic fake (or raise when
-    ``SASSY_FAKE_DECODE=0``)."""
+    ``dim``-bin luminance histogram of the decoded pixels); PCM WAV
+    payloads get a REAL decode-backed feature (``dim``-segment RMS
+    energy envelope of the decoded signal); other payloads use the
+    deterministic fake (or raise when ``SASSY_FAKE_DECODE=0``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import rms_envelope
         from ..functions.imagecodec import gray_histogram
 
         for pdf in batches:
@@ -88,16 +111,21 @@ def extract_features(
                 if p is None:
                     feats.append(None)
                     continue
-                arr = _decode_image(bytes(p))
+                raw = bytes(p)
+                arr = _decode_image(raw)
                 if arr is not None:
                     feats.append(gray_histogram(arr, bins=dim))
+                    continue
+                samples = _decode_audio(raw)
+                if samples is not None:
+                    feats.append(rms_envelope(samples, bins=dim))
                 elif _fake_decode_allowed():
-                    feats.append(_fake_feature(bytes(p), dim))
+                    feats.append(_fake_feature(raw, dim))
                 else:
                     raise NotImplementedError(
-                        "real decode beyond PNG/BMP requires PIL/ffmpeg — "
-                        "not in this image; set SASSY_FAKE_DECODE=1 for the "
-                        "deterministic fake"
+                        "real decode beyond PNG/BMP/PCM-WAV requires "
+                        "PIL/ffmpeg — not in this image; set "
+                        "SASSY_FAKE_DECODE=1 for the deterministic fake"
                     )
             yield pd.DataFrame(
                 {
@@ -242,8 +270,11 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     encoded PNGs (even image index) / BMPs (odd) — gradient + noise
     pixels, metadata width/height = the actual encoded dimensions — so
     the decode-backed feature/resize paths are exercised end-to-end.
-    Audio/video payloads stay opaque random bytes (no pure-python codec
-    for those; the fake path covers them)."""
+    AUDIO payloads are REAL PCM WAVs (16-bit mono sine + noise at
+    8 kHz, duration_ms = the actual encoded duration). Video payloads
+    stay opaque random bytes (no pure-python codec; the fake path
+    covers them)."""
+    from ..functions.audiocodec import encode_wav
     from ..functions.imagecodec import encode_bmp, encode_png
 
     rows = []
@@ -266,6 +297,28 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 (f"m{i:05d}", kind, bytearray(payload), mime, w, h, None)
             )
             continue
+        if kind == "audio":
+            rate = 8000
+            n_frames = int(rng.integers(rate // 4, rate * 2))  # 0.25-2 s
+            t = np.arange(n_frames, dtype=np.float64) / rate
+            freq = float(rng.integers(100, 2000))
+            sig = 12000.0 * np.sin(2 * np.pi * freq * t)
+            sig += rng.normal(0, 800.0, n_frames)
+            payload = encode_wav(
+                np.clip(sig, -32768, 32767).astype(np.int16), rate
+            )
+            rows.append(
+                (
+                    f"m{i:05d}",
+                    kind,
+                    bytearray(payload),
+                    "audio/wav",
+                    None,
+                    None,
+                    int(round(n_frames * 1000 / rate)),
+                )
+            )
+            continue
         payload = rng.integers(0, 256, int(rng.integers(64, 2048))).astype(
             np.uint8
         ).tobytes()
@@ -274,9 +327,9 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 f"m{i:05d}",
                 kind,
                 bytearray(payload),
-                {"audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 1920)) if kind == "video" else None,
-                int(rng.integers(16, 1080)) if kind == "video" else None,
+                "video/mp4",
+                int(rng.integers(16, 1920)),
+                int(rng.integers(16, 1080)),
                 int(rng.integers(500, 60000)),
             )
         )

@@ -83,7 +83,21 @@ def child_main(cores: int, input_dir: str, sync_file: str | None = None) -> None
         ).collect()[0]
         return int(row["n"])
 
-    one_pass()  # warmup: JIT, Python workers forked, Arrow buffers faulted
+    # warmup to STEADY STATE, not one pass: per-Python-worker warmup
+    # (numpy/Arrow buffer faulting, JIT) scales with pairs-per-worker, so
+    # a single pass leaves a local[32] engine's 32 workers 4x less warmed
+    # than a local[8] engine's 8 (measured: identical passes ran 65s ->
+    # 33s -> 27s in one session) — biasing the efficiency ratio against
+    # the consolidated engine. Warm until two consecutive passes agree
+    # within 15% (cap 4 warmup passes), then measure.
+    prev = None
+    for _ in range(4):
+        t0 = time.time()
+        one_pass()
+        dt = time.time() - t0
+        if prev is not None and abs(dt - prev) <= 0.15 * prev:
+            break
+        prev = dt
     if sync_file is not None:
         # barrier with sibling children: all warm up, then measure together
         print(READY_MARKER, flush=True)
@@ -276,8 +290,23 @@ def run_protocol(
             and f_hi is not None
             and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
         )
-        # aggregate capacity of the N-core engines vs the 4N-core engine
+        # aggregate capacity of the N-core engines vs the 4N-core engine,
+        # under TWO definitions (both reported):
+        #   eff_sum   — hi rate over the SUM of each engine's own-window
+        #               rate. Overstates lo when engine walls spread: an
+        #               engine finishing early frees its cores and the
+        #               remaining engines' rates inflate (measured wall
+        #               spread 19.9-30.3 s in one rep).
+        #   eff_fleet — hi rate over (4 x n_scored / max lo wall): the
+        #               strong-scaling fleet-completion definition (the 4
+        #               concurrent jobs are done when the LAST finishes).
+        #               Conservative on lo, immune to the straggler
+        #               artifact.
         agg_lo = round(sum(r["pairs_per_sec"] for r in los), 1)
+        max_wall = max(r["wall_sec"] for r in los)
+        n_scored = los[0]["n_pairs"]
+        agg_lo_fleet = round(len(los) * n_scored / max_wall, 1)
+        eff_fleet = r_hi["pairs_per_sec"] / agg_lo_fleet
         eff = r_hi["pairs_per_sec"] / agg_lo
         # super-unity rule (round-3 VERDICT "What's wrong" #2): on equal
         # total cores, strong-scaling efficiency meaningfully above 1.0
@@ -292,11 +321,13 @@ def run_protocol(
             "lo": {
                 "engines": los,
                 "agg_pairs_per_sec": agg_lo,
+                "agg_pairs_per_sec_fleet": agg_lo_fleet,
                 "t0": lo_t0,
                 "t1": lo_t1,
             },
             "hi": r_hi,
             "eff": round(eff, 3),
+            "eff_fleet": round(eff_fleet, 3),
             "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
             "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
             "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
@@ -326,8 +357,17 @@ def run_protocol(
         "discarded_contaminated": discarded,
         "n_discarded": len(discarded),
         "efficiencies": effs,
+        "efficiencies_fleet": [s["eff_fleet"] for s in samples],
         "efficiency_median": round(statistics.median(effs), 3) if effs else None,
         "efficiency_min": min(effs) if effs else None,
+        "efficiency_fleet_median": round(
+            statistics.median(s["eff_fleet"] for s in samples), 3
+        )
+        if samples
+        else None,
+        "efficiency_fleet_min": min(s["eff_fleet"] for s in samples)
+        if samples
+        else None,
         "pps_lo_median": round(
             statistics.median(s["lo"]["agg_pairs_per_sec"] for s in samples), 1
         )
@@ -346,6 +386,7 @@ def _md_table(out: dict) -> str:
         f"| {s['rep']} | {s['lo']['agg_pairs_per_sec']} "
         f"({' + '.join(str(e['pairs_per_sec']) for e in s['lo']['engines'])}) | "
         f"{s['hi']['pairs_per_sec']} | {s['eff']:.3f} | "
+        f"{s.get('eff_fleet', float('nan')):.3f} | "
         f"{s['probe_ms_lo']} / {s['probe_ms_hi']} | "
         f"{s['fault_probe_ms_lo']} / {s['fault_probe_ms_hi']} |"
         for s in out["samples"]
@@ -380,16 +421,24 @@ def _md_table(out: dict) -> str:
         f"excluded). {out['fanout']} CONCURRENT local[{out['procs_lo']}] "
         f"engines (barrier-synced measured passes) vs one "
         f"local[{out['procs_hi']}] engine — both windows fully occupied, "
-        f"all-Spark; efficiency = hi pairs/s over the SUM of the "
-        f"concurrent engines' pairs/s. Two-axis probe validity rule "
-        f"(arithmetic 20%, page-fault 2x).\n\n"
+        f"all-Spark; efficiency reported under BOTH aggregation "
+        f"definitions — sum-of-rates (hi pairs/s over the SUM of each "
+        f"engine's own-window rate) and fleet-completion (hi pairs/s over "
+        f"{out['fanout']}x n_pairs / max lo wall — conservative, immune to "
+        f"straggler inflation). Two-axis probe validity rule "
+        f"(arithmetic 20%, page-fault 2x); children warm to steady state "
+        f"(consecutive passes within 15%, cap 4) before the barrier.\n\n"
         f"| rep | agg pairs/s {out['fanout']}x local[{out['procs_lo']}] | "
-        f"pairs/s @local[{out['procs_hi']}] | efficiency | arith probe ms "
+        f"pairs/s @local[{out['procs_hi']}] | eff (sum-of-rates) | "
+        f"eff (fleet: 4n/max-wall) | arith probe ms "
         f"lo/hi | fault probe ms lo/hi |\n"
-        f"|---|---|---|---|---|---|\n{rows}\n\n"
+        f"|---|---|---|---|---|---|---|\n{rows}\n\n"
         f"Spark-level efficiency {out['procs_lo']} -> {out['procs_hi']}: "
         f"**median {out['efficiency_median']:.3f}, "
-        f"min {out['efficiency_min']:.3f}** (target >= 0.8)\n" + disc
+        f"min {out['efficiency_min']:.3f}** (sum-of-rates); "
+        f"**median {out.get('efficiency_fleet_median', float('nan')):.3f}, "
+        f"min {out.get('efficiency_fleet_min', float('nan')):.3f}** "
+        f"(fleet-completion) — target >= 0.8\n" + disc
     )
 
 
