@@ -119,11 +119,27 @@ def minhash_lsh_candidates(
     max_block_size: int = 512,
     candidates_out: str | None = None,
     est_margin: float | None = 0.2,
+    fused: bool = True,
 ) -> DataFrame:
     """The GATE of :func:`minhash_lsh_pairs` alone: staged candidate pairs
     (id_a, id_b) after band-bucket join + signature-estimate pre-filter,
     before the exact verify. Exposed so recall pins (q35) can audit the
-    production gate directly. Leaves no persisted RDDs behind."""
+    production gate directly. Leaves no persisted RDDs behind.
+
+    ``fused=True`` (default) builds candidate pairs with ONE shuffle:
+    ``groupBy(bucket).collect_list(id)`` + JVM-side in-array pair
+    expansion (nested ``transform`` over the id array) — identical pair
+    set to the join formulation, minus a full shuffle of the band-key
+    table (size-count + join-back), the bucket self-join, and one
+    persist/count barrier. The expansion is bounded by
+    ``max_block_size`` (<= cap^2/2 transient structs per bucket). The
+    one cost it accepts: an over-cap bucket materializes its id array
+    once before the size filter drops it — pathological only when
+    millions of documents share an identical 8-hash minhash slice,
+    i.e. near-identical boilerplate that exact dedup (run before
+    near-dup in the pipeline) already removes. For corpora where that
+    assumption fails, ``fused=False`` keeps the count-prefilter
+    formulation that never materializes over-cap buckets."""
     from pyspark import StorageLevel
 
     from .staging import stage_parquet
@@ -147,21 +163,52 @@ def minhash_lsh_candidates(
     band_keys = sigs.select(
         "id", F.explode(F.array(*band_cols)).alias("bucket")
     )
-    sizes = band_keys.groupBy("bucket").agg(F.count("*").alias("bs"))
-    bk = band_keys.join(sizes, "bucket").where(
-        (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
-    )
-    # eager persist: bk feeds BOTH sides of the bucket self-join — without
-    # it the explode + size-agg + join subtree (2 shuffles) runs twice
-    bk = bk.persist(StorageLevel.MEMORY_AND_DISK)
-    bk.count()
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, "bucket")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if fused:
+        groups = (
+            band_keys.groupBy("bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .where(
+                (F.size("ids") >= 2) & (F.size("ids") <= max_block_size)
+            )
+        )
+        pairs_arr = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + F.lit(2),
+                        F.size(F.col("ids")) - i - F.lit(1),
+                    ),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("id_a"),
+                        F.greatest(x, y).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+        cand = (
+            groups.select(F.explode(pairs_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        bk = None
+    else:
+        sizes = band_keys.groupBy("bucket").agg(F.count("*").alias("bs"))
+        bk = band_keys.join(sizes, "bucket").where(
+            (F.col("bs") >= 2) & (F.col("bs") <= max_block_size)
+        )
+        # eager persist: bk feeds BOTH sides of the bucket self-join —
+        # without it the explode + size-agg + join subtree (2 shuffles)
+        # runs twice
+        bk = bk.persist(StorageLevel.MEMORY_AND_DISK)
+        bk.count()
+        a, b = bk.alias("a"), bk.alias("b")
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     if est_margin is not None:
         agree = F.aggregate(
             F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
@@ -185,7 +232,8 @@ def minhash_lsh_candidates(
         )
     cand = stage_parquet(cand, candidates_out, "minhash_cand")
     sigs.unpersist()
-    bk.unpersist()
+    if bk is not None:
+        bk.unpersist()
     return cand
 
 
@@ -201,6 +249,7 @@ def minhash_lsh_pairs(
     max_block_size: int = 512,
     candidates_out: str | None = None,
     est_margin: float | None = 0.2,
+    fused: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via shingle->minhash->band->bucket-join, with an
     exact n-gram Jaccard verify on candidates. Output:
@@ -232,7 +281,7 @@ def minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         bands=bands, ngram=ngram, seed=seed,
         jaccard_threshold=jaccard_threshold, max_block_size=max_block_size,
-        candidates_out=candidates_out, est_margin=est_margin,
+        candidates_out=candidates_out, est_margin=est_margin, fused=fused,
     )
     return ngram_jaccard_verify(
         cand, df, id_col=id_col, text_col=text_col, ngram=ngram

@@ -50,6 +50,45 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_gate_fused_matches_join_formulation(spark):
+    """The fused gate (groupBy collect_list + in-array pair expansion)
+    must emit EXACTLY the candidate set of the count-prefilter + bucket
+    self-join formulation — same buckets, same cap semantics, same
+    est-filter — on a corpus with planted near-dup clusters large enough
+    to exercise multi-member buckets."""
+    base = (
+        "shared boilerplate paragraph that every page in this cluster "
+        "repeats almost verbatim with small local edits sprinkled in"
+    )
+    rows = [(i, base + f" variant {i % 4}") for i in range(24)]
+    rows += [(100 + i, f"unique page number {i} with its own words") for i in range(6)]
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(jaccard_threshold=0.4, est_margin=0.2)
+    fused = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs2, fused=True, **kw).collect()
+    }
+    joined = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs2, fused=False, **kw).collect()
+    }
+    assert fused == joined
+    assert fused  # non-vacuous: the planted cluster must collide
+    assert all(a < b for a, b in fused)
+    # cap semantics identical too: a cap small enough to drop the big
+    # cluster's buckets must drop them in BOTH formulations
+    kw_cap = dict(jaccard_threshold=0.4, est_margin=0.2, max_block_size=3)
+    fused_c = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs2, fused=True, **kw_cap).collect()
+    }
+    joined_c = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs2, fused=False, **kw_cap).collect()
+    }
+    assert fused_c == joined_c
+
+
 def test_ngram_jaccard_values(docs, spark):
     pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
     j = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_verify(pairs, docs).collect()}
