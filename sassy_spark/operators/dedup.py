@@ -98,11 +98,17 @@ def minhash_signatures(
                 {"id": ids_in, "sig": list(sigs.astype(np.int64))}
             )
 
+    from .linkage import _fan_out_small_input
+
     id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(
         F.col(id_col).cast("string").alias("id"),
         normalize(F.col(text_col)).alias("_norm"),
     )
+    # the sketch UDF is the CPU-bound stage: never let a few-file scan
+    # serialize it onto a handful of tasks (q20 at sf0.1 arrives as ONE
+    # parquet file -> one task -> 17s single-threaded vs 2s fanned out)
+    src = _fan_out_small_input(src, "id")
     out = src.mapInPandas(sig_batch, schema="id string, sig array<bigint>")
     return out.select(F.col("id").cast(id_type).alias("id"), "sig")
 
@@ -383,8 +389,14 @@ def simhash_pairs(
 
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
+    from .linkage import _fan_out_small_input
+
     sh = make_simhash_udf(seed=seed)
-    fp = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("fp"))
+    src = _fan_out_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "id",
+    )
+    fp = src.select("id", sh(F.col("_t")).alias("fp"))
     # eager persist for the verify job only (the fingerprint UDF feeds
     # both self-join sides); released once the candidates are staged
     fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
@@ -448,8 +460,14 @@ def fingerprint_overlap_pairs(
     overlap join + threshold on the same fingerprints."""
     from .staging import stage_parquet
 
+    from .linkage import _fan_out_small_input
+
     fpu = make_fingerprint_udf(ngram=ngram, window=window)
-    fps = df.select(F.col(id_col).alias("id"), fpu(F.col(text_col)).alias("fp"))
+    src = _fan_out_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "id",
+    )
+    fps = src.select("id", fpu(F.col("_t")).alias("fp"))
     inv = fps.select("id", F.explode("fp").alias("h"))
     # always staged: the inverted index feeds the df-cap agg + both join
     # sides (the fingerprint UDF would otherwise run 3x), and the staged
