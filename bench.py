@@ -133,9 +133,10 @@ def main() -> None:
         cal = calibrate_dilation()
         out["kernel_scaling"] = {
             "protocol": "tools/kernel_scaling.py (barrier-synced, "
-            "warmup+synthesis excluded, in-window pulse-probe contamination "
-            "rule: reps whose dilation probes disagree >20% between the two "
-            "compared windows are discarded and reported)",
+            "warmup+synthesis excluded, three-axis in-window pulse-probe "
+            "contamination rule: reps whose dilation probes disagree "
+            "between the two compared windows — arith >20%, page-fault "
+            ">2x, stream-bandwidth >1.5x — are discarded and reported)",
             "same_conditions_efficiency_8_to_32": same["efficiency_median"],
             "same_conditions_samples": same["efficiencies"],
             "same_conditions_min": same["efficiency_min"],
@@ -179,10 +180,12 @@ def main() -> None:
             "capacity-normalized strong scaling: 4 concurrent fresh-JVM "
             "local[8] engines, barrier-synced, vs one local[32] engine on "
             "the same input; efficiency = hi pairs/s over the SUM of the "
-            "concurrent engines' pairs/s; contamination rules: two-axis "
-            "pulse-probe agreement (arith 20%, fault 2x) AND efficiency "
-            "<= 1.15 — super-unity reps are discarded as lo-window "
-            "dilation evidence)",
+            "concurrent engines' pairs/s; contamination rules: three-axis "
+            "pulse-probe agreement (arith 20%, fault 2x, bandwidth 1.5x) "
+            "AND efficiency <= 1.15 — super-unity reps are discarded as "
+            "lo-window dilation evidence; per-rep quiet gate: launch "
+            "waits, bounded, until a solo canary reads within 1.25x of "
+            "its running floor; lo/hi order alternates across reps)",
             "n_pairs": ss["n_pairs"],
             "efficiency_median_8_to_32": ss["efficiency_median"],
             "efficiency_min": ss["efficiency_min"],

@@ -191,17 +191,22 @@ def measure(n_procs: int, n_pairs: int, background: int = 0) -> dict:
 
 
 def _pulse_probe(stop_evt, q):
-    """Low-duty-cycle machine-dilation monitor: every ~50 ms run (a) one
-    fixed ~1-2 ms arithmetic burst and (b) one page-fault burst (mmap 2 MB
-    anonymous, touch every page, munmap), recording
-    (timestamp, arith_duration, fault_duration). The arithmetic burst
-    senses frequency/scheduling dilation; the fault burst senses the
-    memory-management path (mmap/fault serialization — on this sandbox VM
-    concurrent first-touch faults serialize box-wide, so an mm-side storm
-    can crush a Spark job while pure arithmetic reads calm). A co-tenant
-    spike on EITHER axis that lands in one window but not the other is
-    detected rather than silently read as bad scaling. Both bursts
-    together are ~2-4 ms per ~50 ms cycle (<10% duty)."""
+    """Low-duty-cycle machine-dilation monitor: every ~60 ms run (a) one
+    fixed ~1-2 ms arithmetic burst, (b) one page-fault burst (mmap 4 MB
+    anonymous, touch every page, munmap), and (c) one streaming-bandwidth
+    burst (sum a 32 MB float64 array), recording
+    (timestamp, arith_duration, fault_duration, bw_duration). The
+    arithmetic burst senses frequency/scheduling dilation; the fault
+    burst senses the memory-management path (mmap/fault serialization —
+    on this sandbox VM concurrent first-touch faults serialize box-wide,
+    so an mm-side storm can crush a Spark job while pure arithmetic reads
+    calm); the bandwidth burst senses memory-BANDWIDTH contention, which
+    dilates the cache-missing scoring kernel heavily while both the tiny
+    arith working set and the fault path read calm (a round-4 rep read
+    efficiency 0.421 with both older axes agreeing — the missing axis).
+    A co-tenant spike on ANY axis that lands in one window but not the
+    other is detected rather than silently read as bad scaling. The
+    three bursts together are ~5-10 ms per ~60 ms cycle (<20% duty)."""
     import mmap as _mmap
 
     import numpy as np
@@ -237,23 +242,34 @@ def _pulse_probe(stop_evt, q):
             m.close()
         return time.time() - t
 
+    # 32 MB float64 — far beyond any LLC slice, so the sum is a pure
+    # DRAM-bandwidth read on every burst
+    bw_arr = np.ones(1 << 22, dtype=np.float64)
+
+    def bw_burst() -> float:
+        t = time.time()
+        bw_arr.sum()
+        return time.time() - t
+
     for _ in range(20):  # warmup
         burst()
     fault_burst()
+    bw_burst()
     samples = []
     while not stop_evt.is_set():
         t = time.time()
         burst()
         a_dur = time.time() - t
         f_dur = fault_burst()
-        samples.append((t, a_dur, f_dur))
-        time.sleep(0.05)
+        b_dur = bw_burst()
+        samples.append((t, a_dur, f_dur, b_dur))
+        time.sleep(0.06)
     q.put(samples)
 
 
 def _probe_median(samples, t0: float, t1: float, idx: int = 1) -> float | None:
     """Median burst duration among probe samples inside [t0, t1].
-    idx=1 -> arithmetic burst, idx=2 -> page-fault burst."""
+    idx=1 -> arithmetic, idx=2 -> page-fault, idx=3 -> bandwidth burst."""
     inside = [s[idx] for s in samples if t0 <= s[0] <= t1]
     if len(inside) < 5:
         return None
@@ -352,13 +368,16 @@ def run_protocol(
         p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
         f_lo = _probe_median(probe_samples, r_lo["t0"], r_lo["t1"], idx=2)
         f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
+        b_lo = _probe_median(probe_samples, r_lo["t0"], r_lo["t1"], idx=3)
+        b_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=3)
         # validity rule (stated, applied uniformly): a rep counts only if
-        # BOTH machine-dilation probes agree across the two compared
+        # ALL THREE machine-dilation probes agree across the two compared
         # windows — arithmetic within 20%, page-fault path within 2x
-        # (fault latency is noisier but storms move it 10-50x) —
-        # otherwise a co-tenant spike hit one window and the ratio
-        # measures the spike, not the algorithm. Discarded reps are
-        # recorded with their probe readings.
+        # (fault latency is noisier but storms move it 10-50x), streaming
+        # bandwidth within 1.5x (stable on a quiet box; bandwidth
+        # contention moves it 2-5x) — otherwise a co-tenant spike hit one
+        # window and the ratio measures the spike, not the algorithm.
+        # Discarded reps are recorded with their probe readings.
         valid = (
             p_lo is not None
             and p_hi is not None
@@ -366,6 +385,9 @@ def run_protocol(
             and f_lo is not None
             and f_hi is not None
             and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
+            and b_lo is not None
+            and b_hi is not None
+            and max(b_lo, b_hi) / max(min(b_lo, b_hi), 1e-9) <= 1.5
         )
         eff = (
             r_hi["aggregate_pairs_per_sec"] / r_lo["aggregate_pairs_per_sec"]
@@ -383,6 +405,8 @@ def run_protocol(
             "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
             "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
             "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
+            "bw_probe_ms_lo": round(b_lo * 1000, 3) if b_lo else None,
+            "bw_probe_ms_hi": round(b_hi * 1000, 3) if b_hi else None,
         }
         if valid:
             samples.append(entry)
@@ -455,11 +479,12 @@ def _md_table(out: dict) -> str:
         )
     return (
         f"\n**{label}**\n\n"
-        f"Validity rule: each rep carries a <5%-duty arithmetic pulse probe "
-        f"(~1.5 ms burst / 50 ms); a rep counts only if the median in-window "
-        f"burst duration agrees within 20% between the 8-proc and 32-proc "
-        f"windows (otherwise a host co-tenant spike, not the algorithm, set "
-        f"the ratio). All discards reported.\n\n"
+        f"Validity rule: each rep carries a <20%-duty three-axis pulse probe "
+        f"(arith ~1.5 ms + 4 MB fault + 32 MB stream bursts / ~60 ms); a rep "
+        f"counts only if the median in-window burst durations agree between "
+        f"the 8-proc and 32-proc windows (arith 20%, fault 2x, bandwidth "
+        f"1.5x) — otherwise a host co-tenant spike, not the algorithm, set "
+        f"the ratio. All discards reported.\n\n"
         f"| rep | agg pairs/s @8 | agg pairs/s @32 | eff (median-dur) | "
         f"eff (sync window) | probe ms @8/@32 |\n"
         f"|---|---|---|---|---|---|\n{rows}\n\n"

@@ -19,11 +19,25 @@ runs far more than 8 runnable threads and out-schedules pure-compute
 burners erratically; measured lo windows swung 12-29 s on the same
 config.)
 
-Each rep carries a <5%-duty two-axis pulse probe: an arithmetic burst
-(frequency/scheduling dilation) AND a page-fault burst (mmap/fault-path
+Each rep carries a low-duty THREE-axis pulse probe: an arithmetic burst
+(frequency/scheduling dilation), a page-fault burst (mmap/fault-path
 latency — on this sandbox VM concurrent first-touch faults serialize
-box-wide, invisible to arithmetic). A rep counts only if the windows
-agree within 20% (arith) and 2x (fault); discards are reported.
+box-wide, invisible to arithmetic), and a streaming-bandwidth burst
+(32 MB sum — DRAM contention dilates the cache-missing kernel while
+both other axes read calm). A rep counts only if the windows agree
+within 20% (arith), 2x (fault), and 1.5x (bandwidth); discards are
+reported.
+
+Two launch-side defenses against this sandbox's co-tenant waves
+(post-hoc discarding alone burned all attempts on a loaded evening):
+a QUIET GATE — before each rep, a solo canary (same three bursts, run
+while nothing of ours is active) must read within 1.25x of its running
+floor (the minimum ever observed = the uncontaminated baseline), else
+the rep waits, bounded by SASSY_SCALING_MAX_QUIET_WAIT (default 300 s;
+on timeout the rep launches anyway and remains subject to the
+in-window rules) — and ORDER ALTERNATION (odd attempts run the
+local[hi] engine first) so slow load drift cannot bias one window
+direction systematically.
 
 Per-rep cost: hi/lo + 1 fresh JVMs (startup excluded from the measured
 window — children time only the scoring action, after a full warmup
@@ -205,6 +219,56 @@ def _run_children_concurrent(
 # ----------------------------------------------------------------- parent
 
 
+def _solo_canary(ctx) -> dict | None:
+    """Run the three-axis pulse probe alone for ~2.5 s and return the
+    per-axis medians (ms). Called BETWEEN reps, when nothing of ours is
+    running, so the reading is exogenous load only."""
+    import statistics as st
+
+    from tools.kernel_scaling import _pulse_probe
+
+    stop_evt = ctx.Event()
+    q = ctx.Queue()
+    p = ctx.Process(target=_pulse_probe, args=(stop_evt, q), daemon=True)
+    p.start()
+    # spawn startup (interpreter + numpy import) eats ~0.5-1 s of this
+    # window cold; 2.5 s leaves >=15 probe cycles even then
+    time.sleep(2.5)
+    stop_evt.set()
+    samples = q.get()
+    p.join()
+    if len(samples) < 5:
+        return None
+    return {
+        "arith_ms": round(st.median(s[1] for s in samples) * 1000, 3),
+        "fault_ms": round(st.median(s[2] for s in samples) * 1000, 3),
+        "bw_ms": round(st.median(s[3] for s in samples) * 1000, 3),
+    }
+
+
+def _quiet_gate(ctx, floor: dict, max_wait_s: float) -> tuple[dict | None, bool]:
+    """Wait for a quiet launch window: every canary axis must read within
+    1.25x of its running floor (the min ever observed — the best this box
+    can do, hence the uncontaminated baseline; no absolute calibration
+    needed). Launching into a co-tenant wave otherwise burns one of the
+    bounded rep attempts on a guaranteed discard. On timeout the rep
+    launches anyway (disclosed via quiet_gate_ok=False) and remains
+    subject to the in-window discard rules."""
+    t_start = time.time()
+    last_good = None
+    while True:
+        c = _solo_canary(ctx)
+        if c is not None:
+            last_good = c
+            for k, v in c.items():
+                floor[k] = min(floor.get(k, v), v)
+            if all(c[k] <= 1.25 * floor[k] for k in c):
+                return c, True
+        if time.time() - t_start > max_wait_s:
+            return c if c is not None else last_good, False
+        time.sleep(15.0)
+
+
 def make_input(n_pairs: int, out_dir: str, seed: int = 1234) -> None:
     """Deterministic near-duplicate pair workload (same generator as the
     kernel protocol), written as pages + pairs parquet via pyarrow — no
@@ -249,8 +313,11 @@ def run_protocol(
     samples: list[dict] = []
     discarded: list[dict] = []
     attempts = 0
+    canary_floor: dict = {}
+    max_quiet_wait = float(os.environ.get("SASSY_SCALING_MAX_QUIET_WAIT", "300"))
     while len(samples) < repeats and attempts < repeats * 3:
         attempts += 1
+        canary, gate_ok = _quiet_gate(ctx, canary_floor, max_quiet_wait)
         stop_evt = ctx.Event()
         pq_ = ctx.Queue()
         probe = ctx.Process(target=_pulse_probe, args=(stop_evt, pq_), daemon=True)
@@ -265,8 +332,16 @@ def run_protocol(
         # out-schedules pure-compute burners erratically — measured lo
         # windows swung 12-29 s under the burner design.)
         sync = os.path.join(input_dir, f"_go_{attempts}")
-        los = _run_children_concurrent(lo, input_dir, fanout, sync)
-        r_hi = _run_child(hi, input_dir)
+        # order alternation: odd attempts run the consolidated engine
+        # first, so slow co-tenant load drift (rising or falling across
+        # the ~5-10 min rep) cannot systematically favor one window
+        hi_first = attempts % 2 == 1
+        if hi_first:
+            r_hi = _run_child(hi, input_dir)
+            los = _run_children_concurrent(lo, input_dir, fanout, sync)
+        else:
+            los = _run_children_concurrent(lo, input_dir, fanout, sync)
+            r_hi = _run_child(hi, input_dir)
         stop_evt.set()
         probe_samples = pq_.get()
         probe.join()
@@ -276,12 +351,16 @@ def run_protocol(
         p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
         f_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=2)
         f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
-        # two-axis validity rule (as the kernel protocol): arithmetic
-        # probe within 20%, page-fault probe within 2x between the two
-        # windows. The fault probe matters MORE here — a Spark stage
-        # (shuffle page churn, Arrow IPC, worker forks) rides the mm
-        # path that arithmetic can't sense, and on this VM concurrent
-        # first-touch faults serialize box-wide.
+        b_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=3)
+        b_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=3)
+        # three-axis validity rule (as the kernel protocol): arithmetic
+        # probe within 20%, page-fault probe within 2x, streaming
+        # bandwidth within 1.5x between the two windows. The fault and
+        # bandwidth probes matter MORE here — a Spark stage (shuffle page
+        # churn, Arrow IPC, worker forks, cache-missing kernel scans)
+        # rides the mm and DRAM paths that arithmetic can't sense; a
+        # round-4 rep read efficiency 0.421 with both original axes
+        # agreeing, which is what motivated the bandwidth axis.
         probes_ok = (
             p_lo is not None
             and p_hi is not None
@@ -289,6 +368,9 @@ def run_protocol(
             and f_lo is not None
             and f_hi is not None
             and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
+            and b_lo is not None
+            and b_hi is not None
+            and max(b_lo, b_hi) / max(min(b_lo, b_hi), 1e-9) <= 1.5
         )
         # aggregate capacity of the N-core engines vs the 4N-core engine,
         # under TWO definitions (both reported):
@@ -332,10 +414,15 @@ def run_protocol(
             "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
             "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
             "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
+            "bw_probe_ms_lo": round(b_lo * 1000, 3) if b_lo else None,
+            "bw_probe_ms_hi": round(b_hi * 1000, 3) if b_hi else None,
+            "order": "hi_first" if hi_first else "lo_first",
+            "launch_canary": canary,
+            "quiet_gate_ok": gate_ok,
         }
         if not valid:
             entry["discard_reason"] = (
-                "probe windows disagree (arith >20% or fault >2x)"
+                "probe windows disagree (arith >20%, fault >2x, or bw >1.5x)"
                 if not probes_ok
                 else f"super-unity efficiency {eff:.3f} > 1.15 "
                 "(lo-window dilation that slipped past the probes)"
@@ -388,7 +475,9 @@ def _md_table(out: dict) -> str:
         f"{s['hi']['pairs_per_sec']} | {s['eff']:.3f} | "
         f"{s.get('eff_fleet', float('nan')):.3f} | "
         f"{s['probe_ms_lo']} / {s['probe_ms_hi']} | "
-        f"{s['fault_probe_ms_lo']} / {s['fault_probe_ms_hi']} |"
+        f"{s['fault_probe_ms_lo']} / {s['fault_probe_ms_hi']} | "
+        f"{s.get('bw_probe_ms_lo')} / {s.get('bw_probe_ms_hi')} | "
+        f"{s.get('order', '?')}{'' if s.get('quiet_gate_ok', True) else ' (gate timeout)'} |"
         for s in out["samples"]
     )
     disc = ""
@@ -396,12 +485,13 @@ def _md_table(out: dict) -> str:
         dl = ", ".join(
             f"eff={d['eff']:.3f} [{d.get('discard_reason', 'probe rule')}] "
             f"arith {d['probe_ms_lo']}/{d['probe_ms_hi']} ms "
-            f"fault {d['fault_probe_ms_lo']}/{d['fault_probe_ms_hi']} ms"
+            f"fault {d['fault_probe_ms_lo']}/{d['fault_probe_ms_hi']} ms "
+            f"bw {d.get('bw_probe_ms_lo')}/{d.get('bw_probe_ms_hi')} ms"
             for d in out["discarded_contaminated"]
         )
         disc = (
             f"\nDiscarded {out['n_discarded']} contaminated rep(s) under the "
-            f"stated rules (two-axis probe agreement + efficiency <= 1.15): "
+            f"stated rules (three-axis probe agreement + efficiency <= 1.15): "
             f"{dl}\n"
         )
     if not out["samples"]:
@@ -425,14 +515,17 @@ def _md_table(out: dict) -> str:
         f"definitions — sum-of-rates (hi pairs/s over the SUM of each "
         f"engine's own-window rate) and fleet-completion (hi pairs/s over "
         f"{out['fanout']}x n_pairs / max lo wall — conservative, immune to "
-        f"straggler inflation). Two-axis probe validity rule "
-        f"(arithmetic 20%, page-fault 2x); children warm to steady state "
-        f"(consecutive passes within 15%, cap 4) before the barrier.\n\n"
+        f"straggler inflation). Three-axis probe validity rule "
+        f"(arithmetic 20%, page-fault 2x, stream-bandwidth 1.5x); per-rep "
+        f"quiet gate (solo canary within 1.25x of its running floor, "
+        f"bounded wait) and lo/hi order alternation; children warm to "
+        f"steady state (consecutive passes within 15%, cap 4) before the "
+        f"barrier.\n\n"
         f"| rep | agg pairs/s {out['fanout']}x local[{out['procs_lo']}] | "
         f"pairs/s @local[{out['procs_hi']}] | eff (sum-of-rates) | "
         f"eff (fleet: 4n/max-wall) | arith probe ms "
-        f"lo/hi | fault probe ms lo/hi |\n"
-        f"|---|---|---|---|---|---|---|\n{rows}\n\n"
+        f"lo/hi | fault probe ms lo/hi | bw probe ms lo/hi | order |\n"
+        f"|---|---|---|---|---|---|---|---|---|\n{rows}\n\n"
         f"Spark-level efficiency {out['procs_lo']} -> {out['procs_hi']}: "
         f"**median {out['efficiency_median']:.3f}, "
         f"min {out['efficiency_min']:.3f}** (sum-of-rates); "
