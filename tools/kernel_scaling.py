@@ -190,23 +190,12 @@ def measure(n_procs: int, n_pairs: int, background: int = 0) -> dict:
 # ------------------------------------------------- in-window dilation probe
 
 
-def _pulse_probe(stop_evt, q):
-    """Low-duty-cycle machine-dilation monitor: every ~60 ms run (a) one
-    fixed ~1-2 ms arithmetic burst, (b) one page-fault burst (mmap 4 MB
-    anonymous, touch every page, munmap), and (c) one streaming-bandwidth
-    burst (sum a 32 MB float64 array), recording
-    (timestamp, arith_duration, fault_duration, bw_duration). The
-    arithmetic burst senses frequency/scheduling dilation; the fault
-    burst senses the memory-management path (mmap/fault serialization —
-    on this sandbox VM concurrent first-touch faults serialize box-wide,
-    so an mm-side storm can crush a Spark job while pure arithmetic reads
-    calm); the bandwidth burst senses memory-BANDWIDTH contention, which
-    dilates the cache-missing scoring kernel heavily while both the tiny
-    arith working set and the fault path read calm (a round-4 rep read
-    efficiency 0.421 with both older axes agreeing — the missing axis).
-    A co-tenant spike on ANY axis that lands in one window but not the
-    other is detected rather than silently read as bad scaling. The
-    three bursts together are ~5-10 ms per ~60 ms cycle (<20% duty)."""
+def _make_probe_bursts():
+    """Build the three dilation-probe bursts over preallocated state:
+    (arith, fault, bw) callables. arith returns None (time it outside);
+    fault and bw return their own duration in seconds. Shared by the
+    in-window pulse probe (separate process) and the between-rep solo
+    canary (inline in the parent)."""
     import mmap as _mmap
 
     import numpy as np
@@ -251,6 +240,27 @@ def _pulse_probe(stop_evt, q):
         bw_arr.sum()
         return time.time() - t
 
+    return burst, fault_burst, bw_burst
+
+
+def _pulse_probe(stop_evt, q):
+    """Low-duty-cycle machine-dilation monitor: every ~60 ms run (a) one
+    fixed ~1-2 ms arithmetic burst, (b) one page-fault burst (mmap 4 MB
+    anonymous, touch every page, munmap), and (c) one streaming-bandwidth
+    burst (sum a 32 MB float64 array), recording
+    (timestamp, arith_duration, fault_duration, bw_duration). The
+    arithmetic burst senses frequency/scheduling dilation; the fault
+    burst senses the memory-management path (mmap/fault serialization —
+    on this sandbox VM concurrent first-touch faults serialize box-wide,
+    so an mm-side storm can crush a Spark job while pure arithmetic reads
+    calm); the bandwidth burst senses memory-BANDWIDTH contention, which
+    dilates the cache-missing scoring kernel heavily while both the tiny
+    arith working set and the fault path read calm (a round-4 rep read
+    efficiency 0.421 with both older axes agreeing — the missing axis).
+    A co-tenant spike on ANY axis that lands in one window but not the
+    other is detected rather than silently read as bad scaling. The
+    three bursts together are ~5-10 ms per ~60 ms cycle (<20% duty)."""
+    burst, fault_burst, bw_burst = _make_probe_bursts()
     for _ in range(20):  # warmup
         burst()
     fault_burst()
