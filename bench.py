@@ -177,15 +177,16 @@ def main() -> None:
         )
         out["spark_scaling"] = {
             "protocol": "tools/spark_scaling.py (score_pairs stage, "
-            "capacity-normalized strong scaling: 4 concurrent fresh-JVM "
-            "local[8] engines, barrier-synced, vs one local[32] engine on "
-            "the same input; efficiency = hi pairs/s over the SUM of the "
-            "concurrent engines' pairs/s; contamination rules: three-axis "
-            "pulse-probe agreement (arith 20%, fault 2x, bandwidth 1.5x) "
-            "AND efficiency <= 1.15 — super-unity reps are discarded as "
-            "lo-window dilation evidence; per-rep quiet gate: launch "
-            "waits, bounded, until a solo canary reads within 1.25x of "
-            "its running floor; lo/hi order alternates across reps)",
+            "capacity-normalized SYMMETRIC-workload scaling: 4 concurrent "
+            "fresh-JVM local[8] engines, one scoring job each, "
+            "barrier-synced, vs one local[32] engine running the same 4 "
+            "independent jobs concurrently (driver threads); efficiency "
+            "= hi pairs/s over the SUM of the concurrent engines' "
+            "pairs/s; contamination rules: three-axis pulse-probe "
+            "agreement (arith 20%, fault 2x, bandwidth 1.5x) AND "
+            "efficiency <= 1.5; per-rep quiet gate (solo canary within "
+            "1.25x of running floor OR 3-canary plateau, bounded wait); "
+            "lo/hi order alternates across reps)",
             "n_pairs": ss["n_pairs"],
             "efficiency_median_8_to_32": ss["efficiency_median"],
             "efficiency_min": ss["efficiency_min"],
