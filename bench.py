@@ -180,7 +180,9 @@ def main() -> None:
             "capacity-normalized SYMMETRIC-workload scaling: 4 concurrent "
             "fresh-JVM local[8] engines, one scoring job each, "
             "barrier-synced, vs one local[32] engine running the same 4 "
-            "independent jobs concurrently (driver threads); efficiency "
+            "independent jobs concurrently (driver threads, fair-share "
+            "kernel partitioning: cores/jobs partitions per job so both "
+            "sides run exactly `cores` concurrent kernel tasks); efficiency "
             "= hi pairs/s over the SUM of the concurrent engines' "
             "pairs/s; contamination rules: three-axis pulse-probe "
             "agreement (arith 20%, fault 2x, bandwidth 1.5x) AND "
