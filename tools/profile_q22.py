@@ -60,7 +60,6 @@ def main() -> None:
     print(f"phase1 edge-build+score: {t1 - t0:.2f}s  ({n_edges} edges)")
 
     # instrument per-iteration walls
-    from sassy_spark.operators import cluster as cluster_mod
     from sassy_spark.operators import staging as staging_mod
 
     orig_stage = staging_mod.stage_parquet
@@ -74,14 +73,17 @@ def main() -> None:
         last[0] = now
         return out
 
-    cluster_mod.stage_parquet = timed_stage
+    # connected_components does `from .staging import stage_parquet`
+    # at call time, so the patch must land on the staging module —
+    # patching cluster_mod would never be seen
+    staging_mod.stage_parquet = timed_stage
     e = spark.read.parquet(f"{scratch}/edges")
     t2 = time.time()
     last[0] = t2
     cc = connected_components(e)
     n_cc = cc.count()
     t3 = time.time()
-    cluster_mod.stage_parquet = orig_stage
+    staging_mod.stage_parquet = orig_stage
     print(f"phase2 cc iterations:    {t3 - t2:.2f}s  ({n_cc} labeled rows)")
     for name, w in iter_walls:
         print(f"    {name}: {w}s")
