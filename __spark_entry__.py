@@ -1355,7 +1355,8 @@ def oracle_sql() -> dict[str, str]:
         "q16_token_stats": """
             SELECT doc_id, length(text) AS n_chars,
                    CAST(len(list_filter(
-                        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        regexp_split_to_array(lower(text),
+                                              '[^\\p{L}\\p{N}]+'),
                         x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         """,
@@ -1373,7 +1374,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(list_intersect(
                         list_distinct(list_filter(
-                            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            regexp_split_to_array(
+                                lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                             x -> x <> '')),
                         [{stop_list}])) AS BIGINT) AS n_stopwords
             FROM documents
@@ -1827,7 +1829,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      greatest(length(text), 1) AS ne,
                      list_filter(
-                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                          x -> x <> '') AS toks
               FROM documents),
             f AS (

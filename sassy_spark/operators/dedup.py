@@ -195,6 +195,10 @@ def minhash_lsh_candidates(
         cand = (
             groups.select(F.explode(pairs_arr).alias("p"))
             .select("p.id_a", "p.id_b")
+            # strict < (matching the join branch's a.id < b.id): duplicate
+            # id values in one bucket would otherwise emit (id, id)
+            # self-pairs that survive jaccard verify at 1.0
+            .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
         bk = None

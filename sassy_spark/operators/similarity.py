@@ -136,8 +136,17 @@ def _reservoir_sample_vectors(
     from typing import Iterator
 
     src = df.select(F.col(vec_col).alias("v"))
-    # planning only — building the RDD lineage runs no job
-    n_parts = max(1, src.rdd.getNumPartitions())
+    # partition-count estimate from metadata only: .rdd on a plan with
+    # exchanges materializes upstream query stages under AQE, i.e. the
+    # exact extra scan the reservoir exists to avoid (same rule as
+    # linkage._fan_out_small_input). File-backed frames use the file
+    # count; everything else the cluster's default parallelism.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        n_files = 0
+    n_parts = max(1, n_files if n_files > 0 else par)
     quota = max(256, -(-4 * train_sample // n_parts))
 
     def reservoir(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

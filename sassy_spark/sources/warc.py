@@ -186,8 +186,19 @@ def export_warc(
     ).collect()
     files = sorted(r["file"] for r in manifest)
     n_records = sum(r["records"] for r in manifest)
+    import glob as _glob
     import json as _json
+    import os as _os
 
+    # read_warc globs part-*.warc without consulting _SUCCESS, so a
+    # re-export with fewer partitions must not leave stale parts from a
+    # previous run behind — remove anything not in this run's manifest
+    # BEFORE publishing the marker
+    _os.makedirs(path, exist_ok=True)  # empty input: still publish marker
+    current = set(files)
+    for stale in _glob.glob(f"{path}/part-*.warc"):
+        if stale not in current:
+            _os.remove(stale)
     with open(f"{path}/_SUCCESS", "w") as f:
         _json.dump({"files": files, "records": int(n_records)}, f)
     return {"files": files, "records": int(n_records)}

@@ -166,3 +166,18 @@ def test_minhash_signature_estimates_jaccard(docs, spark):
     agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / len(sigs[1])
     assert agree_12 == 1.0          # identical docs -> identical sigs
     assert agree_14 < 0.3           # unrelated docs -> low agreement
+
+
+def test_minhash_fused_gate_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate id values sharing a bucket must not emit (id, id)
+    self-pairs from the fused gate's least/greatest pair expansion —
+    the strict id_a < id_b guard matches the join branch's a.id < b.id."""
+    text = "the same page text repeated under one id twice for this test"
+    rows = [(7, text), (7, text), (9, text + " with a small local edit")]
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(
+        docs2, jaccard_threshold=0.4, est_margin=0.2, fused=True
+    )
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert all(a < b for a, b in got)
+    assert (7, 9) in got

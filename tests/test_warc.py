@@ -109,3 +109,25 @@ def test_export_warc_transactional_roundtrip(spark, pages, tmp_path):
     )
     assert j.count() == 60
     assert j.where(F.col("orig") != F.col("text")).count() == 0
+
+
+def test_export_warc_removes_stale_parts(spark, pages, tmp_path):
+    """Re-exporting into an existing directory with FEWER partitions must
+    not leave stale part files behind: read_warc globs part-*.warc
+    without consulting _SUCCESS, so the committer deletes parts absent
+    from the current manifest before publishing the marker."""
+    import os
+
+    src = (
+        pages.drop("cluster_id").limit(40)
+        .select("url", "text", "html")
+    )
+    out_dir = str(tmp_path / "warc_restage")
+    m_wide = W.export_warc(src.repartition(6, "url"), out_dir)
+    assert len(m_wide["files"]) > 2
+    m_narrow = W.export_warc(src.repartition(2, "url"), out_dir)
+    on_disk = sorted(
+        f"{out_dir}/{n}" for n in os.listdir(out_dir) if n.endswith(".warc")
+    )
+    assert on_disk == m_narrow["files"]
+    assert W.read_warc(spark, out_dir + "/*.warc").count() == 40
