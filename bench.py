@@ -13,6 +13,14 @@ block runs the tools/kernel_scaling barrier-synchronized protocol
 (median of --repeats, warmup + synthesis excluded, same-conditions and
 raw modes) — no hardcoded claims, and one method for the aggregate
 (median-duration concurrent rate) shared with the standalone tool.
+
+CRASH-PROOF BY CONSTRUCTION (round-4 VERDICT #1: a child timeout inside
+the scaling phase destroyed the whole round's bench record): every phase
+runs inside its own try/except that records {"errors": {phase: ...}}
+instead of raising, the final JSON is emitted from a finally block, and
+the process exits 0 whenever ANY phase produced numbers. The scaling
+protocols are themselves deadline-bounded (SASSY_SCALING_BUDGET_SEC) and
+return truncated-but-valid results instead of raising.
 """
 
 from __future__ import annotations
@@ -47,71 +55,80 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
+def _guard(out: dict, phase: str, fn) -> None:
+    """Run one bench phase; a failure becomes out['errors'][phase], never
+    an exception — the driver must ALWAYS receive the final JSON line."""
+    try:
+        fn()
+    except BaseException as exc:  # noqa: BLE001 — includes TimeoutExpired
+        if isinstance(exc, KeyboardInterrupt):
+            raise
+        out.setdefault("errors", {})[phase] = (
+            f"{type(exc).__name__}: {exc}"[:500]
+        )
+
+
+def _run(out: dict) -> None:
     import __spark_entry__ as E
     from sassy_spark import build_spark
     from sassy_spark.operators import linkage
     from sassy_spark.sources.pages import generate_pages
 
     spark = build_spark(app_name="sassy_bench", cores=CPUS)
-    qs = E.queries()
-    # steady-state warmup at the smallest sf: JVM JIT, codegen caches,
-    # Python worker daemon fork pool, shuffle service — all per-process
-    # one-time costs that would otherwise be charged to whichever query
-    # runs first (measured: q22 31s cold vs 10.5s warm)
-    for name in BENCH_QUERIES:
-        try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
-        except Exception:  # noqa: BLE001 — warmup is best-effort
-            pass
-    # best-of-2 per query, both samples disclosed: identical queries swing
-    # 2-4x under this host's co-tenant waves (measured q02 0.4 vs 19.5 s
-    # on identical code in round 3), and the steady-state capability is
-    # the smaller number — same rule the ER block has always used
-    timings: dict[str, float] = {}
-    query_samples: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        samples = []
+
+    def phase_queries() -> None:
+        qs = E.queries()
+        # steady-state warmup at the smallest sf: JVM JIT, codegen caches,
+        # Python worker daemon fork pool, shuffle service — all per-process
+        # one-time costs that would otherwise be charged to whichever query
+        # runs first (measured: q22 31s cold vs 10.5s warm)
+        for name in BENCH_QUERIES:
+            try:
+                qs[name](spark, "/root/testdata/sf0.001").count()
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+        # best-of-2 per query, both samples disclosed: identical queries
+        # swing 2-4x under this host's co-tenant waves (measured q02 0.4 vs
+        # 19.5 s on identical code in round 3), and the steady-state
+        # capability is the smaller number — same rule as the ER block
+        timings: dict[str, float] = {}
+        query_samples: dict[str, list[float]] = {}
+        for name in BENCH_QUERIES:
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).count()
+                samples.append(round(time.time() - t0, 3))
+            query_samples[name] = samples
+            timings[name] = min(samples)
+            out["queries"] = timings  # incremental: partial survives
+            out["query_samples"] = query_samples
+            out["value"] = round(sum(timings.values()), 3)
+
+    def phase_er() -> None:
+        # flagship: ER candidate scoring throughput on synthetic pages —
+        # best-of-2, both samples reported (co-tenancy swings 2-4x)
+        pages = generate_pages(spark, ER_PAGES, seed=42).drop("cluster_id")
+        pages = pages.persist()
+        n_pages = pages.count()
+        er_samples = []
+        n_pairs = 0
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
-            samples.append(round(time.time() - t0, 3))
-        query_samples[name] = samples
-        timings[name] = min(samples)
+            scored = linkage.link(pages, k=None, k_frac=0.05)
+            n_pairs = scored.count()
+            er_samples.append(round(time.time() - t0, 3))
+        er_sec = min(er_samples)
+        out["queries"]["er_pipeline"] = er_sec
+        out["value"] = round(sum(out["queries"].values()), 3)
+        out["er_pages"] = n_pages
+        out["er_candidate_pairs_scored"] = n_pairs
+        out["er_pairs_per_sec"] = round(n_pairs / er_sec, 1)
+        out["er_samples_sec"] = er_samples
+        pages.unpersist()
 
-    # flagship: ER candidate scoring throughput on synthetic pages —
-    # best-of-2, both samples reported: host co-tenancy swings identical
-    # runs 2-4x on this VM (measured 15-58s for the same 39k pairs), and
-    # the steady-state capability is the smaller number
-    pages = generate_pages(spark, ER_PAGES, seed=42).drop("cluster_id")
-    pages = pages.persist()
-    n_pages = pages.count()
-    er_samples = []
-    for _ in range(2):
-        t0 = time.time()
-        scored = linkage.link(pages, k=None, k_frac=0.05)
-        n_pairs = scored.count()
-        er_samples.append(round(time.time() - t0, 3))
-    er_sec = min(er_samples)
-    timings["er_pipeline"] = er_sec
-
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline queries + ER candidate scoring (total wall sec)",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "query_samples": query_samples,
-        "sf": SF_DIR,
-        "cpus": CPUS,
-        "er_pages": n_pages,
-        "er_candidate_pairs_scored": n_pairs,
-        "er_pairs_per_sec": round(n_pairs / er_sec, 1),
-        "er_samples_sec": er_samples,
-    }
-
-    # measured pairwise F1 vs planted truth (north metric #1)
-    if os.environ.get("SASSY_BENCH_F1", "1") == "1":
+    def phase_f1() -> None:
+        # measured pairwise F1 vs planted truth (north metric #1)
         from evaluate_f1 import evaluate
 
         t0 = time.time()
@@ -119,13 +136,37 @@ def main() -> None:
         out["f1_eval_sec"] = round(time.time() - t0, 1)
         out["f1_evaluation"] = f1
 
-    spark.stop()
+    def phase_oracle_suite() -> None:
+        # wall-clock of the full 46-query driver correctness suite (spark
+        # side only — the driver's dominant fixed cost; tracked so query
+        # additions stay budgeted). Uses .count() per query: the driver's
+        # toPandas + DuckDB adds on top, but the Spark side is what this
+        # repo controls.
+        qs = E.queries()
+        t0 = time.time()
+        n_ok = 0
+        for name, fn in qs.items():
+            try:
+                fn(spark, "/root/testdata/sf0.01").count()
+                n_ok += 1
+            except Exception:  # noqa: BLE001
+                out.setdefault("errors", {})[f"oracle_suite:{name}"] = "failed"
+        out["oracle_suite_sec"] = round(time.time() - t0, 1)
+        out["oracle_suite_queries_ok"] = n_ok
 
-    # scaling-efficiency evidence (north metric #3): the documented
-    # barrier-synchronized protocol from tools/kernel_scaling.py —
-    # same-conditions mode (equal machine occupancy at both N, the
-    # cluster-realistic comparison) plus the raw idle-box bound
-    if os.environ.get("SASSY_BENCH_SCALING", "1") == "1":
+    _guard(out, "queries", phase_queries)
+    _guard(out, "er_pipeline", phase_er)
+    if os.environ.get("SASSY_BENCH_F1", "1") == "1":
+        _guard(out, "f1", phase_f1)
+    if os.environ.get("SASSY_BENCH_ORACLE_SUITE", "1") == "1":
+        _guard(out, "oracle_suite", phase_oracle_suite)
+    _guard(out, "spark_stop", spark.stop)
+
+    def phase_kernel_scaling() -> None:
+        # scaling-efficiency evidence (north metric #3): the documented
+        # barrier-synchronized protocol from tools/kernel_scaling.py —
+        # same-conditions mode (equal machine occupancy at both N, the
+        # cluster-realistic comparison) plus the raw idle-box bound
         from kernel_scaling import calibrate_dilation, run_protocol
 
         same = run_protocol(2048, SCALING_REPEATS, same_conditions=True)
@@ -157,12 +198,15 @@ def main() -> None:
         }
         out["kernel_scaling_efficiency_8_to_32"] = same["efficiency_median"]
 
-    # Spark-level capacity-normalized scaling (north metric #3, the
-    # ENGINE): the real score_pairs stage (join + repartition + Arrow +
-    # mapInPandas kernel) as 4 CONCURRENT fresh-JVM local[8] engines
-    # (barrier-synced measured passes) vs one local[32] engine on the
-    # same parquet input, scoring action only. ~5 JVM starts per rep.
-    if os.environ.get("SASSY_BENCH_SPARK_SCALING", "1") == "1":
+    def phase_spark_scaling() -> None:
+        # Spark-level capacity-normalized scaling (north metric #3, the
+        # ENGINE): the real score_pairs stage (join + repartition + Arrow +
+        # mapInPandas kernel) as 4 CONCURRENT local[8] engines vs one
+        # local[32] engine running the same 4 jobs concurrently, on the
+        # same parquet input. Persistent warmed engines (one JVM spin-up
+        # per protocol run) under a hard wall-clock budget
+        # (SASSY_SCALING_BUDGET_SEC, default 600) — the protocol returns
+        # truncated-but-valid JSON instead of ever raising.
         from spark_scaling import run_protocol as spark_run_protocol
 
         # 98304 pairs (not 24576): at 24k the local[32] engine finishes its
@@ -178,11 +222,13 @@ def main() -> None:
         out["spark_scaling"] = {
             "protocol": "tools/spark_scaling.py (score_pairs stage, "
             "capacity-normalized SYMMETRIC-workload scaling: 4 concurrent "
-            "fresh-JVM local[8] engines, one scoring job each, "
-            "barrier-synced, vs one local[32] engine running the same 4 "
-            "independent jobs concurrently (driver threads, fair-share "
-            "kernel partitioning: cores/jobs partitions per job so both "
-            "sides run exactly `cores` concurrent kernel tasks); efficiency "
+            "local[8] engines, one scoring job each, barrier-synced, vs "
+            "one local[32] engine running the same 4 independent jobs "
+            "concurrently (driver threads, fair-share kernel partitioning: "
+            "cores/jobs partitions per job so both sides run exactly "
+            "`cores` concurrent kernel tasks); persistent warmed engines "
+            "(one JVM spin-up per protocol run, reps served through a "
+            "go-file barrier) under a hard wall-clock budget; efficiency "
             "= hi pairs/s over the SUM of the concurrent engines' "
             "pairs/s; contamination rules: three-axis pulse-probe "
             "agreement (arith 20%, fault 2x, bandwidth 1.5x) AND "
@@ -190,6 +236,10 @@ def main() -> None:
             "1.25x of running floor OR 3-canary plateau, bounded wait); "
             "lo/hi order alternates across reps)",
             "n_pairs": ss["n_pairs"],
+            "budget_sec": ss["budget_sec"],
+            "wall_sec": ss["wall_sec"],
+            "truncated": ss["truncated"],
+            "protocol_error": ss["protocol_error"],
             "efficiency_median_8_to_32": ss["efficiency_median"],
             "efficiency_min": ss["efficiency_min"],
             "samples": ss["efficiencies"],
@@ -200,7 +250,28 @@ def main() -> None:
             "pairs_per_sec_8_loaded": ss["pps_lo_median"],
             "pairs_per_sec_32": ss["pps_hi_median"],
         }
-    print(json.dumps(out))
+
+    if os.environ.get("SASSY_BENCH_SCALING", "1") == "1":
+        _guard(out, "kernel_scaling", phase_kernel_scaling)
+    if os.environ.get("SASSY_BENCH_SPARK_SCALING", "1") == "1":
+        _guard(out, "spark_scaling", phase_spark_scaling)
+
+
+def main() -> None:
+    t_bench = time.time()
+    out: dict = {
+        "metric": "headline queries + ER candidate scoring (total wall sec)",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    try:
+        _guard(out, "bench", lambda: _run(out))
+    finally:
+        out["bench_wall_sec"] = round(time.time() - t_bench, 1)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,7 @@ a fresh JVM at local[8] and local[32] over the SAME parquet input
 the Python worker path.
 
 Capacity-normalized protocol, SYMMETRIC WORKLOAD: hi/lo CONCURRENT
-local[lo] engines (fresh JVM each, barrier-synced measured passes, one
+local[lo] engines (own JVM each, barrier-synced measured passes, one
 scoring job each) vs one local[hi] engine processing the SAME number of
 independent scoring jobs CONCURRENTLY (driver threads). Both windows
 are fully occupied and all-Spark, and both sides process an identical
@@ -44,19 +44,33 @@ its running floor (min ever observed) OR hold a steady plateau across
 three consecutive canaries (per-axis tolerances) — transient waves are
 what must not straddle a rep's two windows; STEADY background load is
 fair to both and is policed by the in-window rules. Wait is bounded by
-SASSY_SCALING_MAX_QUIET_WAIT (default 300 s; on timeout the rep
-launches anyway, disclosed) — and ORDER ALTERNATION (odd attempts run the
+SASSY_SCALING_MAX_QUIET_WAIT (default 120 s, further shrunk near the
+budget deadline; on timeout the rep launches anyway, disclosed) — and ORDER ALTERNATION (odd attempts run the
 local[hi] engine first) so slow load drift cannot bias one window
 direction systematically.
 
-Per-rep cost: hi/lo + 1 fresh JVMs (startup excluded from the measured
-window — children time only the scoring action, after a full warmup
-pass).
+HARD WALL-CLOCK BUDGET (round-4 VERDICT "What's wrong" #2): the round-4
+protocol spun up 5 fresh JVMs PER REP (~71 min for one run) and a 900 s
+`subprocess.run` timeout inside a rep propagated uncaught into bench.py,
+destroying the whole round's bench record. Two structural fixes:
+
+* PERSISTENT ENGINES — all hi/lo children start ONCE per protocol run,
+  warm to steady state, then serve every rep through a file-barrier
+  loop (go_N / stop files). JVM startup + warmup is paid once, so a
+  rep costs only its two measured windows (+ quiet gate).
+* BUDGET — `SASSY_SCALING_BUDGET_SEC` (default 600) is a deadline for
+  the WHOLE protocol. Quiet-gate waits shrink as the deadline nears, a
+  new rep only launches if the remaining budget covers ~1.2x the last
+  rep's cost, and every child wait is deadline-bounded; on expiry the
+  protocol returns whatever clean reps it has, marked
+  ``truncated: true`` — it never raises.
 
 Usage:
     python tools/spark_scaling.py [n_pairs] [--repeats 3] [--lo 8 --hi 32]
 Child mode (internal): --child --cores N --input DIR [--sync FILE]
-                       [--jobs M]  (M concurrent scoring jobs in window)
+                       [--jobs M] [--persist]
+                       (M concurrent scoring jobs in window; --persist
+                       keeps the engine alive across reps)
 """
 
 from __future__ import annotations
@@ -87,7 +101,11 @@ READY_MARKER = "SPARK_SCALING_READY"
 
 
 def child_main(
-    cores: int, input_dir: str, sync_file: str | None = None, jobs: int = 1
+    cores: int,
+    input_dir: str,
+    sync_file: str | None = None,
+    jobs: int = 1,
+    persist: bool = False,
 ) -> None:
     """One engine. ``jobs`` > 1 submits that many INDEPENDENT scoring jobs
     concurrently (driver threads) in the measured window — the consolidated
@@ -156,19 +174,43 @@ def child_main(
         if prev is not None and abs(dt - prev) <= 0.15 * prev:
             break
         prev = dt
+
+    def run_measured() -> None:
+        t0 = time.time()
+        n = measured_pass()
+        t1 = time.time()
+        print(
+            RESULT_MARKER
+            + json.dumps({"cores": cores, "t0": t0, "t1": t1, "n_pairs": n}),
+            flush=True,
+        )
+
+    if persist:
+        # persistent-engine loop: warm ONCE, then serve every rep through
+        # a file barrier — READY, wait for {sync}_go{gen} (or {sync}_stop),
+        # run one measured pass, repeat. Sibling engines sharing a sync
+        # prefix wake on the same go file, so their measured passes start
+        # together (within the 50 ms poll) — the per-rep barrier.
+        assert sync_file is not None
+        gen = 0
+        stop_path = f"{sync_file}_stop"
+        while True:
+            print(READY_MARKER, flush=True)
+            go_path = f"{sync_file}_go{gen}"
+            while not os.path.exists(go_path) and not os.path.exists(stop_path):
+                time.sleep(0.05)
+            if not os.path.exists(go_path):
+                break
+            run_measured()
+            gen += 1
+        spark.stop()
+        return
     if sync_file is not None:
         # barrier with sibling children: all warm up, then measure together
         print(READY_MARKER, flush=True)
         while not os.path.exists(sync_file):
             time.sleep(0.05)
-    t0 = time.time()
-    n = measured_pass()
-    t1 = time.time()
-    print(
-        RESULT_MARKER
-        + json.dumps({"cores": cores, "t0": t0, "t1": t1, "n_pairs": n}),
-        flush=True,
-    )
+    run_measured()
     spark.stop()
 
 
@@ -177,6 +219,7 @@ def _child_cmd(
     input_dir: str,
     sync_file: str | None = None,
     jobs: int = 1,
+    persist: bool = False,
 ):
     cmd = [
         sys.executable,
@@ -191,6 +234,8 @@ def _child_cmd(
     ]
     if sync_file:
         cmd += ["--sync", sync_file]
+    if persist:
+        cmd += ["--persist"]
     return cmd
 
 
@@ -207,64 +252,78 @@ def _parse_result(line: str) -> dict:
     return out
 
 
-def _run_child(cores: int, input_dir: str, jobs: int = 1) -> dict:
-    proc = subprocess.run(
-        _child_cmd(cores, input_dir, jobs=jobs),
-        capture_output=True,
-        text=True,
-        env=_child_env(),
-        timeout=900,
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith(RESULT_MARKER):
-            return _parse_result(line)
-    raise RuntimeError(
-        f"child (cores={cores}) produced no result:\n"
-        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
-    )
+class _ProtocolTimeout(Exception):
+    """A deadline-bounded wait on a child expired — contamination/overrun
+    evidence, handled by truncating the protocol, never propagated."""
 
 
-def _run_children_concurrent(
-    cores: int, input_dir: str, fanout: int, sync_file: str
-) -> list[dict]:
-    """Launch ``fanout`` children at ``cores`` each; all warm up, hit the
-    sync-file barrier, then run their measured pass CONCURRENTLY."""
-    procs = [
-        subprocess.Popen(
-            _child_cmd(cores, input_dir, sync_file),
+class _Engine:
+    """A persistent scoring engine: one child JVM, warmed once, serving a
+    measured pass per rep through the go/stop file barrier. All stdout
+    reads are DEADLINE-bounded (a reader thread feeds a queue) — nothing
+    here can raise subprocess.TimeoutExpired into the caller (the exact
+    failure that destroyed BENCH_r04)."""
+
+    def __init__(
+        self, cores: int, input_dir: str, jobs: int, sync_prefix: str
+    ) -> None:
+        import queue
+        import threading
+
+        self.cores = cores
+        self.sync_prefix = sync_prefix
+        self.proc = subprocess.Popen(
+            _child_cmd(cores, input_dir, sync_prefix, jobs=jobs, persist=True),
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             text=True,
             env=_child_env(),
         )
-        for _ in range(fanout)
-    ]
-    try:
-        for p in procs:  # wait until every child is warmed up
-            for line in iter(p.stdout.readline, ""):
-                if line.startswith(READY_MARKER):
-                    break
-            else:
-                raise RuntimeError("child exited before READY")
-        Path(sync_file).touch()
-        results = []
-        for p in procs:
-            res = None
-            for line in iter(p.stdout.readline, ""):
-                if line.startswith(RESULT_MARKER):
-                    res = _parse_result(line)
-                    break
-            p.wait(timeout=900)
-            if res is None:
-                raise RuntimeError("child produced no result after barrier")
-            results.append(res)
-        return results
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.terminate()
-        if os.path.exists(sync_file):
-            os.unlink(sync_file)
+        self._q: "queue.Queue[str | None]" = queue.Queue()
+        self._reader = threading.Thread(target=self._pump, daemon=True)
+        self._reader.start()
+
+    def _pump(self) -> None:
+        for line in iter(self.proc.stdout.readline, ""):
+            self._q.put(line)
+        self._q.put(None)
+
+    def expect(self, marker: str, deadline: float) -> str:
+        import queue
+
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                raise _ProtocolTimeout(
+                    f"engine cores={self.cores} missed {marker!r} deadline"
+                )
+            try:
+                line = self._q.get(timeout=min(remaining, 1.0))
+            except queue.Empty:
+                continue
+            if line is None:
+                raise _ProtocolTimeout(
+                    f"engine cores={self.cores} exited before {marker!r}"
+                )
+            if line.startswith(marker):
+                return line
+
+    def result(self, deadline: float) -> dict:
+        return _parse_result(self.expect(RESULT_MARKER, deadline))
+
+    def shutdown(self) -> None:
+        try:
+            Path(f"{self.sync_prefix}_stop").touch()
+        except OSError:
+            pass
+        try:
+            self.proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            try:
+                self.proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
 
 
 # ----------------------------------------------------------------- parent
@@ -380,11 +439,16 @@ def run_protocol(
     lo: int = 8,
     hi: int = 32,
     input_dir: str | None = None,
+    budget_sec: float | None = None,
 ) -> dict:
     import tempfile
 
     from tools.kernel_scaling import _probe_median, _pulse_probe
 
+    if budget_sec is None:
+        budget_sec = float(os.environ.get("SASSY_SCALING_BUDGET_SEC", "600"))
+    t_protocol = time.time()
+    deadline = t_protocol + budget_sec
     if input_dir is None:
         input_dir = tempfile.mkdtemp(
             prefix="spark_scaling_",
@@ -397,130 +461,207 @@ def run_protocol(
     discarded: list[dict] = []
     attempts = 0
     canary_floor: dict = {}
-    max_quiet_wait = float(os.environ.get("SASSY_SCALING_MAX_QUIET_WAIT", "300"))
-    while len(samples) < repeats and attempts < repeats * 3:
-        attempts += 1
-        canary, gate_ok = _quiet_gate(canary_floor, max_quiet_wait)
-        stop_evt = ctx.Event()
-        pq_ = ctx.Queue()
-        probe = ctx.Process(target=_pulse_probe, args=(stop_evt, pq_), daemon=True)
-        probe.start()
-        # capacity-normalized comparison: `fanout` CONCURRENT local[lo]
-        # engines (barrier-synced measured passes) vs one local[hi]
-        # engine. Both windows are fully-occupied, all-Spark — this is
-        # the fleet question stated directly: do 4N consolidated cores
-        # deliver what 4 separate N-core engines deliver? (An unmetered
-        # burner mix is NOT occupancy-equivalent for a JVM+workers job:
-        # a local[8] engine runs far more than 8 runnable threads and
-        # out-schedules pure-compute burners erratically — measured lo
-        # windows swung 12-29 s under the burner design.)
-        sync = os.path.join(input_dir, f"_go_{attempts}")
-        # order alternation: odd attempts run the consolidated engine
-        # first, so slow co-tenant load drift (rising or falling across
-        # the ~5-10 min rep) cannot systematically favor one window
-        hi_first = attempts % 2 == 1
-        if hi_first:
-            r_hi = _run_child(hi, input_dir, jobs=fanout)
-            los = _run_children_concurrent(lo, input_dir, fanout, sync)
-        else:
-            los = _run_children_concurrent(lo, input_dir, fanout, sync)
-            r_hi = _run_child(hi, input_dir, jobs=fanout)
-        stop_evt.set()
-        probe_samples = pq_.get()
-        probe.join()
-        lo_t0 = min(r["t0"] for r in los)
-        lo_t1 = max(r["t1"] for r in los)
-        p_lo = _probe_median(probe_samples, lo_t0, lo_t1)
-        p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
-        f_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=2)
-        f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
-        b_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=3)
-        b_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=3)
-        # three-axis validity rule (as the kernel protocol): arithmetic
-        # probe within 20%, page-fault probe within 2x, streaming
-        # bandwidth within 1.5x between the two windows. The fault and
-        # bandwidth probes matter MORE here — a Spark stage (shuffle page
-        # churn, Arrow IPC, worker forks, cache-missing kernel scans)
-        # rides the mm and DRAM paths that arithmetic can't sense; a
-        # round-4 rep read efficiency 0.421 with both original axes
-        # agreeing, which is what motivated the bandwidth axis.
-        probes_ok = (
-            p_lo is not None
-            and p_hi is not None
-            and max(p_lo, p_hi) / max(min(p_lo, p_hi), 1e-9) <= 1.20
-            and f_lo is not None
-            and f_hi is not None
-            and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
-            and b_lo is not None
-            and b_hi is not None
-            and max(b_lo, b_hi) / max(min(b_lo, b_hi), 1e-9) <= 1.5
+    truncated = False
+    protocol_error: str | None = None
+    max_quiet_wait = float(os.environ.get("SASSY_SCALING_MAX_QUIET_WAIT", "120"))
+    # persistent engines — ONE spin-up (JVM start + steady-state warmup)
+    # for the whole protocol; every rep reuses them through the go-file
+    # barrier. Spin-up is concurrent across engines and deadline-bounded.
+    hi_eng: _Engine | None = None
+    lo_engs: list[_Engine] = []
+    last_rep_cost = 60.0
+    try:
+        hi_eng = _Engine(
+            hi, input_dir, jobs=fanout,
+            sync_prefix=os.path.join(input_dir, "_hi"),
         )
-        # aggregate capacity of the N-core engines vs the 4N-core engine,
-        # under TWO definitions (both reported):
-        #   eff_sum   — hi rate over the SUM of each engine's own-window
-        #               rate. Overstates lo when engine walls spread: an
-        #               engine finishing early frees its cores and the
-        #               remaining engines' rates inflate (measured wall
-        #               spread 19.9-30.3 s in one rep).
-        #   eff_fleet — hi rate over (4 x n_scored / max lo wall): the
-        #               strong-scaling fleet-completion definition (the 4
-        #               concurrent jobs are done when the LAST finishes).
-        #               Conservative on lo, immune to the straggler
-        #               artifact.
-        agg_lo = round(sum(r["pairs_per_sec"] for r in los), 1)
-        max_wall = max(r["wall_sec"] for r in los)
-        n_scored = los[0]["n_pairs"]
-        agg_lo_fleet = round(len(los) * n_scored / max_wall, 1)
-        eff_fleet = r_hi["pairs_per_sec"] / agg_lo_fleet
-        eff = r_hi["pairs_per_sec"] / agg_lo
-        # super-unity rule (round-3 VERDICT "What's wrong" #2): on equal
-        # total cores, efficiency far above 1.0 means the lo window was
-        # dilated by load the probes missed — contamination evidence, not
-        # a bonus. Under the symmetric 4-job design the cap is 1.5 (was
-        # 1.15 for the single-job-hi design): consolidation can now WIN
-        # legitimately — 4 jobs' task waves pack into slots the
-        # hard-partitioned fleet leaves idle at its per-engine barriers
-        # (measured: 30% straggler loss at 32 tasks vs 8% at 8) — and
-        # the three-axis probe rule is the primary dilation detector.
-        super_unity_ok = eff <= 1.5
-        valid = probes_ok and super_unity_ok
-        entry = {
-            "rep": len(samples),
-            "lo": {
-                "engines": los,
-                "agg_pairs_per_sec": agg_lo,
-                "agg_pairs_per_sec_fleet": agg_lo_fleet,
-                "t0": lo_t0,
-                "t1": lo_t1,
-            },
-            "hi": r_hi,
-            "eff": round(eff, 3),
-            "eff_fleet": round(eff_fleet, 3),
-            "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
-            "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
-            "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
-            "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
-            "bw_probe_ms_lo": round(b_lo * 1000, 3) if b_lo else None,
-            "bw_probe_ms_hi": round(b_hi * 1000, 3) if b_hi else None,
-            "order": "hi_first" if hi_first else "lo_first",
-            "launch_canary": canary,
-            "quiet_gate_ok": gate_ok,
-        }
-        if not valid:
-            entry["discard_reason"] = (
-                "probe windows disagree (arith >20%, fault >2x, or bw >1.5x)"
-                if not probes_ok
-                else f"super-unity efficiency {eff:.3f} > 1.5 "
-                "(lo-window dilation that slipped past the probes)"
+        lo_sync = os.path.join(input_dir, "_lo")
+        lo_engs = [
+            _Engine(lo, input_dir, jobs=1, sync_prefix=lo_sync)
+            for _ in range(fanout)
+        ]
+        spinup_deadline = min(deadline, time.time() + max(180, budget_sec * 0.7))
+        hi_eng.expect(READY_MARKER, spinup_deadline)
+        for e in lo_engs:
+            e.expect(READY_MARKER, spinup_deadline)
+        while len(samples) < repeats and attempts < repeats * 3:
+            remaining = deadline - time.time()
+            if remaining < max(45.0, 1.2 * last_rep_cost):
+                truncated = len(samples) < repeats
+                break
+            t_rep = time.time()
+            attempts += 1
+            gen = attempts - 1  # engines' go-file generation counter
+            # quiet-gate wait shrinks as the deadline nears — never more
+            # than ~25% of what's left
+            gate_wait = min(max_quiet_wait, max(15.0, 0.25 * remaining))
+            canary, gate_ok = _quiet_gate(canary_floor, gate_wait)
+            stop_evt = ctx.Event()
+            pq_ = ctx.Queue()
+            probe = ctx.Process(
+                target=_pulse_probe, args=(stop_evt, pq_), daemon=True
             )
-        (samples if valid else discarded).append(entry)
+            probe.start()
+            # capacity-normalized comparison: `fanout` CONCURRENT local[lo]
+            # engines (barrier-synced measured passes) vs one local[hi]
+            # engine. Both windows are fully-occupied, all-Spark — this is
+            # the fleet question stated directly: do 4N consolidated cores
+            # deliver what 4 separate N-core engines deliver? While one
+            # side's window runs, the other side's engines idle at the
+            # go-file poll (50 ms sleep loop + idle JVM) — negligible, and
+            # policed by the in-window probe rules regardless.
+            # order alternation: odd attempts run the consolidated engine
+            # first, so slow co-tenant load drift (rising or falling across
+            # the rep) cannot systematically favor one window direction.
+            hi_first = attempts % 2 == 1
+            window_deadline = deadline + 30.0  # grace so a rep mid-flight
+            # at budget expiry can still land; a wedged child trips this
+            # and truncates the protocol instead of raising
+            try:
+                if hi_first:
+                    Path(f"{hi_eng.sync_prefix}_go{gen}").touch()
+                    r_hi = hi_eng.result(window_deadline)
+                    Path(f"{lo_sync}_go{gen}").touch()
+                    los = [e.result(window_deadline) for e in lo_engs]
+                else:
+                    Path(f"{lo_sync}_go{gen}").touch()
+                    los = [e.result(window_deadline) for e in lo_engs]
+                    Path(f"{hi_eng.sync_prefix}_go{gen}").touch()
+                    r_hi = hi_eng.result(window_deadline)
+                for e in [hi_eng] + lo_engs:  # re-arm for the next rep
+                    e.expect(READY_MARKER, window_deadline)
+            except _ProtocolTimeout as exc:
+                # a window overran the whole budget: the engines are wedged
+                # mid-pass (or dead) — record, tear down, return what we
+                # have. NEVER propagate (BENCH_r04's failure mode).
+                stop_evt.set()
+                try:
+                    pq_.get(timeout=10)
+                except Exception:  # noqa: BLE001
+                    pass
+                probe.join(timeout=10)
+                truncated = True
+                protocol_error = f"window overran budget: {exc}"
+                break
+            stop_evt.set()
+            probe_samples = pq_.get()
+            probe.join()
+            lo_t0 = min(r["t0"] for r in los)
+            lo_t1 = max(r["t1"] for r in los)
+            p_lo = _probe_median(probe_samples, lo_t0, lo_t1)
+            p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
+            f_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=2)
+            f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
+            b_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=3)
+            b_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=3)
+            # three-axis validity rule (as the kernel protocol): arithmetic
+            # probe within 20%, page-fault probe within 2x, streaming
+            # bandwidth within 1.5x between the two windows. The fault and
+            # bandwidth probes matter MORE here — a Spark stage (shuffle page
+            # churn, Arrow IPC, worker forks, cache-missing kernel scans)
+            # rides the mm and DRAM paths that arithmetic can't sense; a
+            # round-4 rep read efficiency 0.421 with both original axes
+            # agreeing, which is what motivated the bandwidth axis.
+            probes_ok = (
+                p_lo is not None
+                and p_hi is not None
+                and max(p_lo, p_hi) / max(min(p_lo, p_hi), 1e-9) <= 1.20
+                and f_lo is not None
+                and f_hi is not None
+                and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
+                and b_lo is not None
+                and b_hi is not None
+                and max(b_lo, b_hi) / max(min(b_lo, b_hi), 1e-9) <= 1.5
+            )
+            # aggregate capacity of the N-core engines vs the 4N-core engine,
+            # under TWO definitions (both reported):
+            #   eff_sum   — hi rate over the SUM of each engine's own-window
+            #               rate. Overstates lo when engine walls spread: an
+            #               engine finishing early frees its cores and the
+            #               remaining engines' rates inflate (measured wall
+            #               spread 19.9-30.3 s in one rep).
+            #   eff_fleet — hi rate over (4 x n_scored / max lo wall): the
+            #               strong-scaling fleet-completion definition (the 4
+            #               concurrent jobs are done when the LAST finishes).
+            #               Conservative on lo, immune to the straggler
+            #               artifact.
+            agg_lo = round(sum(r["pairs_per_sec"] for r in los), 1)
+            max_wall = max(r["wall_sec"] for r in los)
+            n_scored = los[0]["n_pairs"]
+            agg_lo_fleet = round(len(los) * n_scored / max_wall, 1)
+            eff_fleet = r_hi["pairs_per_sec"] / agg_lo_fleet
+            eff = r_hi["pairs_per_sec"] / agg_lo
+            # super-unity rule (round-3 VERDICT "What's wrong" #2): on equal
+            # total cores, efficiency far above 1.0 means the lo window was
+            # dilated by load the probes missed — contamination evidence, not
+            # a bonus. Under the symmetric 4-job design the cap is 1.5 (was
+            # 1.15 for the single-job-hi design): consolidation can now WIN
+            # legitimately — 4 jobs' task waves pack into slots the
+            # hard-partitioned fleet leaves idle at its per-engine barriers
+            # (measured: 30% straggler loss at 32 tasks vs 8% at 8) — and
+            # the three-axis probe rule is the primary dilation detector.
+            super_unity_ok = eff <= 1.5
+            valid = probes_ok and super_unity_ok
+            entry = {
+                "rep": len(samples),
+                "lo": {
+                    "engines": los,
+                    "agg_pairs_per_sec": agg_lo,
+                    "agg_pairs_per_sec_fleet": agg_lo_fleet,
+                    "t0": lo_t0,
+                    "t1": lo_t1,
+                },
+                "hi": r_hi,
+                "eff": round(eff, 3),
+                "eff_fleet": round(eff_fleet, 3),
+                "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
+                "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
+                "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
+                "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
+                "bw_probe_ms_lo": round(b_lo * 1000, 3) if b_lo else None,
+                "bw_probe_ms_hi": round(b_hi * 1000, 3) if b_hi else None,
+                "order": "hi_first" if hi_first else "lo_first",
+                "launch_canary": canary,
+                "quiet_gate_ok": gate_ok,
+            }
+            if not valid:
+                entry["discard_reason"] = (
+                    "probe windows disagree (arith >20%, fault >2x, or bw >1.5x)"
+                    if not probes_ok
+                    else f"super-unity efficiency {eff:.3f} > 1.5 "
+                    "(lo-window dilation that slipped past the probes)"
+                )
+            (samples if valid else discarded).append(entry)
+            last_rep_cost = time.time() - t_rep
+        if len(samples) < repeats:
+            truncated = True
+    except _ProtocolTimeout as exc:
+        # spin-up never became READY within the budget (loaded box, dead
+        # child): truncate with whatever landed — never raise into bench
+        truncated = True
+        protocol_error = f"spin-up overran budget: {exc}"
+    except Exception as exc:  # noqa: BLE001 — bench must ALWAYS get JSON
+        truncated = True
+        protocol_error = f"{type(exc).__name__}: {exc}"
+    finally:
+        if hi_eng is not None:
+            hi_eng.shutdown()
+        for e in lo_engs:
+            e.shutdown()
     effs = [s["eff"] for s in samples]
     return {
+        "budget_sec": budget_sec,
+        "wall_sec": round(time.time() - t_protocol, 1),
+        "truncated": truncated,
+        "protocol_error": protocol_error,
+        "attempts": attempts,
         "job": "score_pairs (join + repartition + Arrow-native kernel UDF)",
         "n_pairs": n_pairs,
         "scaling": "capacity-normalized strong scaling: "
-        f"{fanout} concurrent local[{lo}] engines (barrier-synced) vs "
-        f"one local[{hi}] engine, same input",
+        f"{fanout} concurrent local[{lo}] engines (persistent, warmed once, "
+        f"barrier-synced per rep) vs one local[{hi}] engine running "
+        f"{fanout} concurrent jobs, same input, hard budget "
+        f"{budget_sec:.0f}s",
         "procs_lo": lo,
         "procs_hi": hi,
         "fanout": fanout,
@@ -567,6 +708,18 @@ def _md_table(out: dict) -> str:
         for s in out["samples"]
     )
     disc = ""
+    if out.get("truncated"):
+        disc += (
+            f"\nTRUNCATED at the {out.get('budget_sec', '?')}s hard budget "
+            f"after {out.get('wall_sec', '?')}s / {out.get('attempts', '?')} "
+            f"attempt(s)"
+            + (
+                f" — {out['protocol_error']}"
+                if out.get("protocol_error")
+                else ""
+            )
+            + "; the reps below are the clean ones that landed in budget.\n"
+        )
     if out["n_discarded"]:
         dl = ", ".join(
             f"eff={d['eff']:.3f} [{d.get('discard_reason', 'probe rule')}] "
@@ -639,12 +792,28 @@ def main() -> None:
         default=1,
         help="concurrent scoring jobs in the measured window (child mode)",
     )
+    ap.add_argument(
+        "--persist",
+        action="store_true",
+        help="child mode: stay alive and serve a measured pass per go file",
+    )
+    ap.add_argument(
+        "--budget",
+        type=float,
+        default=None,
+        help="hard wall-clock budget (sec) for the whole protocol",
+    )
     ap.add_argument("--no-md", action="store_true", help="skip BASELINE.md append")
     args = ap.parse_args()
     if args.child:
-        child_main(args.cores, args.input, args.sync, jobs=args.jobs)
+        child_main(
+            args.cores, args.input, args.sync, jobs=args.jobs,
+            persist=args.persist,
+        )
         return
-    out = run_protocol(args.n_pairs, args.repeats, args.lo, args.hi)
+    out = run_protocol(
+        args.n_pairs, args.repeats, args.lo, args.hi, budget_sec=args.budget
+    )
     print(json.dumps(out))
     if not args.no_md:
         with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
