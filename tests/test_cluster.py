@@ -96,11 +96,18 @@ def test_cc_resume_mid_run(spark, tmp_path):
     edges = [(f"m{i:03d}", f"m{i+1:03d}") for i in range(n - 1)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     ck = str(tmp_path / "cc_mid")
-    partial = connected_components(df, checkpoint_dir=ck, max_iter=2)
+    # threshold=0 pins the DISTRIBUTED star-iteration mechanics (the
+    # driver union-find finisher would otherwise converge instantly on
+    # this driver-sized graph)
+    partial = connected_components(
+        df, checkpoint_dir=ck, max_iter=2, small_graph_threshold=0
+    )
     # chain of 96 cannot converge in 2 star rounds
     labels_partial = {r["url"]: r["cluster_id"] for r in partial.collect()}
     assert len(set(labels_partial.values())) > 1
-    resumed = connected_components(df, checkpoint_dir=ck, max_iter=25)
+    resumed = connected_components(
+        df, checkpoint_dir=ck, max_iter=25, small_graph_threshold=0
+    )
     got = {r["url"]: r["cluster_id"] for r in resumed.collect()}
     assert set(got.values()) == {"m000"}
     assert len(got) == n
@@ -154,3 +161,43 @@ def test_cc_checkpoint_invalidated_on_different_input(spark, tmp_path):
         for r in connected_components(e2, checkpoint_dir=ck).collect()
     }
     assert got2 == {"x": "x", "y": "x", "p": "p", "q": "p"}
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_cc_small_graph_finisher_identical_labels(spark, seed, tmp_path):
+    """The driver union-find finisher (small_graph_threshold) must produce
+    byte-identical labels to the pure distributed star path, with and
+    without checkpointing, and a checkpoint written by the finisher must
+    resume cleanly (converged meta honored, same labels, and cross-path:
+    a star-only rerun against the finisher's checkpoint agrees)."""
+    nodes, edges = _random_graph(seed)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    star_only = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    finisher = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert star_only == finisher
+
+    ck = str(tmp_path / "cc_small")
+    a = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=ck).collect()
+    }
+    assert a == star_only
+    # resume from the finisher-written converged checkpoint — both with
+    # the finisher active and with it disabled (the meta is path-agnostic)
+    b = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=ck).collect()
+    }
+    c = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            df, checkpoint_dir=ck, small_graph_threshold=0
+        ).collect()
+    }
+    assert a == b == c
