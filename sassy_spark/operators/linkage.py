@@ -299,33 +299,62 @@ def score_pairs(
     df = df.withColumn("k_eff", k_eff)
     if score_mode != "containment":
         df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("k_eff"))
-    df = df.join(
-        texts.select(F.col(url).alias("url_a"), F.col("_t").alias("text_a")),
-        "url_a",
-    ).join(
-        texts.select(F.col(url).alias("url_b"), F.col("_t").alias("text_b")),
-        "url_b",
-    )
     if score_partitions is None:
-        # AQE coalesces the join output toward 64 MB partitions — a
-        # handful of tasks — which starves the CPU-bound kernel stage
-        # (measured: 6 of 32 workers busy). Fan out to exactly 1
+        # AQE coalesces toward advisory-size partitions — a handful of
+        # tasks at small corpus sizes — which starves the CPU-bound kernel
+        # stage (measured: 6 of 32 workers busy). Fan out to exactly 1
         # task/core: 2/core measured 1.6x SLOWER here (each extra task
         # wave re-pays Python worker handoff + Arrow buffers, and this
         # box serializes those allocations); at real cluster scale the
         # per-partition row count, not the wave count, evens stragglers.
         score_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if score_partitions == 0:
-        # inherit the text-attach join's own partitioning (no extra
-        # exchange): one fewer full shuffle of the wide text payload —
-        # task count then comes from AQE's advisory-size coalesce of the
-        # join output, so parallelism follows data volume, not cores
-        pass
-    elif score_partitions:
+    if score_partitions:
+        # fan out BEFORE the text joins, while rows are still narrow
+        # (urls + ints): when the text side broadcasts (<= the 64 MB
+        # threshold), hash partitioning survives both joins and the wide
+        # text payload is never shuffled at all (was: repartition AFTER
+        # the joins — an exchange of every attached text, the single
+        # largest non-kernel cost of the scoring stage). When the corpus
+        # is too big to broadcast, the sort-merge joins re-exchange by
+        # url and the kernel inherits the join output's AQE-sized
+        # partitioning — task count then follows data volume, which is
+        # the right behavior at that scale; the narrow pre-exchange it
+        # wastes is rows of ~100 bytes.
         # hash repartition, never round-robin: round-robin repartition
         # locally sorts every column for determinism — on 2 KB text
         # payloads that costs 7x the scoring itself (measured)
         df = df.repartition(score_partitions, F.col("url_a"), F.col("url_b"))
+    # score_partitions == 0: inherit upstream partitioning (no exchange)
+    # Broadcast the TEXTS side explicitly when Catalyst's own size
+    # estimate fits the session threshold: left to itself the planner
+    # broadcasts whichever side is SMALLER — usually the narrow pairs —
+    # which throws away the pre-partitioning above and leaves the kernel
+    # on the text side's layout. The hint is applied only under the same
+    # size bound the planner uses, so the at-scale behavior (sort-merge
+    # when texts don't fit) is unchanged.
+    spark = df.sparkSession
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:  # noqa: BLE001 — e.g. "10MB" string form
+        thr = 10 * 1024 * 1024
+    try:
+        texts_bytes = int(
+            texts._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: assume big
+        texts_bytes = 1 << 62
+    maybe_bcast = F.broadcast if 0 < texts_bytes <= thr else (lambda x: x)
+    df = df.join(
+        maybe_bcast(
+            texts.select(F.col(url).alias("url_a"), F.col("_t").alias("text_a"))
+        ),
+        "url_a",
+    ).join(
+        maybe_bcast(
+            texts.select(F.col(url).alias("url_b"), F.col("_t").alias("text_b"))
+        ),
+        "url_b",
+    )
 
     out_schema = (
         "url_a string, url_b string, len_a int, len_b int, k_eff int, "
@@ -585,7 +614,11 @@ def link(
     pairs = candidate_pairs(
         keys, max_block_size=max_block_size, lens=lens, k=k, k_frac=k_frac
     )
-    pairs = _stage(pairs, checkpoint_dir, "candidate_pairs", fingerprint)
+    if checkpoint_dir is not None:
+        # snapshot only when resumability was asked for: pairs has exactly
+        # ONE consumer (score_pairs, one job), so the no-checkpoint RAM
+        # stage bought nothing and cost a full write+read of the pair set
+        pairs = _stage(pairs, checkpoint_dir, "candidate_pairs", fingerprint)
     return score_pairs(
         pairs,
         pages,
