@@ -1111,21 +1111,35 @@ def _q45_image_decode_histogram(spark, sf):
         yy, xx = np.mgrid[0:16, 0:16]
         base = (7 * xx + 3 * yy).astype(np.int64)
         for pdf in batches:
-            ids, bins, counts = [], [], []
-            for doc_id in pdf["doc_id"]:
-                arr = ((base + int(doc_id)) % 256).astype(np.uint8)
-                back = decode_png(encode_png(arr))  # the REAL round-trip
-                hist = np.bincount(
-                    (back.ravel().astype(np.int64) >> 5), minlength=8
-                )
-                for b in range(8):
-                    if hist[b] == 0:
-                        continue  # oracle's GROUP BY omits empty bins
-                    ids.append(doc_id)
-                    bins.append(b)
-                    counts.append(int(hist[b]))
+            ids_in = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n = len(ids_in)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": [], "bin": [], "n_pixels": []})
+                continue
+            # whole-batch pixel synthesis (r4 VERDICT minor #4: the
+            # closed-form generation is vectorized across the doc batch;
+            # only the codec round-trip itself stays per-item — it IS the
+            # thing under test)
+            imgs = ((base[None, :, :] + ids_in[:, None, None]) % 256).astype(
+                np.uint8
+            )
+            decoded = np.stack(
+                [decode_png(encode_png(imgs[j])) for j in range(n)]
+            )
+            # one bincount for the whole batch: key = doc_index*8 + bin
+            binned = decoded.reshape(n, -1).astype(np.int64) >> 5
+            keys = (np.arange(n)[:, None] * 8 + binned).ravel()
+            hist = np.bincount(keys, minlength=n * 8).reshape(n, 8)
+            doc_rep = np.repeat(ids_in, 8)
+            bin_rep = np.tile(np.arange(8), n)
+            cnt = hist.ravel()
+            keep = cnt > 0  # oracle's GROUP BY omits empty bins
             yield pd.DataFrame(
-                {"doc_id": ids, "bin": bins, "n_pixels": counts}
+                {
+                    "doc_id": doc_rep[keep],
+                    "bin": bin_rep[keep].astype(np.int32),
+                    "n_pixels": cnt[keep],
+                }
             )
 
     return d.mapInPandas(
@@ -1154,19 +1168,29 @@ def _q46_audio_decode_envelope(spark, sf):
 
         i = np.arange(256, dtype=np.int64)
         for pdf in batches:
-            ids, bins, energies = [], [], []
-            for doc_id in pdf["doc_id"]:
-                vals = ((13 * i + 7 * int(doc_id)) % 256).astype(np.uint8)
-                back, rate = decode_wav(encode_wav(vals, 8000))
+            ids_in = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n = len(ids_in)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": [], "bin": [], "energy": []})
+                continue
+            # whole-batch sample synthesis (r4 VERDICT minor #4); only the
+            # codec round-trip stays per-item — it IS the thing under test
+            vals = ((13 * i[None, :] + 7 * ids_in[:, None]) % 256).astype(
+                np.uint8
+            )
+            decoded = []
+            for j in range(n):
+                back, rate = decode_wav(encode_wav(vals[j], 8000))
                 assert rate == 8000
-                c = back[:, 0].astype(np.int64) - 128
-                e = (c * c).reshape(8, 32).sum(axis=1)
-                for b in range(8):
-                    ids.append(doc_id)
-                    bins.append(b)
-                    energies.append(int(e[b]))
+                decoded.append(back[:, 0])
+            c = np.stack(decoded).astype(np.int64) - 128
+            e = (c * c).reshape(n, 8, 32).sum(axis=2)
             yield pd.DataFrame(
-                {"doc_id": ids, "bin": bins, "energy": energies}
+                {
+                    "doc_id": np.repeat(ids_in, 8),
+                    "bin": np.tile(np.arange(8), n).astype(np.int32),
+                    "energy": e.ravel(),
+                }
             )
 
     return d.mapInPandas(

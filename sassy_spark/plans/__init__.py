@@ -57,7 +57,13 @@ def assert_no_python_in_scan_path(df: DataFrame) -> None:
 
 def whole_stage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     """Number of WholeStageCodegen spans. Under AQE the markers only show
-    on the final plan, so this triggers execution by default."""
+    on the final plan, so this triggers execution by default.
+
+    TEST-ONLY introspection: ``execute=True`` runs ``df.collect()`` to
+    finalize the AQE plan — never call it on a data-sized frame outside a
+    test fixture (its sole in-repo caller is tests/test_plans.py, on
+    sf0.001 frames); pass ``execute=False`` to inspect the pre-AQE plan
+    without running a job."""
     if execute:
         # count() would execute a different (wrapped) plan; AQE finalizes
         # only the plan object actually executed
