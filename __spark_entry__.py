@@ -1198,6 +1198,98 @@ def _q46_audio_decode_envelope(spark, sf):
     )
 
 
+def _q47_repetition_signals(spark, sf):
+    """Gopher-style within-document repetition filters (MassiveText
+    quality pipeline) over the real corpus text: duplicate-word fraction,
+    top-word share, top-bigram share. The DuckDB side recomputes all
+    three from the raw text with an independent tokenize/slice/aggregate
+    formulation — tokenizer, bigram construction, tie-free max counts,
+    and the rounding must all agree."""
+    from sassy_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_load(spark, sf, "documents"))
+
+
+def _q48_dup_ngram_spans(spark, sf):
+    """Cross-document exact duplicated-span stats (Lee et al. 2022 span
+    dedup at word-8-gram granularity) over the real corpus: per doc, the
+    distinct-8-gram count and how many of those 8-grams appear in >= 2
+    documents. Exercises the explode -> per-doc distinct -> ngram
+    doc-frequency -> join-back plan; the oracle rebuilds the same stats
+    from first principles with lateral unnest + window-free SQL."""
+    from sassy_spark.operators.textstats import dup_ngram_stats
+
+    return dup_ngram_stats(_load(spark, sf, "documents"), n=8, min_docs=2)
+
+
+def _q49_url_canonical_dedup(spark, sf):
+    """Stage-0 URL canonical dedup: a deterministic mixed-case URL with
+    www/tracking-param/fragment noise is synthesized per document, then
+    grouped by functions/text.py::normalize_url. The oracle re-synthesizes
+    the same URLs and applies the documented normalization chain with
+    DuckDB's RE2 regexps — scheme/www/utm/fragment/slash handling must
+    agree exactly for the groups (and their min-doc representative) to
+    match."""
+    from sassy_spark.operators.dedup import canonical_url_groups
+
+    d = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com/p"),
+        (did % 40).cast("string"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=c"),
+                (did % 5).cast("string"),
+                F.lit("&ref=r"),
+                (did % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return canonical_url_groups(pages, url_col="url")
+
+
+def _q50_pii_scrub(spark, sf):
+    """PII scan + scrub over the real corpus text with planted PII
+    appended (the raw synthetic text contains none): per-doc email/
+    phone/IP counts plus the fully masked text. The full masked string
+    is part of the compared output, so the replacement patterns, masking
+    order, and the untouched original text must all round-trip exactly
+    through both engines."""
+    from sassy_spark.operators.textstats import pii_profile
+
+    d = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            (did % 10).cast("string"),
+            F.lit("@ex"),
+            (did % 3).cast("string"),
+            F.lit(".org"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-0"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit(" from 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_profile(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1246,6 +1338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_quality_score": _q44_quality_score,
         "q45_image_decode_histogram": _q45_image_decode_histogram,
         "q46_audio_decode_envelope": _q46_audio_decode_envelope,
+        "q47_repetition_signals": _q47_repetition_signals,
+        "q48_dup_ngram_spans": _q48_dup_ngram_spans,
+        "q49_url_canonical_dedup": _q49_url_canonical_dedup,
+        "q50_pii_scrub": _q50_pii_scrub,
     }
 
 
@@ -1913,5 +2009,171 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT a.i
                   FROM unnest(generate_series(0, 255)) AS a(i)) g
             GROUP BY 1, 2
+        """,
+        "q47_repetition_signals": """
+            -- independent recomputation of the Gopher repetition
+            -- signals: same tokenizer as functions/text.py::tokens,
+            -- bigrams rebuilt by 1-based list slicing instead of the
+            -- Spark side's index-aware transform
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            words AS (
+              SELECT doc_id, unnest(tk) AS term FROM t),
+            wc AS (
+              SELECT doc_id, term, count(*) AS c
+              FROM words GROUP BY 1, 2),
+            wagg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(max(c) AS BIGINT) AS top_word_n,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM wc GROUP BY 1),
+            bigs AS (
+              SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS term
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, len(tk))) AS i
+                    FROM t)),
+            bc AS (
+              SELECT doc_id, term, count(*) AS c
+              FROM bigs GROUP BY 1, 2),
+            bagg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS BIGINT) AS top_bigram_n
+              FROM bc GROUP BY 1)
+            SELECT w.doc_id,
+                   w.n_tokens,
+                   round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens,
+                         6) AS dup_word_frac,
+                   round(CAST(w.top_word_n AS DOUBLE) / w.n_tokens,
+                         6) AS top_word_frac,
+                   round(coalesce(
+                       CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams,
+                       0.0), 6) AS top_bigram_frac
+            FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        """,
+        "q48_dup_ngram_spans": """
+            -- first-principles rebuild of the duplicated word-8-gram
+            -- stats: lateral unnest over 1-based slice windows, per-doc
+            -- DISTINCT ngram sets, ngram doc-frequency, join back;
+            -- docs shorter than 8 tokens keep a zero-count row
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            ng AS (
+              SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS ng
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 6)) AS i
+                    FROM t)),
+            dng AS (
+              SELECT DISTINCT doc_id, ng FROM ng),
+            freq AS (
+              SELECT ng, count(*) AS df FROM dng GROUP BY 1),
+            per_doc AS (
+              SELECT d.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+                     CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_ngrams
+              FROM dng d JOIN freq f USING (ng)
+              GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(p.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+                   coalesce(p.n_dup_ngrams, 0) AS n_dup_ngrams,
+                   round(CASE
+                       WHEN coalesce(p.n_distinct_ngrams, 0) > 0 THEN
+                           CAST(p.n_dup_ngrams AS DOUBLE)
+                           / p.n_distinct_ngrams
+                       ELSE 0.0 END, 6) AS dup_frac
+            FROM t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "q49_url_canonical_dedup": """
+            -- re-synthesize the same noisy URLs, then apply the
+            -- normalize_url chain (functions/text.py) with DuckDB's RE2
+            -- regexps: lowercase, drop fragment, scheme, www., tracking
+            -- params, tidy delimiters, collapse /? and trailing /
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                     || source || '.Example.com/p'
+                     || CAST(doc_id % 40 AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0 THEN
+                            '/?utm_source=feed&utm_campaign=c'
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || '&ref=r' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '#frag'
+                        ELSE '' END AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(lower(url),
+                                       '#.*$', '', 'g'),
+                                     '^https?://', '', 'g'),
+                                   '^www\\.', '', 'g'),
+                                 '(utm_[a-z]+|fbclid|gclid)=[^&]*',
+                                 '', 'g'),
+                               '&&+', '&', 'g'),
+                             '\\?&', '?', 'g'),
+                           '[?&]+$', '', 'g'),
+                         '/+\\?', '?', 'g'),
+                       '/+$', '', 'g') AS canon_url
+              FROM u)
+            SELECT canon_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM c GROUP BY 1
+        """,
+        "q50_pii_scrub": """
+            -- plant the same PII suffix on the real text, then count and
+            -- mask with the shared Java/RE2-compatible patterns; the
+            -- whole masked string is value-compared
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id % 10 AS VARCHAR)
+                     || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+                     || CASE WHEN doc_id % 2 = 0 THEN
+                            ' call 555-0'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                    3, '0')
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.1'
+                        ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '555-[0-9]{4}'))
+                       AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                       AS BIGINT) AS n_ips,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '555-[0-9]{4}', '<PHONE>', 'g'),
+                     '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                     '<IP>', 'g') AS masked_text
+            FROM t
         """,
     }

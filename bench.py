@@ -82,11 +82,12 @@ def _run(out: dict) -> None:
         # Python worker daemon fork pool, shuffle service — all per-process
         # one-time costs that would otherwise be charged to whichever query
         # runs first (measured: q22 31s cold vs 10.5s warm)
-        for name in BENCH_QUERIES:
-            try:
-                qs[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:  # noqa: BLE001 — warmup is best-effort
-                pass
+        if os.environ.get("SASSY_BENCH_WARMUP", "1") == "1":
+            for name in BENCH_QUERIES:
+                try:
+                    qs[name](spark, "/root/testdata/sf0.001").count()
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
         # best-of-2 per query, both samples disclosed: identical queries
         # swing 2-4x under this host's co-tenant waves (measured q02 0.4 vs
         # 19.5 s on identical code in round 3), and the steady-state

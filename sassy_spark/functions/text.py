@@ -181,3 +181,79 @@ def lang_id(text: Column) -> Column:
     for lang, s in reversed(scores):
         expr = F.when(s == best, F.lit(lang)).otherwise(expr)
     return F.when(best > 0, expr).otherwise(F.lit("unknown"))
+
+
+# ------------------------------------------------------- URL canonicalization
+
+#: query parameters treated as tracking noise and stripped by
+#: ``normalize_url``. The alternation is kept lookaround-free so the same
+#: pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
+_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&]*"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup/blocking, entirely in Catalyst.
+
+    Spec (applied in order, each step a codegen'd regexp/str op):
+      1. lowercase the whole URL (host is case-insensitive; we accept
+         lowering the path too — canonical keys, not display strings),
+      2. drop the fragment (``#...``),
+      3. drop the scheme (``http://`` / ``https://``),
+      4. drop a leading ``www.``,
+      5. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``)
+         and tidy the left-over ``?&``/``&&``/trailing delimiters,
+      6. collapse ``/?`` to ``?`` and drop trailing ``/``.
+
+    Web-scale dedup by canonical URL is the cheapest ER stage: it runs
+    before any text is touched and shrinks the candidate space for the
+    MinHash/kernel stages (the pipeline's stage-0 analog of the
+    reference's exact-match prefilter, src/search.rs:129-140). All
+    patterns avoid backreferences and lookaround so the DuckDB oracle
+    can reuse them verbatim.
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+\?", "?")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+# ----------------------------------------------------------------- PII scan
+
+#: PII patterns — shared by the Spark operator and the DuckDB oracle, so
+#: they are restricted to the Java-regex/RE2 common subset (no \b against
+#: unicode, no lookaround, no backrefs in replacements).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"555-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+_PII_MASKS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (emails / phone-like / IPv4-like), all
+    JVM-side ``regexp_count``. The phone/IP patterns are deliberately
+    narrow, deterministic stand-ins for a production ruleset — the
+    operator contract (count + mask, one scan, no Python) is the part
+    that matters at 100 TB."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace every PII hit with a typed placeholder. Masking order is
+    email -> phone -> ipv4; the patterns are mutually non-overlapping so
+    the order is cosmetic (documented for oracle parity)."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, _PII_MASKS[kind])
+    return out

@@ -549,3 +549,32 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------------ canonical URL
+
+
+def canonical_url_groups(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Stage-0 web dedup: group pages by canonical URL (scheme/www/
+    tracking-param/fragment-insensitive — functions/text.py::
+    normalize_url). Returns (canon_url, n_docs, first_doc). Shuffles
+    only (canon_url, id) — the page payload never moves, and the
+    aggregate is partial-combined, so the stage is scan-bound at 100 TB.
+    Runs BEFORE any text or sketch stage in the ER pipeline, the web
+    analog of the reference's exact-match prefilter
+    (src/search.rs:129-140)."""
+    from ..functions.text import normalize_url
+
+    return (
+        df.select(
+            normalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

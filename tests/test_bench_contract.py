@@ -24,6 +24,8 @@ def test_bench_json_survives_phase_failure_and_scaling_overrun():
             "SPARK_GRAFT_CPUS": "8",
             "SASSY_BENCH_PAGES": "200",
             "SASSY_BENCH_F1": "0",
+            # skip the sf0.001 query warmup: not under test here
+            "SASSY_BENCH_WARMUP": "0",
             "SASSY_BENCH_ORACLE_SUITE": "0",
             "SASSY_BENCH_SCALING": "0",
             "SASSY_BENCH_SPARK_SCALING": "1",

@@ -181,3 +181,44 @@ def test_minhash_fused_gate_no_self_pairs_on_duplicate_ids(spark):
     got = {(r.id_a, r.id_b) for r in cand.collect()}
     assert all(a < b for a, b in got)
     assert (7, 9) in got
+
+
+def test_normalize_url_chain(spark):
+    from sassy_spark.functions.text import normalize_url
+
+    cases = [
+        # scheme/www/case/fragment noise all collapses
+        ("HTTPS://WWW.Ex.COM/A/b/?utm_source=x&ref=r#frag", "ex.com/a/b?ref=r"),
+        ("http://ex.com/a/b?ref=r", "ex.com/a/b?ref=r"),
+        # tracking-only query disappears entirely, with its delimiters
+        ("https://ex.com/p/?utm_a=1&utm_b=2", "ex.com/p"),
+        ("ex.com/p?gclid=abc", "ex.com/p"),
+        # mid-query removal tidies the double delimiter
+        ("ex.com/p?a=1&fbclid=zz&b=2", "ex.com/p?a=1&b=2"),
+        # bare host, trailing slashes
+        ("https://ex.com/", "ex.com"),
+        ("ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    bad = df.where(normalize_url(F.col("url")) != F.col("want")).collect()
+    assert bad == [], [(r.url, r.want) for r in bad]
+
+
+def test_canonical_url_groups(spark):
+    from sassy_spark.operators.dedup import canonical_url_groups
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://www.ex.com/p?utm_x=1"),
+            (11, "EX.com/p/"),
+            (12, "http://ex.com/p"),
+            (13, "ex.com/other"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {
+        r.canon_url: (r.n_docs, r.first_doc)
+        for r in canonical_url_groups(df).collect()
+    }
+    assert got["ex.com/p"] == (3, 10)
+    assert got["ex.com/other"] == (1, 13)

@@ -110,3 +110,71 @@ def test_resize_images_metadata_and_passthrough(spark):
             assert r.width == max(1, round(r.w0 * scale))
             assert r.height == max(1, round(r.h0 * scale))
             assert bytes(r.payload) != bytes(r.p0)
+
+
+def test_repetition_signals_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # 5 toks, 2 distinct, top 'a'x3, top big 'a b'x2/4
+            (2, "x"),  # single token: no bigrams -> 0.0
+            (3, ""),  # no tokens: dropped (documented semantics)
+            (4, "u v w x y"),  # all unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in textstats.repetition_signals(docs).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1].n_tokens == 5
+    assert got[1].dup_word_frac == pytest.approx(1 - 2 / 5)
+    assert got[1].top_word_frac == pytest.approx(3 / 5)
+    assert got[1].top_bigram_frac == pytest.approx(2 / 4)
+    assert got[2].top_bigram_frac == 0.0
+    assert got[4].dup_word_frac == 0.0
+    assert got[4].top_word_frac == pytest.approx(1 / 5)
+
+
+def test_dup_ngram_stats_closed_form(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " nine"),  # 2 distinct 8-grams, 1 shared with doc 2
+            (2, shared + " ten"),
+            (3, "too short"),  # < 8 tokens: zero-count row kept
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in textstats.dup_ngram_stats(docs, n=8, min_docs=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].n_distinct_ngrams == 2
+    assert got[1].n_dup_ngrams == 1
+    assert got[1].dup_frac == pytest.approx(0.5)
+    assert got[2].n_dup_ngrams == 1
+    assert got[3].n_distinct_ngrams == 0
+    assert got[3].dup_frac == 0.0
+    assert got[4].n_dup_ngrams == 0
+
+
+def test_pii_profile_counts_and_mask(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach a.b+c@mail-x.co or 555-0199 via 192.168.0.1 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails p@q.io and r@s.net plus 555-0000 555-1234"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in textstats.pii_profile(docs).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 1, 1)
+    assert got[1].masked_text == "reach <EMAIL> or <PHONE> via <IP> ok"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
+    assert got[2].masked_text == "no pii here at all"
+    assert got[3].n_emails == 2
+    assert got[3].n_phones == 2
+    assert "<EMAIL>" in got[3].masked_text
