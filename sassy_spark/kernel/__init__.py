@@ -1,5 +1,6 @@
 from .myers import (
     all_optimal_tracebacks,
+    all_tracebacks_within_k,
     banded_edit_distances,
     edit_distances,
     local_minima,
@@ -10,6 +11,7 @@ from .myers import (
 
 __all__ = [
     "all_optimal_tracebacks",
+    "all_tracebacks_within_k",
     "banded_edit_distances",
     "edit_distances",
     "semiglobal_search",

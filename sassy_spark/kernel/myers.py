@@ -40,17 +40,18 @@ Semantics intentionally mirror the reference (RagnarGrootKoerkamp/sassy):
   preference documented src/lib.rs:42-50). Run only on accepted matches
   (rare), like sassy's batched traceback after candidate filtering.
 * ``all_optimal_tracebacks`` — every distinct *cost-minimal* alignment
-  for one (pattern, end) — the engine's form of search_all_alignments
-  (reference src/search.rs:708-754, src/alignment_iterator.rs:52-411).
-  Deviation, documented: the reference also enumerates some suboptimal
-  alignments with cost <= k (minus "clearly inefficient" ones); this
-  engine enumerates exactly the cost-minimal paths per end position
-  (which automatically excludes the reference's filtered sub->ins+del
-  rewrites, since those cost strictly more). On cases where every
-  reference alignment is cost-minimal the two enumerations coincide
-  exactly — pinned by the reference's own combinatorial count
-  (src/search.rs:1841-1853, C(8,3)=56 paths:
-  tests/test_search_operator.py::test_all_alignments_combinatorial_count).
+  for one (pattern, end); kept for callers that want exactly the
+  optimal set (it automatically excludes sub->ins+del rewrites, since
+  those cost strictly more).
+* ``all_tracebacks_within_k`` — the reference's search_all_alignments
+  enumeration (src/search.rs:708-754, src/alignment_iterator.rs:52-411):
+  every alignment with cost <= k per end position minus the "clearly
+  inefficient" ones, via the reference's three DFS filters (no
+  leading/trailing text gaps, diagonal leave/enter discipline, no mixed
+  indels since the last match). Pinned by the reference's own
+  combinatorial count (src/search.rs:1841-1853, C(8,3)=56 paths) and an
+  independently-written path-filter oracle
+  (tests/test_all_alignments_within_k.py).
 
 No code is copied from the reference; the recurrence follows the
 published algorithm (G. Myers, JACM 46(3), 1999; H. Hyyro, 2003).
@@ -1322,4 +1323,156 @@ def all_optimal_tracebacks(
             stack.pop()
             if ops:
                 ops.pop()
+    return results
+
+
+def all_tracebacks_within_k(
+    pattern,
+    text,
+    end: int,
+    k: int,
+    max_paths: int = 64,
+    classes: dict | None = None,
+) -> list[tuple[int, int, str]]:
+    """Every "reasonable" alignment of ``pattern`` ending at ``end`` with
+    cost <= ``k`` — full behavioral parity with the reference's bounded
+    sub-optimal enumeration (src/alignment_iterator.rs:52-411), which
+    emits not just cost-minimal paths but all cost<=k paths minus the
+    clearly-inefficient ones. Returns [(start, cost, cigar), ...]
+    (semiglobal, capped at ``max_paths`` like the reference's
+    Break continuation).
+
+    The three inefficiency filters, re-derived from the reference's DFS
+    (alignment_iterator.rs:246-327) and implemented over this engine's
+    banded DP window:
+
+    * no leading/trailing text gaps — a ``D`` op is forbidden while no
+      pattern char has been consumed yet (alignment right edge) or after
+      all have been (left edge); in semiglobal search such gaps only
+      restate a shorter match,
+    * diagonal discipline — a gap op may not LEAVE a diagonal whose
+      remaining pattern prefix exactly matches the text to its left
+      (the match-extension to the matrix top), and may not ENTER a
+      diagonal that was reachable by exact matches from the matrix
+      bottom or from the row where the DFS last visited that diagonal
+      (tracked per-diagonal, restored on backtrack),
+    * no mixed indels — since the last exact-match op, insertions and
+      deletions may not both appear (substitutions are transparent),
+      which forces substitution over an ins+del pair.
+
+    The diagonal rules compare against the FULL text, not just the DP
+    window: the reference's match-extension slices
+    (alignment_iterator.rs:295-327) index ``self.text`` directly and may
+    reach up to ``m`` chars past ``end`` (enter rule, bottom-of-matrix
+    default) or before the window start (leave rule after a long gap
+    run), so an extended profile-match matrix over
+    ``text[lo-m : end+m]`` backs both checks here.
+
+    Edges are explored in ascending (cost-so-far + edge + optimal
+    cost-to-go) order with match/sub preferred on ties, mirroring the
+    reference's stable sort, so lower-cost alignments surface first.
+    Python recursion is fine here: depth <= m + k and the enumeration
+    runs only on accepted matches, exactly like the reference's
+    post-filter trace stage.
+    """
+    import sys
+
+    d, match, n, lo = _traceback_dp(pattern, text, end, k, True, classes)
+    m = match.shape[0]
+    if int(d[m, n]) > k:
+        return []
+    # extended match matrix over text[lo2:hi2] for the diagonal rules
+    pa = _as_symbols(pattern)
+    ta_full = _as_symbols(text)
+    text_len = len(ta_full)
+    lo2 = max(0, lo - m)
+    hi2 = min(text_len, end + m)
+    ta_ext = ta_full[lo2:hi2]
+    if classes is None:
+        ematch = pa[:, None] == ta_ext[None, :]
+    else:
+        ematch = _class_match(pa, ta_ext, classes)
+    results: list[tuple[int, int, str]] = []
+    ops: list[str] = []
+    # last pattern row at which each diagonal (j - i, offset by m) was
+    # visited; default m = "bottom of the matrix"
+    last_row = [m] * (n + m + 1)
+
+    def _diag_match(pi0: int, pi1: int, t_abs: int) -> bool:
+        """pattern[pi0:pi1] profile-matches text[t_abs : t_abs+len] in
+        ABSOLUTE text coordinates? Empty slices are vacuously true (the
+        reference's is_match_slice semantics, which make same-row
+        diagonal re-entry forbidden); slices that fall outside the text
+        are false (unequal-length / explicit bounds check in the
+        reference, both of which allow the gap edge)."""
+        ln = pi1 - pi0
+        if ln <= 0:
+            return True
+        if t_abs < 0 or t_abs + ln > text_len:
+            return False
+        rows = np.arange(pi0, pi1)
+        cols = np.arange(t_abs - lo2, t_abs - lo2 + ln)
+        return bool(ematch[rows, cols].all())
+
+    def _net_indels() -> int:
+        net = 0
+        for op in reversed(ops):
+            if op == "=":
+                break
+            if op == "I":
+                net += 1
+            elif op == "D":
+                net -= 1
+        return net
+
+    def dfs(i: int, j: int, cost: int) -> None:
+        if len(results) >= max_paths:
+            return
+        if i == 0:
+            results.append((lo + j, cost, _rle(ops[::-1])))
+            return
+        edges: list[tuple[int, int, str, int, int]] = []  # (total, order, op, ni, nj)
+        # match/sub
+        if i > 0 and j > 0:
+            is_m = bool(match[i - 1, j - 1])
+            op = "=" if is_m else "X"
+            c = 0 if is_m else 1
+            total = cost + c + int(d[i - 1, j - 1])
+            if total <= k:
+                edges.append((total, 0, op, i - 1, j - 1))
+        gaps_ok = not _diag_match(0, i, lo + j - i)  # leave rule
+        if gaps_ok:
+            net = _net_indels()
+            # D: text gap — forbidden at the alignment edges
+            if j > 0 and 0 < i < m and net <= 0:
+                total = cost + 1 + int(d[i, j - 1])
+                if total <= k and not _diag_match(
+                    i, last_row[(j - 1) - i + m], lo + j - 1
+                ):
+                    edges.append((total, 1, "D", i, j - 1))
+            # I: pattern gap
+            if i > 0 and net >= 0:
+                total = cost + 1 + int(d[i - 1, j])
+                if total <= k and not _diag_match(
+                    i - 1, last_row[j - (i - 1) + m], lo + j
+                ):
+                    edges.append((total, 2, "I", i - 1, j))
+        edges.sort(key=lambda e: (e[0], e[1]))
+        for _total, _ord, op, ni, nj in edges:
+            if len(results) >= max_paths:
+                return
+            dg = nj - ni + m
+            old = last_row[dg]
+            last_row[dg] = ni
+            ops.append(op)
+            dfs(ni, nj, cost + (0 if op == "=" else 1))
+            ops.pop()
+            last_row[dg] = old
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * (m + n) + 1000))
+    try:
+        dfs(m, n, 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
     return results

@@ -81,13 +81,14 @@ def search(
 
     mode: 'local_minima' (reference default search), 'all' (search_all),
     'best' (only_best_match), 'all_alignments' (search_all_alignments:
-    every distinct cost-minimal alignment per end position — rows share
-    (pat_id, text_id, cost, end) and differ in start/cigar). NOTE the
-    documented deviation: the reference additionally enumerates bounded
-    SUBOPTIMAL alignments with cost <= k; this engine enumerates exactly
-    the cost-minimal paths per end (identical output whenever every
-    reference alignment is cost-minimal — pinned by the C(8,3)=56
-    combinatorial-count test; see kernel/myers.py module doc).
+    every "reasonable" alignment with cost <= k per end position — the
+    reference's bounded sub-optimal enumeration including its three
+    inefficiency filters (no edge text-gaps, diagonal leave/enter
+    discipline, no mixed indels since the last match), src/search.rs:
+    708-754 + src/alignment_iterator.rs:237-327, realized by
+    kernel.all_tracebacks_within_k; rows share (pat_id, text_id, end)
+    and differ in start/cost/cigar, pinned by the C(8,3)=56
+    combinatorial-count test plus rule-level unit tests).
     ``with_trace=False`` mirrors without_trace (src/search.rs:448-451):
     skips traceback, cigar/start/match_region null.
     ``rc=True`` also reports reverse-complement-strand matches
@@ -261,14 +262,17 @@ def _make_runner(
                         ):
                             continue
                         if mode == "all_alignments":
-                            for start, cigar in myers.all_optimal_tracebacks(
-                                pat_strs[pi], search_t, e, c, classes=classes
+                            for start, pcost, cigar in (
+                                myers.all_tracebacks_within_k(
+                                    pat_strs[pi], search_t, e, k,
+                                    classes=classes,
+                                )
                             ):
                                 rows.append(
                                     (
                                         pat_ids[pi],
                                         tid,
-                                        c,
+                                        pcost,
                                         strands[pi],
                                         start,
                                         e,

@@ -167,9 +167,12 @@ def test_end_filter_skips_traceback(monkeypatch):
 
 
 def test_all_alignments_mode(spark):
-    """K7 search_all_alignments: one row per distinct cost-minimal
-    alignment per end position; rows share (cost, end), differ in
-    start/cigar (reference src/search.rs:708-754)."""
+    """K7 search_all_alignments: one row per distinct "reasonable"
+    alignment with cost <= k per end position (the reference's bounded
+    sub-optimal enumeration, src/search.rs:708-754); on this input every
+    survivor is cost-minimal, so the pinned rows double as a regression
+    pin for the inefficiency filters (kernel parity is pinned separately
+    in tests/test_all_alignments_within_k.py)."""
     pats = spark.createDataFrame([("p", "aa")], ["pat_id", "pattern"])
     txts = spark.createDataFrame([("t", "aba")], ["text_id", "text"])
     rows = search(pats, txts, k=1, mode="all_alignments").collect()
@@ -192,15 +195,14 @@ def test_all_alignments_mode(spark):
 
 
 def test_all_alignments_combinatorial_count(spark):
-    """K7 enumeration parity pin (round-3 missing #4), the reference's own
-    closed-form case (src/search.rs:1841-1853): pattern 'a'*8 vs text
-    'a'*5 at k=3 has exactly C(8,3) = 56 alignments — choose which 3 of
-    the 8 pattern chars are unaligned insertions. All 56 are COST-MINIMAL
-    (cost 3 = the length difference, only end=5 reaches cost <= k), so on
-    this case the engine's cost-minimal enumeration and the reference's
-    bounded-suboptimal enumeration coincide exactly — the documented
-    deviation (kernel/myers.py module doc) is pinned to affect only
-    strictly-suboptimal paths."""
+    """K7 enumeration parity pin, the reference's own closed-form case
+    (src/search.rs:1841-1853): pattern 'a'*8 vs text 'a'*5 at k=3 has
+    exactly C(8,3) = 56 alignments — choose which 3 of the 8 pattern
+    chars are unaligned insertions. All 56 are cost-minimal (cost 3 =
+    the length difference, only end=5 reaches cost <= k), so the
+    optimal-only enumerator and the reference-parity bounded enumerator
+    (wired into mode='all_alignments'; full rule-level parity pinned in
+    tests/test_all_alignments_within_k.py) agree here."""
     import math
 
     from sassy_spark.kernel.myers import all_optimal_tracebacks
