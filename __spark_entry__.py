@@ -1290,6 +1290,53 @@ def _q50_pii_scrub(spark, sf):
     return pii_profile(planted)
 
 
+def _q51_all_alignments_count(spark, sf):
+    """K7 bounded-suboptimal enumeration (search_all_alignments) driver
+    oracle, the reference's own closed form generalized
+    (src/search.rs:1836-1853): homopolymer pattern 'z'*(t+2) vs text
+    'z'*t at k=2 admits exactly C(t+2, 2) alignments, all ending at
+    e=t with cost exactly 2 (choose which 2 pattern chars are unaligned
+    insertions; the enumeration's three inefficiency filters provably
+    never fire on this family — diagonals are only left while the
+    remaining pattern is still longer than the consumed text, where the
+    leave-slice is length-mismatched, and insertion-only paths never
+    revisit a diagonal). The 4 distinct (pattern, text) shapes run
+    through the REAL search operator (mode='all_alignments'), and the
+    4-row count table is broadcast-joined back onto documents via
+    t = 2 + doc_id % 4 so the value hash covers the whole corpus."""
+    from sassy_spark.operators.search import search
+
+    shapes = spark.createDataFrame(
+        [(t, "z" * (t + 2), "z" * t) for t in range(2, 6)],
+        ["t", "pattern", "text"],
+    )
+    counts = (
+        search(
+            shapes.select(F.col("t").cast("string").alias("pat_id"), "pattern"),
+            shapes.select(F.col("t").cast("string").alias("text_id"), "text"),
+            k=2,
+            mode="all_alignments",
+        )
+        .where(F.col("pat_id") == F.col("text_id"))  # same-shape lanes only
+        .groupBy(F.col("pat_id").cast("int").alias("t"))
+        .agg(
+            F.count("*").alias("n_alignments"),
+            F.max("cost").alias("max_cost"),
+            F.min("end").alias("min_end"),
+        )
+    )
+    d = _load(spark, sf, "documents").select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("t")
+    )
+    return d.join(F.broadcast(counts), "t").select(
+        "doc_id",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_alignments").cast("long").alias("n_alignments"),
+        F.col("max_cost").cast("long").alias("max_cost"),
+        F.col("min_end").cast("long").alias("min_end"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1342,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_dup_ngram_spans": _q48_dup_ngram_spans,
         "q49_url_canonical_dedup": _q49_url_canonical_dedup,
         "q50_pii_scrub": _q50_pii_scrub,
+        "q51_all_alignments_count": _q51_all_alignments_count,
     }
 
 
@@ -2175,5 +2223,19 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
                      '<IP>', 'g') AS masked_text
             FROM t
+        """,
+        "q51_all_alignments_count": """
+            -- closed-form bounded-suboptimal enumeration count
+            -- (reference src/search.rs:1836-1853 generalized): pattern
+            -- 'z'*(t+2) vs text 'z'*t at k=2 -> C(t+2, 2) alignments,
+            -- all at end=t / cost=2; t = 2 + doc_id % 4
+            WITH s AS (
+              SELECT doc_id, 2 + doc_id % 4 AS t FROM documents)
+            SELECT doc_id,
+                   CAST(t AS BIGINT) AS t,
+                   CAST((t + 2) * (t + 1) / 2 AS BIGINT) AS n_alignments,
+                   CAST(2 AS BIGINT) AS max_cost,
+                   CAST(t AS BIGINT) AS min_end
+            FROM s
         """,
     }

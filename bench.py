@@ -138,7 +138,7 @@ def _run(out: dict) -> None:
         out["f1_evaluation"] = f1
 
     def phase_oracle_suite() -> None:
-        # wall-clock of the full 46-query driver correctness suite (spark
+        # wall-clock of the full driver correctness suite (spark
         # side only — the driver's dominant fixed cost; tracked so query
         # additions stay budgeted). Uses .count() per query: the driver's
         # toPandas + DuckDB adds on top, but the Spark side is what this

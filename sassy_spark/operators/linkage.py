@@ -584,28 +584,32 @@ def link(
     # content-level input fingerprint: the plan hash alone would accept a
     # REWRITTEN parquet at the same path as "same input" — one scan of
     # (url, text) hashes the actual data (CC checkpoints do the same for
-    # edges); cost is a single extra input pass per checkpointed run
-    row = pages.select(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.expr(f"bit_xor(xxhash64(url, {text_col}))"), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    fingerprint = {
-        "input_rows": int(row["n"]),
-        "input_hash": int(row["h"]),
-        "input_plan": int(pages.semanticHash()),
-        "params": {
-            "k": k,
-            "k_frac": k_frac,
-            "text_col": text_col,
-            "max_block_size": max_block_size,
-            "bands": bands,
-            "n_hashes": n_hashes,
-            "ngram": ngram,
-            "seed": seed,
-        },
-    }
+    # edges); cost is a single extra input pass per checkpointed run.
+    # Only computed when a checkpoint dir exists: the no-checkpoint path
+    # never reads the fingerprint, so the scan would be a wasted job.
+    fingerprint = None
+    if checkpoint_dir is not None:
+        row = pages.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr(f"bit_xor(xxhash64(url, {text_col}))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        fingerprint = {
+            "input_rows": int(row["n"]),
+            "input_hash": int(row["h"]),
+            "input_plan": int(pages.semanticHash()),
+            "params": {
+                "k": k,
+                "k_frac": k_frac,
+                "text_col": text_col,
+                "max_block_size": max_block_size,
+                "bands": bands,
+                "n_hashes": n_hashes,
+                "ngram": ngram,
+                "seed": seed,
+            },
+        }
     keys = blocking_keys(
         pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
     )
