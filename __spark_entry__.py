@@ -1337,6 +1337,133 @@ def _q51_all_alignments_count(spark, sf):
     )
 
 
+def _q52_eval_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix C / Llama 13-gram rule)
+    over the real corpus: the "eval set" is the deterministic slice
+    doc_id % 37 == 0 of the corpus itself, so overlap is guaranteed for
+    the eval docs and any exact duplicates of them. The eval n-gram set
+    is broadcast; the corpus side is one scan + map-side semi-join —
+    no corpus shuffle. The oracle rebuilds both n-gram sets from first
+    principles with lateral unnest."""
+    from sassy_spark.operators.dedup import eval_decontaminate
+
+    d = _load(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 37 == 0)
+    r = eval_decontaminate(d, ev, n=13)
+    return r.select(
+        "doc_id",
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _q53_paragraph_dedup(spark, sf):
+    """Paragraph-hash cross-document dedup stats (CCNet/Dolma paragraph
+    pass): deterministic paragraphs are planted per doc — the doc's
+    first 10 tokens, a shared boilerplate paragraph keyed doc_id % 3
+    (duplicated across ~n/3 docs by construction), and the next 10
+    tokens. The operator hashes paragraphs (xxhash64) and counts
+    cross-doc duplicates; the oracle groups by the paragraph STRING —
+    equality of the outputs pins the hash-based formulation collision-
+    free on this corpus."""
+    from sassy_spark.functions.text import tokens
+    from sassy_spark.operators.dedup import duplicate_paragraph_stats
+
+    d = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    tk = tokens(F.col("text"))
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat_ws(" ", F.slice(tk, 1, 10)),
+            F.concat(
+                F.lit("shared boilerplate para "), (did % 3).cast("string")
+            ),
+            F.concat_ws(" ", F.slice(tk, 11, 10)),
+        ).alias("text"),
+    )
+    return duplicate_paragraph_stats(planted)
+
+
+def _q54_c4_line_filter(spark, sf):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) with
+    deterministic planted lines per doc: an 8-word line ending in '.'
+    (kept), a 3-word fragment (dropped: < 5 words), a javascript
+    boilerplate line (dropped: blocklist), and doc_id-parity-dependent
+    line 4 — a 6-word question (kept) or a brace-bearing code fragment
+    (dropped). The full cleaned text is part of the compared output, so
+    the keep rules, trim, and join must agree exactly across engines."""
+    from sassy_spark.functions.text import tokens
+    from sassy_spark.operators.textstats import c4_line_stats
+
+    d = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    tk = tokens(F.col("text"))
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.concat_ws(" ", F.slice(tk, 1, 8)), F.lit(".")),
+            F.concat_ws(" ", F.slice(tk, 9, 3)),
+            F.lit("please enable javascript to view this page."),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.concat_ws(" ", F.slice(tk, 12, 6)), F.lit("?")),
+            ).otherwise(F.lit("short { code }")),
+        ).alias("text"),
+    )
+    return c4_line_stats(planted)
+
+
+def _q55_unicode_normalize(spark, sf):
+    """Unicode hygiene round-trip: decomposed combining marks (e +
+    U+0301, A + U+030A), a BEL control char, and doubled spaces are
+    planted onto the real text; the operator NFC-composes (pandas
+    Series.str.normalize via Arrow) then strips controls and collapses
+    spaces JVM-side. The oracle uses DuckDB's utf8proc nfc_normalize +
+    the same RE2 cleanups — the full normalized string is compared, so
+    both engines' canonical composition must agree byte-for-byte."""
+    from sassy_spark.operators.textstats import normalized_documents
+
+    d = _load(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe" + chr(0x301) + "  nai" + chr(0x308) + "ve "),
+            F.lit(chr(0x07) + "A" + chr(0x30A) + "ngstro" + chr(0x308) + "m"),
+        ).alias("text"),
+    )
+    r = normalized_documents(planted)
+    return r.select(
+        "doc_id",
+        "n_chars_before",
+        "n_chars_after",
+        F.col("changed").cast("int").alias("changed"),
+        "norm_text",
+    )
+
+
+def _q56_tfidf_cosine_topk(spark, sf):
+    """Sparse TF-IDF cosine top-k pairs over word bigrams — the
+    relational sparse-similarity operator (postings self-join, df-cap
+    pruning, broadcast corpus-size scalar). Cosine is quantized to 4
+    decimals BEFORE ranking and ties are broken by (doc_a, doc_b), so
+    the top-20 cut is deterministic in both engines; the oracle rebuilds
+    the whole TF-IDF algebra in SQL."""
+    from sassy_spark.operators.similarity import tfidf_cosine_topk_pairs
+
+    d = _load(spark, sf, "documents")
+    return tfidf_cosine_topk_pairs(
+        d, k=20, ngram=2, max_df=100, round_to=4
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "cos",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1390,6 +1517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_url_canonical_dedup": _q49_url_canonical_dedup,
         "q50_pii_scrub": _q50_pii_scrub,
         "q51_all_alignments_count": _q51_all_alignments_count,
+        "q52_eval_decontaminate": _q52_eval_decontaminate,
+        "q53_paragraph_dedup": _q53_paragraph_dedup,
+        "q54_c4_line_filter": _q54_c4_line_filter,
+        "q55_unicode_normalize": _q55_unicode_normalize,
+        "q56_tfidf_cosine_topk": _q56_tfidf_cosine_topk,
     }
 
 
@@ -2237,5 +2369,212 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS max_cost,
                    CAST(t AS BIGINT) AS min_end
             FROM s
+        """,
+        "q52_eval_decontaminate": """
+            -- 13-gram eval-set decontamination rebuilt from first
+            -- principles: eval grams from the doc_id % 37 slice,
+            -- distinct doc grams, semi-join, zero-filled left join
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            dng AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[i : i + 12], ' ')
+                     AS ng
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, len(tk) - 11)) AS i
+                    FROM t)),
+            eg AS (
+              SELECT DISTINCT ng FROM dng WHERE dng.doc_id % 37 = 0),
+            hits AS (
+              SELECT doc_id, count(*) AS n_eval_hits
+              FROM dng WHERE ng IN (SELECT ng FROM eg)
+              GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(coalesce(h.n_eval_hits, 0) AS BIGINT)
+                       AS n_eval_hits,
+                   CAST(coalesce(h.n_eval_hits, 0) > 0 AS INT)
+                       AS contaminated
+            FROM t LEFT JOIN hits h USING (doc_id)
+        """,
+        "q53_paragraph_dedup": """
+            -- paragraph-level cross-doc dedup stats on planted
+            -- paragraphs (first 10 tokens / shared boilerplate keyed
+            -- doc_id % 3 / next 10 tokens); the oracle groups by the
+            -- paragraph STRING where the engine groups by xxhash64
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     concat_ws(chr(10) || chr(10),
+                         array_to_string(tk[1 : 10], ' '),
+                         'shared boilerplate para '
+                             || CAST(doc_id % 3 AS VARCHAR),
+                         array_to_string(tk[11 : 20], ' ')) AS text
+              FROM tk),
+            p AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         list_transform(
+                             regexp_split_to_array(text, '\\n{2,}'),
+                             x -> trim(x)),
+                         x -> x <> '')) AS para
+              FROM t),
+            freq AS (
+              SELECT para, count(DISTINCT doc_id) AS df
+              FROM p GROUP BY 1),
+            per_doc AS (
+              SELECT p.doc_id,
+                     count(*) AS n_paras,
+                     sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                         AS n_dup_paras,
+                     sum(length(para)) AS total_chars,
+                     sum(CASE WHEN f.df >= 2 THEN length(para)
+                         ELSE 0 END) AS dup_chars
+              FROM p JOIN freq f USING (para)
+              GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(coalesce(d.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(coalesce(d.n_dup_paras, 0) AS BIGINT)
+                       AS n_dup_paras,
+                   round(CASE WHEN coalesce(d.total_chars, 0) > 0 THEN
+                           CAST(d.dup_chars AS DOUBLE) / d.total_chars
+                       ELSE 0.0 END, 6) AS dup_char_frac
+            FROM t LEFT JOIN per_doc d USING (doc_id)
+        """,
+        "q54_c4_line_filter": """
+            -- C4 line-cleaning rules on planted lines: terminal
+            -- punctuation, >= 5 words, no blocklist term, no brace;
+            -- the cleaned text is compared byte-for-byte
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     -- coalesce: DuckDB's array_to_string yields NULL
+                     -- (not '') on an out-of-range slice, and concat_ws
+                     -- would silently drop the NULL line Spark keeps
+                     concat_ws(chr(10),
+                         coalesce(array_to_string(tk[1 : 8], ' '), '')
+                             || '.',
+                         coalesce(array_to_string(tk[9 : 11], ' '), ''),
+                         'please enable javascript to view this page.',
+                         CASE WHEN doc_id % 2 = 0 THEN
+                             coalesce(
+                                 array_to_string(tk[12 : 17], ' '), '')
+                                 || '?'
+                         ELSE 'short { code }' END) AS text
+              FROM tk),
+            l AS (
+              SELECT doc_id,
+                     list_filter(
+                         list_transform(
+                             regexp_split_to_array(text, '\\n'),
+                             x -> trim(x)),
+                         x -> x <> '') AS lines
+              FROM t),
+            k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, x ->
+                         regexp_matches(x, '[.!?"]$')
+                         AND len(list_filter(
+                                 regexp_split_to_array(x, '\\s+'),
+                                 w -> w <> '')) >= 5
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(lower(x), 'lorem ipsum')
+                         AND NOT contains(lower(x), 'cookie policy')
+                         AND NOT contains(x, '{')) AS kept
+              FROM l)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   round(CASE WHEN len(lines) > 0 THEN
+                           CAST(len(kept) AS DOUBLE) / len(lines)
+                       ELSE 0.0 END, 6) AS kept_frac,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM k
+        """,
+        "q55_unicode_normalize": """
+            -- NFC canonical composition (utf8proc) + control strip +
+            -- space collapse on planted decomposed marks; the full
+            -- normalized string is part of the compared output
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' cafe' || chr(769) || '  nai' || chr(776)
+                          || 've ' || chr(7) || 'A' || chr(778)
+                          || 'ngstro' || chr(776) || 'm' AS planted
+              FROM documents),
+            n AS (
+              SELECT doc_id, planted,
+                     trim(regexp_replace(
+                         regexp_replace(
+                             nfc_normalize(planted),
+                             '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+                         '[ \\t]+', ' ', 'g')) AS norm_text
+              FROM t)
+            SELECT doc_id,
+                   CAST(length(planted) AS BIGINT) AS n_chars_before,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_after,
+                   CAST(norm_text <> planted AS INT) AS changed,
+                   norm_text
+            FROM n
+        """,
+        "q56_tfidf_cosine_topk": """
+            -- full TF-IDF sparse cosine algebra in SQL: bigram tf,
+            -- df-capped postings (df <= 100), idf = ln(1 + N/df),
+            -- term-keyed pair dots, norms, cosine quantized to 4dp
+            -- BEFORE the deterministic (cos desc, doc_a, doc_b) top-20
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS tk
+              FROM documents),
+            tf AS (
+              SELECT doc_id, ng AS term, count(*) AS tf
+              FROM (SELECT doc_id, array_to_string(tk[i : i + 1], ' ')
+                           AS ng
+                    FROM (SELECT doc_id, tk,
+                                 unnest(range(1, len(tk))) AS i
+                          FROM t))
+              GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            w AS (
+              SELECT doc_id, term,
+                     tf * ln(1.0 + (SELECT CAST(count(*) AS DOUBLE)
+                                    FROM documents) / df) AS w
+              FROM tf JOIN dfreq USING (term)
+              WHERE df <= 100),
+            norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS norm
+              FROM w GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.w * b.w) AS dot
+              FROM w a JOIN w b USING (term)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   round(dot / (na.norm * nb.norm), 4) AS cos
+            FROM dots
+            JOIN norms na ON na.doc_id = dots.doc_a
+            JOIN norms nb ON nb.doc_id = dots.doc_b
+            ORDER BY cos DESC, doc_a, doc_b
+            LIMIT 20
         """,
     }

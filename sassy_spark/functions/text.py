@@ -10,6 +10,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -257,3 +258,32 @@ def mask_pii(text: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, _PII_MASKS[kind])
     return out
+
+
+# ------------------------------------------------------- unicode hygiene
+
+
+def make_nfc_udf():
+    """pandas UDF: Unicode NFC normalization (canonical composition) —
+    the mojibake/combining-mark repair pass of a web-text pipeline.
+    Spark has no built-in normalizer, so this is the one place the text
+    cleaning chain leaves codegen; it uses pandas' vectorized
+    ``Series.str.normalize`` (ICU-equivalent canonical composition via
+    CPython's unicodedata, C level per string — no per-row Python
+    dispatch beyond the pandas block op) over Arrow batches."""
+
+    @F.pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.str.normalize("NFC")
+
+    return nfc
+
+
+def clean_normalized(text: Column) -> Column:
+    """The codegen'd half of the normalization chain, applied AFTER NFC:
+    strip C0/C1 control characters (keeping \\n and \\t), collapse runs
+    of spaces/tabs, and trim. Kept separate from ``make_nfc_udf`` so the
+    cheap part stays JVM-side."""
+    t = F.regexp_replace(text, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    return F.trim(t)

@@ -578,3 +578,135 @@ def canonical_url_groups(
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _word_ngram_expr(toks_col: str, n: int):
+    """Word n-grams from token-array column ``toks_col``, space-joined;
+    empty array for docs shorter than ``n`` tokens (sequence(1, k) is
+    invalid for k < 1, so the size gate is required — same shape as
+    textstats.dup_ngram_stats)."""
+    return F.when(
+        F.size(toks_col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks_col}) - {n} + 1,"
+            f" 1)), i -> concat_ws(' ', slice({toks_col}, i, {n})))"
+        )
+    )
+
+
+def eval_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a held-out evaluation set (the GPT-3 appendix-C
+    / Llama "13-gram overlap" rule, re-expressed relationally).
+
+    ``eval_docs`` is the eval corpus (same ``text_col``); its distinct
+    n-gram set is built once and BROADCAST — eval sets are tiny
+    (thousands of documents) next to a 10^12-doc training corpus, so the
+    corpus-side plan is one scan + one map-side hash-semi-join keyed on
+    the gram string: no corpus shuffle at all. Output per training doc:
+    ``n_eval_hits`` (distinct n-grams also in the eval set, exact) and
+    ``contaminated``. Docs shorter than ``n`` tokens keep a row with a
+    zero count.
+    """
+    from ..functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    eval_grams = (
+        eval_docs.select(tokens(F.col(text_col)).alias("toks"))
+        .select(F.explode(_word_ngram_expr("toks", n)).alias("ng"))
+        .distinct()
+    )
+    dng = base.select(
+        "doc_id", F.explode(_word_ngram_expr("toks", n)).alias("ng")
+    ).dropDuplicates(["doc_id", "ng"])
+    hits = (
+        dng.join(F.broadcast(eval_grams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))
+    )
+    out = base.select("doc_id").join(hits, "doc_id", "left")
+    n_hits = F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        n_hits.alias("n_eval_hits"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+def duplicate_paragraph_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact cross-document dedup signals (the CCNet /
+    Dolma paragraph-hash pass): split on blank lines, hash each trimmed
+    paragraph, count paragraphs whose hash occurs in >= ``min_docs``
+    DISTINCT documents, and report the character fraction they cover.
+
+    Shuffle footprint: (doc_id, 64-bit hash, length) rows plus a
+    hash-keyed doc-frequency aggregate — the paragraph text itself never
+    moves (only xxhash64 digests do), so at 100 TB the shuffled bytes
+    are ~1% of the corpus. Repeated paragraphs WITHIN one document count
+    once toward doc-frequency (dropDuplicates on (doc, hash) before the
+    frequency agg) but each occurrence counts in the per-doc totals.
+    Output: ``n_paras``, ``n_dup_paras``, ``dup_char_frac`` (rounded,
+    0.0 for documents with no paragraphs).
+    """
+    paras = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), paras.alias("paras"))
+    pp = base.select(
+        "doc_id", F.explode("paras").alias("para")
+    ).select(
+        "doc_id",
+        F.xxhash64("para").alias("ph"),
+        F.length("para").alias("plen"),
+    )
+    freq = pp.dropDuplicates(["doc_id", "ph"]).groupBy("ph").agg(
+        F.count("*").alias("df")
+    )
+    per_doc = (
+        pp.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_paras"),
+            F.sum("plen").alias("total_chars"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, F.col("plen")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_chars"),
+        )
+    )
+    out = base.select("doc_id").join(per_doc, "doc_id", "left")
+    total = F.coalesce(F.col("n_paras"), F.lit(0)).cast("long")
+    dup = F.coalesce(F.col("n_dup_paras"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        total.alias("n_paras"),
+        dup.alias("n_dup_paras"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("total_chars"), F.lit(0)) > 0,
+                F.col("dup_chars") / F.col("total_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_char_frac"),
+    )

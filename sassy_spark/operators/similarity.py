@@ -419,3 +419,110 @@ def lsh_topk(
     return _rerank_pairs(
         pairs, corpus, queries, k, id_col, vec_col, query_id, round_to
     )
+
+
+def tfidf_cosine_topk_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    ngram: int = 2,
+    max_df: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Sparse lexical similarity: the top-``k`` document pairs by TF-IDF
+    cosine over word ``ngram`` terms — the sparse-vector companion to
+    the dense-embedding ANN family (brute_force/lsh/ivf_topk).
+
+    Relational sparse algebra, no vectors materialized:
+
+    * one scan -> (doc, term, tf) via explode + partial-agg groupBy;
+    * doc frequencies from a term-keyed agg; terms with ``df > max_df``
+      are PRUNED before the pair join — the standard stopword cut, and
+      the scale guarantee: a term with doc-frequency d fans out d^2
+      candidate rows, so the cap bounds any term's join yield at
+      max_df^2 regardless of corpus skew (the same algorithmic-cap
+      argument as the LSH blocking salt, SCALE.md stage 1.5);
+    * idf = ln(1 + N/df) with N from a broadcast 1-row aggregate (no
+      driver collect);
+    * pair dot products from a term-keyed self-join of the pruned
+      postings (ids + weights only — text never moves), canonical
+      a < b;
+    * cosine = dot / (norm_a * norm_b), QUANTIZED to ``round_to``
+      decimals BEFORE ranking (both engines rank the identical
+      quantized value — same near-tie rule as lsh_topk), ties broken
+      deterministically by (doc_a, doc_b).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    if ngram > 1:
+        terms_arr = F.when(
+            F.size("tk") < ngram, F.array().cast("array<string>")
+        ).otherwise(
+            F.expr(
+                f"transform(sequence(1, greatest(size(tk) - {ngram} + 1,"
+                f" 1)), i -> concat_ws(' ', slice(tk, i, {ngram})))"
+            )
+        )
+    else:
+        terms_arr = F.col("tk")
+    tf = (
+        toks.select("doc_id", F.explode(terms_arr).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    weighted = (
+        tf.join(dfreq.where(F.col("df") <= max_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = weighted.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b")
+    )
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cos").desc(), F.col("doc_a"), F.col("doc_b")
+    ).limit(k)

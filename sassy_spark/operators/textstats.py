@@ -217,3 +217,91 @@ def pii_profile(
         counts["ipv4"].alias("n_ips"),
         mask_pii(t).alias("masked_text"),
     )
+
+
+# C4 line-blocklist terms (Raffel et al. 2020 §2.2 cleaning heuristics;
+# lowercase substring match)
+_C4_BLOCKLIST = ("javascript", "lorem ipsum", "cookie policy")
+
+
+def c4_line_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2), per
+    document: split on newlines and KEEP a line iff it (a) ends in a
+    terminal punctuation mark (. ! ? or a closing quote), (b) has at
+    least five words, (c) contains no blocklisted boilerplate term
+    (javascript / lorem ipsum / cookie policy, case-insensitive), and
+    (d) contains no curly brace (the code-leak heuristic). Returns
+    ``n_lines``, ``n_kept``, ``kept_frac`` and the cleaned text
+    (kept lines re-joined with a newline; empty string when nothing
+    survives).
+
+    Pure Catalyst — one codegen'd map stage over array lambdas, no
+    shuffle, no Python: the whole pass is scan-bound and embarrassingly
+    parallel at 100 TB.
+    """
+
+    def _keep(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        low = F.lower(t)
+        blocked = None
+        for term in _C4_BLOCKLIST:
+            hit = low.contains(term)
+            blocked = hit if blocked is None else (blocked | hit)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (words >= 5)
+            & ~blocked
+            & ~t.contains("{")
+        )
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(lines, _keep)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.round(
+            F.when(n_lines > 0, n_kept / n_lines).otherwise(F.lit(0.0)), 6
+        ).alias("kept_frac"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def normalized_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode hygiene pass, per document: NFC canonical composition
+    (functions/text.py::make_nfc_udf — the one Arrow-batched step),
+    then the codegen'd control-char strip + whitespace collapse
+    (``clean_normalized``). Returns the cleaned text plus before/after
+    char counts and a ``changed`` flag so a pipeline can audit how much
+    the pass rewrote.
+
+    Map-only (no shuffle); the Arrow exchange is the only non-codegen
+    cost, linear in corpus bytes — safe at 100 TB.
+    """
+    from ..functions.text import clean_normalized, make_nfc_udf
+
+    nfc = make_nfc_udf()
+    t = F.col(text_col)
+    inner = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars_before"),
+        t.alias("_orig"),
+        clean_normalized(nfc(t)).alias("norm_text"),
+    )
+    return inner.select(
+        "doc_id",
+        "n_chars_before",
+        F.length("norm_text").cast("long").alias("n_chars_after"),
+        (F.col("norm_text") != F.col("_orig")).alias("changed"),
+        "norm_text",
+    )

@@ -222,3 +222,59 @@ def test_canonical_url_groups(spark):
     }
     assert got["ex.com/p"] == (3, 10)
     assert got["ex.com/other"] == (1, 13)
+
+
+def test_eval_decontaminate_flags_overlap(spark):
+    from sassy_spark.operators.dedup import eval_decontaminate
+
+    gram = "one two three four five"  # the 5-gram eval probe
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words " + gram + " suffix words"),  # contains it
+            (2, gram),  # exactly it
+            (3, "one two three four six entirely different text here"),
+            (4, "short doc"),  # < n tokens: zero row kept
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "held out eval question " + gram + " answer")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r for r in eval_decontaminate(docs, ev, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].contaminated and got[1].n_eval_hits >= 1
+    assert got[2].contaminated
+    assert not got[3].contaminated
+    assert got[4].n_eval_hits == 0 and not got[4].contaminated
+
+
+def test_duplicate_paragraph_stats(spark):
+    from sassy_spark.operators.dedup import duplicate_paragraph_stats
+
+    shared = "this paragraph is copied verbatim across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha text\n\n" + shared + "\n\nunique beta"),
+            (2, shared + "\n\nanother unique paragraph"),
+            # same paragraph TWICE in one doc: df counts the doc once,
+            # but both occurrences count in the per-doc totals
+            (3, shared + "\n\n" + shared),
+            (4, "no duplicates anywhere in this one"),
+            (5, ""),  # no paragraphs: zero row kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r for r in duplicate_paragraph_stats(docs).collect()
+    }
+    assert got[1].n_paras == 3 and got[1].n_dup_paras == 1
+    assert got[2].n_paras == 2 and got[2].n_dup_paras == 1
+    assert got[3].n_paras == 2 and got[3].n_dup_paras == 2
+    assert got[3].dup_char_frac == 1.0
+    assert got[4].n_dup_paras == 0
+    assert got[5].n_paras == 0 and got[5].dup_char_frac == 0.0
+    frac1 = len(shared) / (len("unique alpha text") + len(shared) + len("unique beta"))
+    assert abs(got[1].dup_char_frac - round(frac1, 6)) < 1e-9

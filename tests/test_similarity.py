@@ -203,3 +203,40 @@ def test_ivf_trains_on_sample_not_head(spark):
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.9, (len(e & a), len(e))
+
+
+def test_tfidf_cosine_topk_pairs(spark):
+    from sassy_spark.operators.similarity import tfidf_cosine_topk_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red apple sweet fruit basket"),
+            (2, "red apple sweet fruit basket"),  # exact dup of 1
+            (3, "red apple sour fruit basket"),  # near dup
+            (4, "quantum flux capacitor drives temporal engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_cosine_topk_pairs(
+        docs, k=10, ngram=2, max_df=100, round_to=4
+    ).collect()
+    scores = {(r.doc_a, r.doc_b): r.cos for r in rows}
+    assert scores[(1, 2)] == 1.0  # exact duplicate
+    assert 0.0 < scores[(1, 3)] < 1.0
+    assert (1, 4) not in scores and (2, 4) not in scores  # no shared bigram
+    # ranking: the exact-dup pair is first
+    assert (rows[0].doc_a, rows[0].doc_b) == (1, 2)
+
+
+def test_tfidf_cosine_max_df_prunes_hot_terms(spark):
+    from sassy_spark.operators.similarity import tfidf_cosine_topk_pairs
+
+    # every doc shares the hot bigram; with max_df=1 everything is pruned
+    docs = spark.createDataFrame(
+        [(i, f"common pair plus unique{i} token{i}") for i in range(1, 5)],
+        ["doc_id", "text"],
+    )
+    assert (
+        tfidf_cosine_topk_pairs(docs, k=10, max_df=1).count() == 0
+    )
+    assert tfidf_cosine_topk_pairs(docs, k=10, max_df=100).count() > 0

@@ -178,3 +178,53 @@ def test_pii_profile_counts_and_mask(spark):
     assert got[3].n_emails == 2
     assert got[3].n_phones == 2
     assert "<EMAIL>" in got[3].masked_text
+
+
+def test_c4_line_stats_rules(spark):
+    text = "\n".join(
+        [
+            "this line has six good words.",  # kept
+            "too short.",  # dropped: < 5 words
+            "no terminal punctuation on this line here",  # dropped: ending
+            "please enable JavaScript to continue browsing!",  # blocklist
+            "we accept the cookie policy terms today.",  # blocklist
+            'he said "hello there my old friend"',  # kept: closing quote
+            "function f() { return 1; } and more words.",  # dropped: brace
+            "   padded line with five trimmed words.   ",  # kept after trim
+            "",  # empty: not counted at all
+        ]
+    )
+    docs = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in textstats.c4_line_stats(docs).collect()}
+    assert got[1].n_lines == 8  # empty line excluded
+    assert got[1].n_kept == 3
+    assert got[1].clean_text.split("\n") == [
+        "this line has six good words.",
+        'he said "hello there my old friend"',
+        "padded line with five trimmed words.",
+    ]
+    assert got[2].n_lines == 0
+    assert got[2].n_kept == 0
+    assert got[2].kept_frac == 0.0
+    assert got[2].clean_text == ""
+
+
+def test_normalized_documents_nfc_and_cleanup(spark):
+    decomposed = "café  naïve"  # e+combining acute, i+diaeresis
+    docs = spark.createDataFrame(
+        [
+            (1, "\x07" + decomposed + "\t\t end "),
+            (2, "already clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r for r in textstats.normalized_documents(docs).collect()
+    }
+    assert got[1].norm_text == "café naïve end"
+    assert got[1].changed is True
+    # before: BEL + 10 decomposed chars + 2 combining + 2 spaces + 2 tabs
+    # + ' end ' = counted in code points
+    assert got[1].n_chars_before > got[1].n_chars_after
+    assert got[2].norm_text == "already clean"
+    assert got[2].changed is False
