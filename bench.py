@@ -206,18 +206,20 @@ def _run(out: dict) -> None:
         # local[32] engine running the same 4 jobs concurrently, on the
         # same parquet input. Persistent warmed engines (one JVM spin-up
         # per protocol run) under a hard wall-clock budget
-        # (SASSY_SCALING_BUDGET_SEC, default 600) — the protocol returns
+        # (SASSY_SCALING_BUDGET_SEC, default 900) — the protocol returns
         # truncated-but-valid JSON instead of ever raising.
         from spark_scaling import run_protocol as spark_run_protocol
 
-        # 98304 pairs (not 24576): at 24k the local[32] engine finishes its
-        # measured pass in ~8 s on a quiet box, so ~1.5 s of fixed job cost
-        # (stage scheduling, Python worker handoff) depresses measured
-        # efficiency by ~20% — a strong-scaling artifact of the INPUT SIZE,
-        # not the engine. 4x the input puts both windows >= ~18 s and the
-        # artifact inside the noise floor.
+        # 24576 pairs: with PERSISTENT warmed engines the round-4 reason
+        # for 98304 (fixed JVM/job cost at ~8 s windows) no longer holds —
+        # the hi window at 24k is ~40 s of pure scoring (4 concurrent
+        # jobs x 24k pairs), so the ~1.5 s fixed stage cost is <5%. At
+        # 98304 the windows (~170 s) plus warmup blew EVERY bench budget
+        # on this box (round-5 measured: spin-up alone ~430 s/engine) and
+        # the driver got zero scaling samples — a smaller honest window
+        # beats a bigger impossible one.
         ss = spark_run_protocol(
-            int(os.environ.get("SASSY_BENCH_SPARK_PAIRS", "98304")),
+            int(os.environ.get("SASSY_BENCH_SPARK_PAIRS", "24576")),
             int(os.environ.get("SASSY_BENCH_SPARK_REPEATS", "3")),
         )
         out["spark_scaling"] = {

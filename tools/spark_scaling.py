@@ -58,7 +58,7 @@ destroying the whole round's bench record. Two structural fixes:
   warm to steady state, then serve every rep through a file-barrier
   loop (go_N / stop files). JVM startup + warmup is paid once, so a
   rep costs only its two measured windows (+ quiet gate).
-* BUDGET — `SASSY_SCALING_BUDGET_SEC` (default 600) is a deadline for
+* BUDGET — `SASSY_SCALING_BUDGET_SEC` (default 900) is a deadline for
   the WHOLE protocol. Quiet-gate waits shrink as the deadline nears, a
   new rep only launches if the remaining budget covers ~1.2x the last
   rep's cost, and every child wait is deadline-bounded; on expiry the
@@ -139,9 +139,12 @@ def child_main(
     # engine is entitled to it.
     share = max(1, cores // max(1, jobs))
 
-    def one_pass() -> int:
+    def one_pass(frame=None) -> int:
         scored = score_pairs(
-            pairs, pages, k_frac=0.05, score_partitions=share
+            frame if frame is not None else pairs,
+            pages,
+            k_frac=0.05,
+            score_partitions=share,
         )
         # sum(cost) forces the kernel output itself (a bare count could
         # survive column pruning upstream of a weaker operator)
@@ -150,13 +153,13 @@ def child_main(
         ).collect()[0]
         return int(row["n"])
 
-    def measured_pass() -> int:
+    def measured_pass(frame=None) -> int:
         if jobs == 1:
-            return one_pass()
+            return one_pass(frame)
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=jobs) as ex:
-            return sum(ex.map(lambda _: one_pass(), range(jobs)))
+            return sum(ex.map(lambda _: one_pass(frame), range(jobs)))
 
     # warmup to STEADY STATE, not one pass, in the SAME shape as the
     # measured window (jobs concurrent passes): per-Python-worker warmup
@@ -164,10 +167,26 @@ def child_main(
     # a single serial pass leaves a local[32] engine's 32 workers 4x less
     # warmed than a local[8] engine's 8 (measured: identical passes ran
     # 65s -> 33s -> 27s in one session) — biasing the efficiency ratio
-    # against the consolidated engine. Warm until two consecutive passes
-    # agree within 15% (cap 4 warmup passes), then measure.
+    # against the consolidated engine.
+    #
+    # BUDGETED (round-5: spin-up at 98k pairs ran ~430s/engine and blew
+    # every protocol budget — zero reps landed): pass 1 warms on a 1/4
+    # SLICE (per-worker numpy/Arrow/JIT warmup needs rows through every
+    # worker, not full-input volume), then full passes until two agree
+    # within 15%, capped at 3 full passes AND a wall-clock budget
+    # (SASSY_SCALING_WARMUP_SEC, default 180). The cap is the same for
+    # every engine; because the hi engine warms `jobs`x the volume, an
+    # expiring cap truncates the CONSOLIDATED side's warmup first —
+    # i.e. it biases the measured efficiency DOWN, never up.
+    warmup_budget = float(os.environ.get("SASSY_SCALING_WARMUP_SEC", "180"))
+    t_warm = time.time()
+    warm_slice = pairs.limit(max(1024, pairs.count() // 4)).persist()
+    measured_pass(warm_slice)
+    warm_slice.unpersist()
     prev = None
-    for _ in range(4):
+    for _ in range(3):
+        if time.time() - t_warm > warmup_budget:
+            break
         t0 = time.time()
         measured_pass()
         dt = time.time() - t0
@@ -446,7 +465,7 @@ def run_protocol(
     from tools.kernel_scaling import _probe_median, _pulse_probe
 
     if budget_sec is None:
-        budget_sec = float(os.environ.get("SASSY_SCALING_BUDGET_SEC", "600"))
+        budget_sec = float(os.environ.get("SASSY_SCALING_BUDGET_SEC", "900"))
     t_protocol = time.time()
     deadline = t_protocol + budget_sec
     if input_dir is None:
