@@ -160,8 +160,9 @@ def candidate_pairs(
     lens: DataFrame | None = None,
     k: int | None = None,
     k_frac: float | None = None,
+    fused: bool = True,
 ) -> DataFrame:
-    """Self-join within block keys -> canonical (url_a < url_b) pairs.
+    """Canonical (url_a < url_b) pairs within block keys.
 
     Skew strategy (explicit, per north rule):
       * block keys with more than ``max_block_size`` members are *refined*,
@@ -171,15 +172,116 @@ def candidate_pairs(
         10^6 pages contributes 65k pairs, not 10^12 (recall loss is
         confined to hot boilerplate blocks and is recovered by the other
         ~bands+1 keys every page carries).
-      * singleton blocks are dropped before the join (no pairs possible).
+      * singleton blocks are dropped before pairing (no pairs possible).
       * the pair set is deduped across keys (a pair found under 5 band
         keys is scored once).
 
     ``lens`` (url, len) + k/k_frac push the |len_a - len_b| <= k prefilter
-    INTO the self-join, before the dedup shuffle: at 200k pages this cuts
+    INTO pair generation, before the dedup shuffle: at 200k pages this cuts
     the deduped pair set 6x (3.1M -> ~0.5M) and lets score_pairs skip its
     length joins (len_a/len_b ride along in the output).
+
+    ``fused=True`` (default) generates pairs with ONE shuffle of the key
+    table — ``groupBy(block_key).collect_list(struct(url, len))`` + JVM
+    in-array combination expansion — the same rework that took q20's LSH
+    gate from 3 key-table shuffles to 1 (dedup.py:135-167). Over-cap
+    blocks keep IDENTICAL salted-refinement semantics: their collected
+    members are re-exploded with the deterministic xxhash64 salt and
+    re-grouped — a second (tiny) shuffle that only the rare hot blocks
+    pay. Trade-off, as in the fused LSH gate: an over-cap block
+    materializes its member array once before refinement (a 10^6-member
+    host block is ~100 MB in one reducer row — acceptable transiently;
+    ``fused=False`` keeps the size-count + self-join formulation that
+    never materializes blocks). Pair set is pinned identical to the join
+    formulation by test_linkage.
     """
+    has_len = lens is not None
+    if has_len:
+        keys = keys.join(lens.select("url", F.col("len").alias("_l")), "url")
+
+    def _pair_bound():
+        la, lb = F.col("p.la"), F.col("p.lb")
+        if k_frac is not None:
+            return F.abs(la - lb) <= F.ceil(F.greatest(la, lb) * F.lit(k_frac))
+        return F.abs(la - lb) <= F.lit(int(k if k is not None else 1 << 30))
+
+    if fused:
+        member = (
+            F.struct(F.col("url"), F.col("_l"))
+            if has_len
+            else F.struct(F.col("url"), F.lit(0).alias("_l"))
+        )
+        grouped = keys.groupBy("block_key").agg(
+            F.collect_list(member).alias("ms")
+        )
+        small = grouped.where(
+            (F.size("ms") >= 2) & (F.size("ms") <= max_block_size)
+        )
+        # over-cap refinement: explode members back out with the SAME
+        # deterministic salt as the join formulation (xxhash64(url) mod
+        # ceil(bs/max)^2) and re-group — only hot blocks take this path
+        big = grouped.where(F.size("ms") > max_block_size)
+        n_salt = F.ceil(F.size("ms") / F.lit(max_block_size))
+        n_salt = (n_salt * n_salt).cast("long")
+        salted = (
+            big.select(
+                F.col("block_key"),
+                n_salt.alias("_ns"),
+                F.explode("ms").alias("m"),
+            )
+            .select(
+                F.concat(
+                    F.col("block_key"),
+                    F.lit("#"),
+                    F.pmod(F.xxhash64("m.url"), F.col("_ns")).cast("string"),
+                ).alias("block_key"),
+                F.col("m").alias("m"),
+            )
+            .groupBy("block_key")
+            .agg(F.collect_list("m").alias("ms"))
+            .where(F.size("ms") >= 2)
+        )
+        pairs_arr = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ms"), i + F.lit(2),
+                        F.size(F.col("ms")) - i - F.lit(1),
+                    ),
+                    lambda y: F.struct(
+                        F.least(x["url"], y["url"]).alias("url_a"),
+                        F.greatest(x["url"], y["url"]).alias("url_b"),
+                        F.when(x["url"] < y["url"], x["_l"])
+                        .otherwise(y["_l"])
+                        .alias("la"),
+                        F.when(x["url"] < y["url"], y["_l"])
+                        .otherwise(x["_l"])
+                        .alias("lb"),
+                    ),
+                ),
+            )
+        )
+        exploded = (
+            small.unionByName(salted)
+            .select(F.explode(pairs_arr).alias("p"))
+            # strict <: duplicate url values in one block would otherwise
+            # emit (u, u) self-pairs the join formulation excludes
+            .where(F.col("p.url_a") < F.col("p.url_b"))
+        )
+        if has_len:
+            exploded = exploded.where(_pair_bound())
+            return exploded.select(
+                F.col("p.url_a").alias("url_a"),
+                F.col("p.url_b").alias("url_b"),
+                F.col("p.la").cast("int").alias("len_a"),
+                F.col("p.lb").cast("int").alias("len_b"),
+            ).dropDuplicates(["url_a", "url_b"])
+        return exploded.select(
+            F.col("p.url_a").alias("url_a"),
+            F.col("p.url_b").alias("url_b"),
+        ).dropDuplicates(["url_a", "url_b"])
+
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("bs"))
     n_salt = F.ceil(F.col("bs") / F.lit(max_block_size))
     n_salt = (n_salt * n_salt).cast("long")
@@ -197,14 +299,12 @@ def candidate_pairs(
                 ),
             ).otherwise(F.col("block_key")),
         )
-        .select("url", "jkey")
+        .select("url", "jkey", *(["_l"] if has_len else []))
     )
-    if lens is not None:
-        k2 = k2.join(lens.select("url", F.col("len").alias("_l")), "url")
     a = k2.alias("a")
     b = k2.alias("b")
     j = a.join(b, "jkey").where(F.col("a.url") < F.col("b.url"))
-    if lens is not None:
+    if has_len:
         la, lb = F.col("a._l"), F.col("b._l")
         if k_frac is not None:
             bound = F.ceil(F.greatest(la, lb) * F.lit(k_frac))

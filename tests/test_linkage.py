@@ -308,3 +308,43 @@ def test_link_leaves_no_persisted_rdds(pages, spark):
     base = n_persisted()
     L.link(pages.limit(120), k_frac=0.05).count()
     assert n_persisted() == base
+
+
+def test_candidate_pairs_fused_equals_join(spark):
+    """The fused one-shuffle pair generation must yield EXACTLY the join
+    formulation's pair set — including salted refinement of an over-cap
+    block and the length prefilter."""
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.linkage import candidate_pairs
+
+    # 300 members in one hot block (over max_block_size=64 -> salted),
+    # plus small blocks, singletons, and a shared-url pair
+    rows = [(f"u{i:04d}", "hot") for i in range(300)]
+    rows += [(f"u{i:04d}", f"b{i % 7}") for i in range(40)]
+    rows += [("lone", "single")]
+    keys = spark.createDataFrame(rows, ["url", "block_key"])
+    lens = spark.createDataFrame(
+        [(f"u{i:04d}", 100 + (i % 30)) for i in range(300)]
+        + [("lone", 100)],
+        ["url", "len"],
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kwargs in (
+        {},  # no lens
+        {"lens": lens, "k": 10},
+        {"lens": lens, "k_frac": 0.05},
+    ):
+        got_f = candidate_pairs(
+            keys, max_block_size=64, fused=True, **kwargs
+        )
+        got_j = candidate_pairs(
+            keys, max_block_size=64, fused=False, **kwargs
+        )
+        assert canon(got_f) == canon(got_j), kwargs
+        # canonical order + no self-pairs
+        bad = got_f.where(F.col("url_a") >= F.col("url_b")).count()
+        assert bad == 0
