@@ -55,6 +55,52 @@ BENCH_QUERIES = [
 ]
 
 
+def _latest_committed_scaling() -> dict | None:
+    """Newest committed BENCH/spark_scaling_*.json that carries >=1 clean
+    rep — the fallback evidence when the live in-bench protocol lands
+    nothing. Returns a small labeled summary, never raises."""
+    try:
+        bench_dir = Path(__file__).resolve().parent / "BENCH"
+        candidates = []
+        for p in bench_dir.glob("spark_scaling_*.json"):
+            try:
+                d = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if d.get("efficiencies"):
+                # rank: complete (untruncated) beats truncated, then the
+                # newer round by filename, then mtime — NOT mtime alone
+                # (a checkout can rewrite every mtime at once)
+                rank = (not d.get("truncated", False), p.name, p.stat().st_mtime)
+                candidates.append((rank, p, d))
+        if not candidates:
+            return None
+        _, p, d = max(candidates, key=lambda t: t[0])
+        return {
+            "note": (
+                "pre-measured committed run (same tools/spark_scaling.py "
+                "protocol on this box), attached because the live "
+                "in-bench attempt above landed zero clean reps — NOT a "
+                "live measurement from this bench invocation"
+            ),
+            "file": f"BENCH/{p.name}",
+            "n_pairs": d.get("n_pairs"),
+            "budget_sec": d.get("budget_sec"),
+            "wall_sec": d.get("wall_sec"),
+            "truncated": d.get("truncated"),
+            "samples": d.get("efficiencies"),
+            "samples_fleet": d.get("efficiencies_fleet"),
+            "efficiency_median_8_to_32": d.get("efficiency_median"),
+            "efficiency_min": d.get("efficiency_min"),
+            "efficiency_fleet_median": d.get("efficiency_fleet_median"),
+            "n_discarded": d.get("n_discarded"),
+            "pairs_per_sec_8_loaded": d.get("pps_lo_median"),
+            "pairs_per_sec_32": d.get("pps_hi_median"),
+        }
+    except Exception:  # noqa: BLE001 — fallback must never break bench
+        return None
+
+
 def _guard(out: dict, phase: str, fn) -> None:
     """Run one bench phase; a failure becomes out['errors'][phase], never
     an exception — the driver must ALWAYS receive the final JSON line."""
@@ -108,13 +154,14 @@ def _run(out: dict) -> None:
 
     def phase_er() -> None:
         # flagship: ER candidate scoring throughput on synthetic pages —
-        # best-of-2, both samples reported (co-tenancy swings 2-4x)
+        # best-of-N (default 3), all samples reported (co-tenancy swings
+        # 2-4x and the first rep pays JVM/worker warmup at this sf)
         pages = generate_pages(spark, ER_PAGES, seed=42).drop("cluster_id")
         pages = pages.persist()
         n_pages = pages.count()
         er_samples = []
         n_pairs = 0
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SASSY_BENCH_ER_REPS", "3"))):
             t0 = time.time()
             scored = linkage.link(pages, k=None, k_frac=0.05)
             n_pairs = scored.count()
@@ -253,6 +300,19 @@ def _run(out: dict) -> None:
             "pairs_per_sec_8_loaded": ss["pps_lo_median"],
             "pairs_per_sec_32": ss["pps_hi_median"],
         }
+        if not ss["efficiencies"]:
+            # The live in-bench attempt landed zero clean reps (budget
+            # expiry or contamination discards under co-tenant load —
+            # both rounds 4/5 saw windows where NO rep survives the
+            # probe rules). So the driver still sees scaling evidence,
+            # attach the most recent COMMITTED clean standalone run,
+            # clearly labeled as such: same protocol, same tool, run on
+            # this box, file + numbers inlined for provenance. This is
+            # pre-measured evidence, NOT a live measurement from this
+            # bench invocation.
+            ref = _latest_committed_scaling()
+            if ref is not None:
+                out["spark_scaling"]["committed_reference"] = ref
 
     if os.environ.get("SASSY_BENCH_SCALING", "1") == "1":
         _guard(out, "kernel_scaling", phase_kernel_scaling)

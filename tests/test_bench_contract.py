@@ -57,3 +57,12 @@ def test_bench_json_survives_phase_failure_and_scaling_overrun():
     # the scaling overrun is disclosed as truncation, with no crash
     assert out["spark_scaling"]["truncated"] is True
     assert out["bench_wall_sec"] > 0
+    # zero live clean reps -> the committed-reference fallback attaches
+    # the newest clean BENCH/spark_scaling_*.json, clearly labeled as
+    # pre-measured (this repo has such records committed)
+    if not out["spark_scaling"]["samples"]:
+        ref = out["spark_scaling"].get("committed_reference")
+        assert ref is not None
+        assert ref["file"].startswith("BENCH/spark_scaling_")
+        assert ref["samples"], ref
+        assert "NOT a live measurement" in ref["note"]
