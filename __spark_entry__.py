@@ -1464,6 +1464,68 @@ def _q56_tfidf_cosine_topk(spark, sf):
     )
 
 
+def _q57_deterministic_split(spark, sf):
+    """Hash-based train/val/test assignment (the reproducible split
+    mechanism for web corpora: a row's split depends only on md5 of its
+    key, so it never migrates across reruns, cluster sizes, or
+    incremental re-ingestion). The 12-hex-digit cumulative thresholds
+    are computed by sampling.split_cutpoints and shared VERBATIM with
+    the DuckDB oracle, so both engines compare the same md5 prefix
+    against the same literals — any drift in threshold math, hashing,
+    or key stringification breaks the full-assignment hash compare."""
+    from sassy_spark.operators.sampling import deterministic_split
+
+    d = _load(spark, sf, "documents")
+    return deterministic_split(
+        d,
+        key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
+def _q58_host_cap(spark, sf):
+    """Per-host page cap (hot-host corpus balancing): top 20 documents
+    per source by (n_chars desc, doc_id), via the skew-safe two-stage
+    salted window in sampling.cap_per_key. The oracle is the naive
+    single-window row_number — equality pins that the two-stage
+    formulation is exactly the textbook semantics, rank values
+    included."""
+    from sassy_spark.operators.sampling import cap_per_key
+
+    d = _load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_key(
+        d,
+        key_col="source",
+        order_by=[("n_chars", "desc"), ("doc_id", "asc")],
+        n=20,
+    ).select(
+        "doc_id",
+        "source",
+        F.col("rank_in_key").cast("long").alias("rank_in_key"),
+    )
+
+
+def _q59_incremental_near_dup(spark, sf):
+    """Incremental-ingestion near-dup: odd doc_ids play tonight's NEW
+    batch, even doc_ids the EXISTING corpus; the directional LSH gate
+    (new-vs-old bucket join only) writes its candidates to the parquet
+    handoff and the DuckDB oracle recomputes the exact n-gram-Jaccard
+    verify on those candidates from raw text — same hard check as q20,
+    but for the cross-side gate."""
+    from sassy_spark.operators.dedup import incremental_minhash_pairs
+
+    d = _load(spark, sf, "documents")
+    out = incremental_minhash_pairs(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=0.4,
+        candidates_out=f"{HANDOFF_DIR}/q59_candidates",
+    )
+    return out.select(
+        "new_id", "old_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1522,6 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_c4_line_filter": _q54_c4_line_filter,
         "q55_unicode_normalize": _q55_unicode_normalize,
         "q56_tfidf_cosine_topk": _q56_tfidf_cosine_topk,
+        "q57_deterministic_split": _q57_deterministic_split,
+        "q58_host_cap": _q58_host_cap,
+        "q59_incremental_near_dup": _q59_incremental_near_dup,
     }
 
 
@@ -1532,6 +1597,9 @@ def oracle_sql() -> dict[str, str]:
         "would their we him been has when who will more no if out so said what"
     ).split()
     stop_list = ", ".join(f"'{w}'" for w in en_stop)
+    from sassy_spark.operators.sampling import split_cutpoints
+
+    _SPLIT_CUTS = split_cutpoints({"train": 0.8, "val": 0.1, "test": 0.1})
     return {
         "q01_pushdown_filter_project": """
             SELECT l_orderkey, l_partkey,
@@ -2576,5 +2644,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = dots.doc_b
             ORDER BY cos DESC, doc_a, doc_b
             LIMIT 20
+        """,
+        "q57_deterministic_split": f"""
+            -- same md5-prefix-vs-hex-threshold rule as the operator;
+            -- the literals come from sampling.split_cutpoints so a
+            -- threshold-math drift breaks this compare
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                             < '{_SPLIT_CUTS[0][1]}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                             < '{_SPLIT_CUTS[1][1]}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q58_host_cap": """
+            -- naive single-window formulation: equality pins the
+            -- skew-safe two-stage salted plan to textbook semantics
+            SELECT doc_id, source, rank_in_key
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id
+                         ) AS rank_in_key
+                  FROM documents)
+            WHERE rank_in_key <= 20
+        """,
+        "q59_incremental_near_dup": f"""
+            -- recompute the exact n-gram-Jaccard VERIFY on the
+            -- directional gate's own candidates (parquet handoff),
+            -- exactly as q20 does for the self-join gate
+            WITH cand AS (
+              SELECT id_a AS new_id, id_b AS old_id
+              FROM read_parquet('{HANDOFF_DIR}/q59_candidates/*.parquet')),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+              WHERE doc_id IN (SELECT new_id FROM cand
+                               UNION SELECT old_id FROM cand)),
+            grams AS (
+              SELECT DISTINCT n.doc_id,
+                     substr(n.t, CAST(g.i AS INT), 5) AS gram
+              FROM norm n,
+                   unnest(generate_series(1, greatest(length(n.t) - 4, 0)))
+                       AS g(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT c.new_id, c.old_id, count(*) AS i
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.new_id
+              JOIN grams gb ON gb.doc_id = c.old_id AND gb.gram = ga.gram
+              GROUP BY 1, 2)
+            SELECT c.new_id, c.old_id,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1), 4)
+                       AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.new_id = c.new_id AND i.old_id = c.old_id
+            JOIN sizes sa ON sa.doc_id = c.new_id
+            JOIN sizes sb ON sb.doc_id = c.old_id
+            WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1) >= 0.4
         """,
     }

@@ -298,6 +298,146 @@ def minhash_lsh_pairs(
     ).where(F.col("jaccard") >= jaccard_threshold)
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 16,
+    ngram: int = 5,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+    max_block_size: int = 512,
+    candidates_out: str | None = None,
+    est_margin: float | None = 0.2,
+) -> DataFrame:
+    """Incremental-ingestion near-dup: for a NEW batch of documents
+    against an EXISTING corpus, emit (new_id, old_id, jaccard) for every
+    cross-side near-duplicate — the nightly-crawl primitive ("which of
+    tonight's pages already exist, approximately, in the lake"). Unlike
+    :func:`minhash_lsh_pairs` on the union, new-vs-new and old-vs-old
+    pairs are never generated: the bucket join is DIRECTIONAL, so a
+    hot boilerplate cluster fully inside the old corpus costs nothing.
+
+    Contract: ids must be unique across BOTH frames (they address one
+    logical document space).
+
+    Physical shape — the dominant cost at 100 TB is the old-corpus
+    sketch pass, which is one Arrow scan producing narrow (id, sig)
+    rows (and on a real deployment would be persisted once and reused
+    across nightly batches; the operator accepts any ``old_docs`` and
+    re-sketches for self-containment):
+
+      1. one-permutation minhash signatures per side (one Arrow pass
+         each, same sketch family/seed as :func:`minhash_lsh_pairs`);
+      2. per-side ``groupBy(bucket).collect_list(id)`` (ids only) with
+         the ``max_block_size`` cap applied per side, then ONE bucket
+         equi-join of the two bucket tables and a JVM-side in-array
+         cross expansion (bounded by cap^2 transient structs/bucket);
+      3. optional signature-agreement pre-filter (``est_margin``, same
+         4.5-sigma logic as the self-join gate) before
+      4. the exact n-gram Jaccard verify on surviving candidates.
+
+    ``candidates_out``: parquet handoff of the gated candidate set
+    (new_id, old_id) before the exact verify — the q59 DuckDB oracle
+    recomputes the verify stage on these candidates from raw text."""
+    from pyspark import StorageLevel
+
+    from .staging import stage_parquet
+
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi), F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        )
+        for bi in range(bands)
+    ]
+
+    # one sketch pass per side; persisted because each side feeds its
+    # bucket table AND (optionally) the estimate pre-filter joins
+    sigs_n = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        ngram=ngram, seed=seed,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs_o = minhash_signatures(
+        old_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        ngram=ngram, seed=seed,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _bucket_lists(sigs: DataFrame, out: str) -> DataFrame:
+        keys = sigs.select(
+            "id", F.explode(F.array(*band_cols)).alias("bucket")
+        )
+        return keys.groupBy("bucket").agg(
+            F.collect_list("id").alias(out)
+        ).where(F.size(out) <= max_block_size)
+
+    gn = _bucket_lists(sigs_n, "new_ids")
+    go = _bucket_lists(sigs_o, "old_ids")
+    cross = F.flatten(
+        F.transform(
+            F.col("new_ids"),
+            lambda x: F.transform(
+                F.col("old_ids"),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        gn.join(go, "bucket")
+        .select(F.explode(cross).alias("p"))
+        .select("p.id_a", "p.id_b")
+        # ids are unique across sides by contract, but a document
+        # ingested into BOTH frames would pair with itself at
+        # jaccard 1.0 — drop it, matching the self-join gate's strict <
+        .where(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    docs_union = new_docs.select(id_col, text_col).unionByName(
+        old_docs.select(id_col, text_col)
+    )
+    if est_margin is not None:
+        agree = F.aggregate(
+            F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        cand = (
+            cand.join(
+                sigs_n.select(
+                    F.col("id").alias("id_a"), F.col("sig").alias("sa")
+                ),
+                "id_a",
+            )
+            .join(
+                sigs_o.select(
+                    F.col("id").alias("id_b"), F.col("sig").alias("sb")
+                ),
+                "id_b",
+            )
+            .where(
+                agree / F.lit(float(n_hashes))
+                >= F.lit(jaccard_threshold - est_margin)
+            )
+            .select("id_a", "id_b")
+        )
+    cand = stage_parquet(cand, candidates_out, "incr_minhash_cand")
+    sigs_n.unpersist()
+    sigs_o.unpersist()
+    return (
+        ngram_jaccard_verify(
+            cand, docs_union, id_col=id_col, text_col=text_col, ngram=ngram
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            "jaccard",
+        )
+    )
+
+
 def ngram_jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
