@@ -278,13 +278,14 @@ def _run(out: dict) -> None:
             "cores/jobs partitions per job so both sides run exactly "
             "`cores` concurrent kernel tasks); persistent warmed engines "
             "(one JVM spin-up per protocol run, reps served through a "
-            "go-file barrier) under a hard wall-clock budget; efficiency "
-            "= hi pairs/s over the SUM of the concurrent engines' "
-            "pairs/s; contamination rules: three-axis pulse-probe "
-            "agreement (arith 20%, fault 2x, bandwidth 1.5x) AND "
-            "efficiency <= 1.5; per-rep quiet gate (solo canary within "
-            "1.25x of running floor OR 3-canary plateau, bounded wait); "
-            "lo/hi order alternates across reps)",
+            "go-file barrier) under a hard wall-clock budget; SANDWICH "
+            "reps lo,hi,lo — hi pairs/s normalized against the MEAN of "
+            "the two bracketing fleet windows (cancels in-rep drift); "
+            "contamination rules: bracket agreement <= 1.25, three-axis "
+            "pulse-probe agreement (arith 20%, fault 2x, bandwidth 1.5x) "
+            "AND efficiency <= 1.5; per-rep quiet gate (solo canary "
+            "within 1.25x of running floor OR 3-canary plateau, bounded "
+            "wait))",
             "n_pairs": ss["n_pairs"],
             "budget_sec": ss["budget_sec"],
             "wall_sec": ss["wall_sec"],

@@ -45,9 +45,16 @@ three consecutive canaries (per-axis tolerances) — transient waves are
 what must not straddle a rep's two windows; STEADY background load is
 fair to both and is policed by the in-window rules. Wait is bounded by
 SASSY_SCALING_MAX_QUIET_WAIT (default 120 s, further shrunk near the
-budget deadline; on timeout the rep launches anyway, disclosed) — and ORDER ALTERNATION (odd attempts run the
-local[hi] engine first) so slow load drift cannot bias one window
-direction systematically.
+budget deadline; on timeout the rep launches anyway, disclosed) — and
+SANDWICH REPS (round-5, replacing order alternation): each rep runs
+lo,hi,lo — the consolidated window bracketed by two identical fleet
+windows and normalized against their MEAN, cancelling linear drift
+WITHIN the rep (alternation only cancelled it across reps; an idle-box
+round-5 run still spread 0.415..1.084 because individual ~60s windows
+caught waves the pulse probes read as clean — identical lo work swung
+22.8..65.1s wall). The brackets double as the most sensitive
+contamination probe available (they ARE the measured workload): reps
+whose two brackets disagree >25% in rate are discarded as in-rep waves.
 
 HARD WALL-CLOCK BUDGET (round-4 VERDICT "What's wrong" #2): the round-4
 protocol spun up 5 fresh JVMs PER REP (~71 min for one run) and a 900 s
@@ -488,7 +495,7 @@ def run_protocol(
     # barrier. Spin-up is concurrent across engines and deadline-bounded.
     hi_eng: _Engine | None = None
     lo_engs: list[_Engine] = []
-    last_rep_cost = 60.0
+    last_rep_cost = 150.0  # sandwich: 3 windows per rep
     try:
         hi_eng = _Engine(
             hi, input_dir, jobs=fanout,
@@ -503,6 +510,8 @@ def run_protocol(
         hi_eng.expect(READY_MARKER, spinup_deadline)
         for e in lo_engs:
             e.expect(READY_MARKER, spinup_deadline)
+        hi_gen = 0  # per-group go-file generation counters: the lo
+        lo_gen = 0  # fleet serves TWO windows per rep (the sandwich)
         while len(samples) < repeats and attempts < repeats * 3:
             remaining = deadline - time.time()
             if remaining < max(45.0, 1.2 * last_rep_cost):
@@ -510,7 +519,6 @@ def run_protocol(
                 break
             t_rep = time.time()
             attempts += 1
-            gen = attempts - 1  # engines' go-file generation counter
             # quiet-gate wait shrinks as the deadline nears — never more
             # than ~25% of what's left
             gate_wait = min(max_quiet_wait, max(15.0, 0.25 * remaining))
@@ -529,24 +537,33 @@ def run_protocol(
             # side's window runs, the other side's engines idle at the
             # go-file poll (50 ms sleep loop + idle JVM) — negligible, and
             # policed by the in-window probe rules regardless.
-            # order alternation: odd attempts run the consolidated engine
-            # first, so slow co-tenant load drift (rising or falling across
-            # the rep) cannot systematically favor one window direction.
-            hi_first = attempts % 2 == 1
+            #
+            # SANDWICH design (round-5): lo -> hi -> lo. The consolidated
+            # window is BRACKETED by two fleet windows and normalized
+            # against their MEAN, cancelling linear co-tenant drift across
+            # the rep (order alternation, the previous defense, only
+            # cancels drift ACROSS reps — a round-5 idle-box run still
+            # spread 0.415..1.084 because individual ~60s windows caught
+            # waves the microsecond pulse probes read as clean: identical
+            # lo work swung 22.8..65.1s wall). The brackets also become
+            # the most sensitive contamination probe available — they ARE
+            # the measured workload — via the bracket-agreement discard
+            # rule below.
             window_deadline = deadline + 30.0  # grace so a rep mid-flight
             # at budget expiry can still land; a wedged child trips this
             # and truncates the protocol instead of raising
             try:
-                if hi_first:
-                    Path(f"{hi_eng.sync_prefix}_go{gen}").touch()
-                    r_hi = hi_eng.result(window_deadline)
-                    Path(f"{lo_sync}_go{gen}").touch()
-                    los = [e.result(window_deadline) for e in lo_engs]
-                else:
-                    Path(f"{lo_sync}_go{gen}").touch()
-                    los = [e.result(window_deadline) for e in lo_engs]
-                    Path(f"{hi_eng.sync_prefix}_go{gen}").touch()
-                    r_hi = hi_eng.result(window_deadline)
+                Path(f"{lo_sync}_go{lo_gen}").touch()
+                los1 = [e.result(window_deadline) for e in lo_engs]
+                lo_gen += 1
+                for e in lo_engs:  # re-arm for the closing bracket
+                    e.expect(READY_MARKER, window_deadline)
+                Path(f"{hi_eng.sync_prefix}_go{hi_gen}").touch()
+                r_hi = hi_eng.result(window_deadline)
+                hi_gen += 1
+                Path(f"{lo_sync}_go{lo_gen}").touch()
+                los2 = [e.result(window_deadline) for e in lo_engs]
+                lo_gen += 1
                 for e in [hi_eng] + lo_engs:  # re-arm for the next rep
                     e.expect(READY_MARKER, window_deadline)
             except _ProtocolTimeout as exc:
@@ -565,33 +582,40 @@ def run_protocol(
             stop_evt.set()
             probe_samples = pq_.get()
             probe.join()
-            lo_t0 = min(r["t0"] for r in los)
-            lo_t1 = max(r["t1"] for r in los)
-            p_lo = _probe_median(probe_samples, lo_t0, lo_t1)
-            p_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"])
-            f_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=2)
-            f_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=2)
-            b_lo = _probe_median(probe_samples, lo_t0, lo_t1, idx=3)
-            b_hi = _probe_median(probe_samples, r_hi["t0"], r_hi["t1"], idx=3)
+
+            def _win_probes(t0: float, t1: float) -> tuple:
+                return (
+                    _probe_median(probe_samples, t0, t1),
+                    _probe_median(probe_samples, t0, t1, idx=2),
+                    _probe_median(probe_samples, t0, t1, idx=3),
+                )
+
+            def _span(los: list[dict]) -> tuple[float, float]:
+                return (min(r["t0"] for r in los), max(r["t1"] for r in los))
+
+            p1 = _win_probes(*_span(los1))
+            p2 = _win_probes(*_span(los2))
+            ph = _win_probes(r_hi["t0"], r_hi["t1"])
+
             # three-axis validity rule (as the kernel protocol): arithmetic
             # probe within 20%, page-fault probe within 2x, streaming
-            # bandwidth within 1.5x between the two windows. The fault and
-            # bandwidth probes matter MORE here — a Spark stage (shuffle page
-            # churn, Arrow IPC, worker forks, cache-missing kernel scans)
-            # rides the mm and DRAM paths that arithmetic can't sense; a
-            # round-4 rep read efficiency 0.421 with both original axes
-            # agreeing, which is what motivated the bandwidth axis.
-            probes_ok = (
-                p_lo is not None
-                and p_hi is not None
-                and max(p_lo, p_hi) / max(min(p_lo, p_hi), 1e-9) <= 1.20
-                and f_lo is not None
-                and f_hi is not None
-                and max(f_lo, f_hi) / max(min(f_lo, f_hi), 1e-9) <= 2.0
-                and b_lo is not None
-                and b_hi is not None
-                and max(b_lo, b_hi) / max(min(b_lo, b_hi), 1e-9) <= 1.5
-            )
+            # bandwidth within 1.5x — now required between the hi window
+            # and EACH bracket. The fault and bandwidth probes matter MORE
+            # here — a Spark stage (shuffle page churn, Arrow IPC, worker
+            # forks, cache-missing kernel scans) rides the mm and DRAM
+            # paths that arithmetic can't sense; a round-4 rep read
+            # efficiency 0.421 with both original axes agreeing, which is
+            # what motivated the bandwidth axis.
+            def _pair_ok(a: tuple, b: tuple) -> bool:
+                lims = (1.20, 2.0, 1.5)
+                for va, vb, lim in zip(a, b, lims):
+                    if va is None or vb is None:
+                        return False
+                    if max(va, vb) / max(min(va, vb), 1e-9) > lim:
+                        return False
+                return True
+
+            probes_ok = _pair_ok(p1, ph) and _pair_ok(p2, ph)
             # aggregate capacity of the N-core engines vs the 4N-core engine,
             # under TWO definitions (both reported):
             #   eff_sum   — hi rate over the SUM of each engine's own-window
@@ -604,12 +628,27 @@ def run_protocol(
             #               concurrent jobs are done when the LAST finishes).
             #               Conservative on lo, immune to the straggler
             #               artifact.
-            agg_lo = round(sum(r["pairs_per_sec"] for r in los), 1)
-            max_wall = max(r["wall_sec"] for r in los)
-            n_scored = los[0]["n_pairs"]
-            agg_lo_fleet = round(len(los) * n_scored / max_wall, 1)
+            # Both normalize against the MEAN of the two brackets.
+            def _agg(los: list[dict]) -> tuple[float, float]:
+                s = sum(r["pairs_per_sec"] for r in los)
+                fleet = len(los) * los[0]["n_pairs"] / max(
+                    r["wall_sec"] for r in los
+                )
+                return s, fleet
+
+            agg1, fleet1 = _agg(los1)
+            agg2, fleet2 = _agg(los2)
+            agg_lo = round((agg1 + agg2) / 2, 1)
+            agg_lo_fleet = round((fleet1 + fleet2) / 2, 1)
             eff_fleet = r_hi["pairs_per_sec"] / agg_lo_fleet
             eff = r_hi["pairs_per_sec"] / agg_lo
+            # bracket-agreement rule: the two fleet windows run IDENTICAL
+            # work ~one hi-window apart; if their rates disagree by >25%,
+            # the rep sat on a co-tenant wave edge and no normalization
+            # is trustworthy — discard. This catches the exact failure the
+            # pulse probes missed in the round-5 idle-box run.
+            bracket_ratio = max(agg1, agg2) / max(min(agg1, agg2), 1e-9)
+            brackets_ok = bracket_ratio <= 1.25
             # super-unity rule (round-3 VERDICT "What's wrong" #2): on equal
             # total cores, efficiency far above 1.0 means the lo window was
             # dilated by load the probes missed — contamination evidence, not
@@ -620,36 +659,57 @@ def run_protocol(
             # (measured: 30% straggler loss at 32 tasks vs 8% at 8) — and
             # the three-axis probe rule is the primary dilation detector.
             super_unity_ok = eff <= 1.5
-            valid = probes_ok and super_unity_ok
+            valid = probes_ok and super_unity_ok and brackets_ok
+
+            def _ms(v: float | None) -> float | None:
+                return round(v * 1000, 3) if v else None
+
+            def _mean_ms(a: float | None, b: float | None) -> float | None:
+                vals = [v for v in (a, b) if v]
+                return round(1000 * sum(vals) / len(vals), 3) if vals else None
+
             entry = {
                 "rep": len(samples),
                 "lo": {
-                    "engines": los,
+                    "engines": los1 + los2,
                     "agg_pairs_per_sec": agg_lo,
                     "agg_pairs_per_sec_fleet": agg_lo_fleet,
-                    "t0": lo_t0,
-                    "t1": lo_t1,
+                    "bracket1_pairs_per_sec": round(agg1, 1),
+                    "bracket2_pairs_per_sec": round(agg2, 1),
+                    "bracket_ratio": round(bracket_ratio, 3),
+                    "t0": _span(los1)[0],
+                    "t1": _span(los2)[1],
                 },
                 "hi": r_hi,
                 "eff": round(eff, 3),
                 "eff_fleet": round(eff_fleet, 3),
-                "probe_ms_lo": round(p_lo * 1000, 3) if p_lo else None,
-                "probe_ms_hi": round(p_hi * 1000, 3) if p_hi else None,
-                "fault_probe_ms_lo": round(f_lo * 1000, 3) if f_lo else None,
-                "fault_probe_ms_hi": round(f_hi * 1000, 3) if f_hi else None,
-                "bw_probe_ms_lo": round(b_lo * 1000, 3) if b_lo else None,
-                "bw_probe_ms_hi": round(b_hi * 1000, 3) if b_hi else None,
-                "order": "hi_first" if hi_first else "lo_first",
+                "probe_ms_lo": _mean_ms(p1[0], p2[0]),
+                "probe_ms_hi": _ms(ph[0]),
+                "fault_probe_ms_lo": _mean_ms(p1[1], p2[1]),
+                "fault_probe_ms_hi": _ms(ph[1]),
+                "bw_probe_ms_lo": _mean_ms(p1[2], p2[2]),
+                "bw_probe_ms_hi": _ms(ph[2]),
+                "order": "sandwich(lo,hi,lo)",
                 "launch_canary": canary,
                 "quiet_gate_ok": gate_ok,
             }
             if not valid:
-                entry["discard_reason"] = (
-                    "probe windows disagree (arith >20%, fault >2x, or bw >1.5x)"
-                    if not probes_ok
-                    else f"super-unity efficiency {eff:.3f} > 1.5 "
-                    "(lo-window dilation that slipped past the probes)"
-                )
+                if not brackets_ok:
+                    entry["discard_reason"] = (
+                        f"bracket disagreement {bracket_ratio:.3f} > 1.25 "
+                        "(the two identical fleet windows disagree — "
+                        "in-rep co-tenant wave)"
+                    )
+                elif not probes_ok:
+                    entry["discard_reason"] = (
+                        "probe windows disagree vs a bracket "
+                        "(arith >20%, fault >2x, or bw >1.5x)"
+                    )
+                else:
+                    entry["discard_reason"] = (
+                        f"super-unity efficiency {eff:.3f} > 1.5 "
+                        "(lo-window dilation that slipped past the probes)"
+                    )
             (samples if valid else discarded).append(entry)
             last_rep_cost = time.time() - t_rep
         if len(samples) < repeats:
@@ -676,11 +736,13 @@ def run_protocol(
         "attempts": attempts,
         "job": "score_pairs (join + repartition + Arrow-native kernel UDF)",
         "n_pairs": n_pairs,
-        "scaling": "capacity-normalized strong scaling: "
+        "scaling": "capacity-normalized strong scaling, SANDWICH reps: "
         f"{fanout} concurrent local[{lo}] engines (persistent, warmed once, "
-        f"barrier-synced per rep) vs one local[{hi}] engine running "
-        f"{fanout} concurrent jobs, same input, hard budget "
-        f"{budget_sec:.0f}s",
+        f"barrier-synced) bracket one local[{hi}] engine running "
+        f"{fanout} concurrent jobs — lo,hi,lo per rep, hi normalized "
+        "against the bracket MEAN (cancels linear drift); reps whose two "
+        "identical brackets disagree >25% are discarded as in-rep waves; "
+        f"same input, hard budget {budget_sec:.0f}s",
         "procs_lo": lo,
         "procs_hi": hi,
         "fanout": fanout,
@@ -749,7 +811,8 @@ def _md_table(out: dict) -> str:
         )
         disc = (
             f"\nDiscarded {out['n_discarded']} contaminated rep(s) under the "
-            f"stated rules (three-axis probe agreement + efficiency <= 1.5): "
+            f"stated rules (bracket agreement <= 1.25 + three-axis probe "
+            f"agreement + efficiency <= 1.5): "
             f"{dl}\n"
         )
     if not out["samples"]:
