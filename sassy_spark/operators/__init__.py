@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     events,
     linkage,
     multimodal,
+    sampling,
     search,
     similarity,
     staging,
