@@ -1526,6 +1526,66 @@ def _q59_incremental_near_dup(spark, sf):
     )
 
 
+def _q60_jaro_winkler_adjacent(spark, sf):
+    """Jaro-Winkler on a short identifying field (first 64 chars) of
+    adjacent doc pairs — the second classic ER pair scorer next to the
+    Myers kernel (kernel/jaro.py, batch-vectorized over bytes). The
+    oracle is DuckDB's built-in jaro_winkler_similarity, whose exact
+    byte-level semantics (floor-divided transpositions included) the
+    kernel reproduces; scores are exported as floor-micros BIGINTs so
+    the hash compare never rides on round-half behavior of doubles."""
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    fields = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 64).alias("field"),
+    )
+    out = jaro_winkler_pairs(pairs, fields)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.floor(F.col("jw") * 1e6).cast("long").alias("jw_micros"),
+    )
+
+
+def _q61_golden_record(spark, sf):
+    """Survivorship / golden-record selection: after transitive
+    clustering (same edges as q22), pick each entity's canonical
+    representative by deterministic rules (longest text, doc_id
+    tie-break) via the skew-safe two-stage window in
+    sampling.cap_per_key, plus the member count — the last step of an
+    ER pipeline, turning pair decisions into one master record per
+    entity."""
+    from sassy_spark.operators.sampling import cap_per_key
+
+    cc = _q22_connected_components(spark, sf)  # doc_id, cluster_id
+    d = _load(spark, sf, "documents").select("doc_id", "n_chars")
+    members = cc.join(d, "doc_id")
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    reps = cap_per_key(
+        members,
+        key_col="cluster_id",
+        order_by=[("n_chars", "desc"), ("doc_id", "asc")],
+        n=1,
+    ).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_n_chars"),
+    )
+    return reps.join(sizes, "cluster_id").select(
+        "cluster_id", "rep_doc_id", "rep_n_chars", "n_members"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1587,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_deterministic_split": _q57_deterministic_split,
         "q58_host_cap": _q58_host_cap,
         "q59_incremental_near_dup": _q59_incremental_near_dup,
+        "q60_jaro_winkler_adjacent": _q60_jaro_winkler_adjacent,
+        "q61_golden_record": _q61_golden_record,
     }
 
 
@@ -2705,5 +2767,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = c.old_id
             WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
                   / greatest(sa.sz + sb.sz - coalesce(i.i, 0), 1) >= 0.4
+        """,
+        "q60_jaro_winkler_adjacent": """
+            -- DuckDB's builtin IS the oracle for the batch-vectorized
+            -- numpy JW kernel; floor-micros avoids double round-half
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(floor(jaro_winkler_similarity(
+                       substr(a.text, 1, 64), substr(b.text, 1, 64)
+                   ) * 1e6) AS BIGINT) AS jw_micros
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        """,
+        "q61_golden_record": """
+            -- same run-structured clusters as q22, then survivorship:
+            -- longest text wins, doc_id tie-break
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id, d.n_chars,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id, n_chars,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            ranked AS (
+              SELECT cluster_id, doc_id, n_chars,
+                     row_number() OVER (
+                         PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id
+                     ) AS rk,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM cc)
+            SELECT cluster_id, doc_id AS rep_doc_id,
+                   n_chars AS rep_n_chars, n_members
+            FROM ranked WHERE rk = 1
         """,
     }

@@ -1,0 +1,100 @@
+"""Jaro-Winkler kernel + operator tests.
+
+The kernel's contract is byte-for-byte agreement with DuckDB's
+`jaro_winkler_similarity` (the q60 oracle): textbook pins, a seeded
+non-ASCII fuzz against DuckDB, and the Spark operator end-to-end.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from sassy_spark.kernel.jaro import jaro_batch, jaro_winkler_batch
+
+
+def test_textbook_values():
+    # classic published examples (Winkler 1990 / common test vectors)
+    got = jaro_winkler_batch(
+        [b"MARTHA", b"DIXON", b"DWAYNE", b"abc", b"", b"abc"],
+        [b"MARHTA", b"DICKSONX", b"DUANE", b"abc", b"abc", b""],
+    )
+    exp = [0.9611111111111111, 0.8133333333333332, 0.84, 1.0, 0.0, 0.0]
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_jaro_zero_window_and_transpositions():
+    # len 3 strings: window 0 -> only in-place matches
+    np.testing.assert_allclose(
+        jaro_batch([b"abc"], [b"acb"]), [5.0 / 9.0], atol=1e-12
+    )
+    # one full transposition (t = 1)
+    np.testing.assert_allclose(
+        jaro_batch([b"abcd"], [b"acbd"]), [11.0 / 12.0], atol=1e-12
+    )
+
+
+def test_boost_needs_jaro_above_0_7():
+    # jaro = 0.5619 with a 4-byte common prefix: boost must NOT apply
+    got = jaro_winkler_batch([b"abcdxxxxxx"], [b"abcdyyyyyyyyyy"])
+    np.testing.assert_allclose(got, jaro_batch([b"abcdxxxxxx"], [b"abcdyyyyyyyyyy"]))
+
+
+def test_operates_on_utf8_bytes_not_codepoints():
+    # DuckDB-pinned value: byte-level comparison of café vs cafe
+    got = jaro_winkler_batch(["café".encode()], [b"cafe"])
+    np.testing.assert_allclose(got, [0.8483333333333334], atol=1e-12)
+
+
+def test_fuzz_against_duckdb():
+    duckdb = pytest.importorskip("duckdb")
+    rng = random.Random(31)
+    alph = "abcdef éß日"
+    pairs = []
+    for _ in range(800):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        s1 = "".join(rng.choice(alph) for _ in range(la))
+        s2 = "".join(rng.choice(alph) for _ in range(lb))
+        if rng.random() < 0.3:  # force related pairs too
+            s2 = s1[: max(0, la - 2)] + s2[:3]
+        pairs.append((s1, s2))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    exp = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                "SELECT jaro_winkler_similarity(a, b) FROM p"
+            ).fetchall()
+        ]
+    )
+    got = jaro_winkler_batch(
+        [a.encode() for a, _ in pairs], [b.encode() for _, b in pairs]
+    )
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_operator_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    fields = spark.createDataFrame(
+        [("u1", "martha stewart"), ("u2", "marhta stewart"), ("u3", None)],
+        ["url", "field"],
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], ["url_a", "url_b"]
+    )
+    rows = {
+        (r["url_a"], r["url_b"]): r["jw"]
+        for r in jaro_winkler_pairs(pairs, fields).collect()
+    }
+    import duckdb
+
+    exp = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity('martha stewart', 'marhta stewart')"
+    ).fetchone()[0]
+    assert rows[("u1", "u2")] == pytest.approx(exp, abs=1e-12)
+    assert rows[("u1", "u3")] == 0.0  # null field -> empty -> 0
