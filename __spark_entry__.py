@@ -1586,6 +1586,24 @@ def _q61_golden_record(spark, sf):
     )
 
 
+def _q62_pair_features(spark, sf):
+    """Multi-signal ER feature table: for each candidate pair, the three
+    scorers side by side — Myers edit distance (full text), Jaro-Winkler
+    (64-char identifying field), and exact 5-gram Jaccard — the feature
+    vector a downstream match classifier consumes. Composition of the
+    q13/q60/q15 pipelines joined on the pair key; each signal keeps its
+    own scale-safe plan (no new shuffles beyond the three joins on
+    already-small pair frames)."""
+    ed = _q13_edit_distance_adjacent(spark, sf)
+    jw = _q60_jaro_winkler_adjacent(spark, sf)
+    jc = (
+        _q15_ngram_jaccard(spark, sf)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+    return ed.join(jw, ["doc_a", "doc_b"]).join(jc, ["doc_a", "doc_b"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1649,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_incremental_near_dup": _q59_incremental_near_dup,
         "q60_jaro_winkler_adjacent": _q60_jaro_winkler_adjacent,
         "q61_golden_record": _q61_golden_record,
+        "q62_pair_features": _q62_pair_features,
     }
 
 
@@ -2805,5 +2824,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id,
                    n_chars AS rep_n_chars, n_members
             FROM ranked WHERE rk = 1
+        """,
+        "q62_pair_features": """
+            -- the three pair scorers side by side (q13 + q60 + q15)
+            WITH grams AS (
+              SELECT DISTINCT d.doc_id,
+                     substr(d.text, CAST(g.i AS INT), 5) AS gram
+              FROM documents d,
+                   unnest(generate_series(1, greatest(length(d.text) - 4, 0)))
+                       AS g(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id + 1 = b.doc_id
+              GROUP BY 1, 2)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT)
+                       AS edit_distance,
+                   CAST(floor(jaro_winkler_similarity(
+                       substr(a.text, 1, 64), substr(b.text, 1, 64)
+                   ) * 1e6) AS BIGINT) AS jw_micros,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
+            FROM documents a
+            JOIN documents b ON a.doc_id + 1 = b.doc_id
+            LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
         """,
     }
