@@ -1586,6 +1586,34 @@ def _q61_golden_record(spark, sf):
     )
 
 
+def _q63_damerau_distance(spark, sf):
+    """Unrestricted Damerau-Levenshtein (typo distance: transposition
+    costs 1) on a 48-char identifying field of adjacent doc pairs —
+    kernel/damerau.py, the Lowrance-Wagner DP vectorized across the
+    pair axis. Oracle: DuckDB's damerau_levenshtein builtin, whose exact
+    byte-level unrestricted semantics the kernel reproduces (fuzz-pinned
+    in tests/test_strsim.py)."""
+    from sassy_spark.operators.strsim import damerau_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    fields = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 48).alias("field"),
+    )
+    out = damerau_pairs(pairs, fields)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("dl").alias("damerau_distance"),
+    )
+
+
 def _q62_pair_features(spark, sf):
     """Multi-signal ER feature table: for each candidate pair, the three
     scorers side by side — Myers edit distance (full text), Jaro-Winkler
@@ -1668,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_jaro_winkler_adjacent": _q60_jaro_winkler_adjacent,
         "q61_golden_record": _q61_golden_record,
         "q62_pair_features": _q62_pair_features,
+        "q63_damerau_distance": _q63_damerau_distance,
     }
 
 
@@ -2852,5 +2881,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
             JOIN sizes sa ON sa.doc_id = a.doc_id
             JOIN sizes sb ON sb.doc_id = b.doc_id
+        """,
+        "q63_damerau_distance": """
+            -- DuckDB's builtin (unrestricted byte-level variant) IS the
+            -- oracle for the Lowrance-Wagner batch kernel
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(damerau_levenshtein(
+                       substr(a.text, 1, 48), substr(b.text, 1, 48)
+                   ) AS BIGINT) AS damerau_distance
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
         """,
     }

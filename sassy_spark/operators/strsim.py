@@ -79,3 +79,45 @@ def jaro_winkler_pairs(
     return df.withColumn(out_col, jw_udf(F.col("_fa"), F.col("_fb"))).drop(
         "_fa", "_fb"
     )
+
+
+def _dl_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    from sassy_spark.kernel.damerau import damerau_levenshtein_batch
+
+    import numpy as np
+
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    # smaller chunk than JW: the DP tensor is (rows x L^2) int32
+    step = max(_CHUNK_ROWS // 4, 1)
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        ab = [x.encode("utf-8") if isinstance(x, str) else b"" for x in av[lo:hi]]
+        bb = [x.encode("utf-8") if isinstance(x, str) else b"" for x in bv[lo:hi]]
+        out[lo:hi] = damerau_levenshtein_batch(ab, bb)
+    return pd.Series(out)
+
+
+def damerau_pairs(
+    pairs: DataFrame,
+    fields: DataFrame,
+    url: str = "url",
+    field_col: str = "field",
+    out_col: str = "dl",
+) -> DataFrame:
+    """Unrestricted Damerau-Levenshtein distance on a short field per
+    candidate pair (kernel/damerau.py — transposition-tolerant typo
+    distance). Same join shape and scale properties as
+    jaro_winkler_pairs; intended for short identifying fields."""
+    f = fields.select(F.col(url), F.col(field_col).alias("_f"))
+    df = pairs.join(
+        f.select(F.col(url).alias("url_a"), F.col("_f").alias("_fa")), "url_a"
+    ).join(
+        f.select(F.col(url).alias("url_b"), F.col("_f").alias("_fb")), "url_b"
+    )
+    dl_udf = pandas_udf(_dl_series, "long")
+    return df.withColumn(out_col, dl_udf(F.col("_fa"), F.col("_fb"))).drop(
+        "_fa", "_fb"
+    )

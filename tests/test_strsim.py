@@ -75,6 +75,71 @@ def test_fuzz_against_duckdb():
     np.testing.assert_allclose(got, exp, atol=1e-12)
 
 
+def test_damerau_pins():
+    from sassy_spark.kernel.damerau import damerau_levenshtein_batch
+
+    got = damerau_levenshtein_batch(
+        [b"CA", b"abcd", b"ab", b"", b"abc", "café".encode()],
+        [b"ABC", b"acbd", b"ba", b"abc", b"", b"cafe"],
+    )
+    # CA->ABC = 2 pins the UNRESTRICTED variant (OSA would say 3)
+    assert got.tolist() == [2, 1, 1, 3, 3, 2]
+
+
+def test_damerau_fuzz_against_duckdb():
+    duckdb = pytest.importorskip("duckdb")
+    from sassy_spark.kernel.damerau import damerau_levenshtein_batch
+
+    rng = random.Random(13)
+    alph = "abcdé 日"
+    pairs = []
+    for _ in range(800):
+        la, lb = rng.randint(0, 10), rng.randint(0, 10)
+        s1 = "".join(rng.choice(alph) for _ in range(la))
+        s2 = "".join(rng.choice(alph) for _ in range(lb))
+        if rng.random() < 0.35 and len(s1) >= 2:  # plant transpositions
+            s2 = list(s1)
+            i = rng.randrange(len(s2) - 1)
+            s2[i], s2[i + 1] = s2[i + 1], s2[i]
+            s2 = "".join(s2)
+        pairs.append((s1, s2))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    exp = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                "SELECT damerau_levenshtein(a, b) FROM p"
+            ).fetchall()
+        ]
+    )
+    got = damerau_levenshtein_batch(
+        [a.encode() for a, _ in pairs], [b.encode() for _, b in pairs]
+    )
+    assert (got == exp).all()
+
+
+def test_damerau_operator(spark):
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.strsim import damerau_pairs
+
+    fields = spark.createDataFrame(
+        [("u1", "acme corp"), ("u2", "amce corp"), ("u3", None)],
+        ["url", "field"],
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], ["url_a", "url_b"]
+    )
+    rows = {
+        (r["url_a"], r["url_b"]): r["dl"]
+        for r in damerau_pairs(pairs, fields).collect()
+    }
+    assert rows[("u1", "u2")] == 1  # one transposition
+    assert rows[("u1", "u3")] == len("acme corp")  # vs empty
+
+
 def test_operator_end_to_end(spark):
     from pyspark.sql import functions as F
 
