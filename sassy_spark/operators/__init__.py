@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     search,
     similarity,
     staging,
+    strsim,
     textstats,
 )
