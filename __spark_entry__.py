@@ -1632,6 +1632,92 @@ def _q62_pair_features(spark, sf):
     return ed.join(jw, ["doc_a", "doc_b"]).join(jc, ["doc_a", "doc_b"])
 
 
+def _q64_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter probabilistic matching over the q62 feature table:
+    bin jaccard and Jaro-Winkler into agreement levels, estimate each
+    level's m = P(level | match) and u = P(level | non-match) from the
+    data itself (edit-distance rule as the truth proxy, +1 smoothing
+    over the 3 levels), and score every pair with the likelihood ratio
+    (m_j/u_j)*(m_w/u_w). The ratio is exported instead of the textbook
+    log2-weight sum because division and multiplication of identical
+    doubles are IEEE-exact across engines while libm log2 is not —
+    floor-micros then makes the hash compare rounding-free. The totals
+    join is a 1-row broadcast (crossJoin of an aggregate), never a
+    whole-frame window."""
+    feats = _q62_pair_features(spark, sf)
+    d = _load(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("L")
+    )
+    f = (
+        feats.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("L").alias("la")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("L").alias("lb")),
+            "doc_b",
+        )
+        .withColumn(
+            # 0.68 sits inside the fixture's adjacent-pair normalized
+            # edit-distance range (0.62-0.75, median 0.70) — the same
+            # regime q22's k=220 rule cuts — so both truth classes are
+            # populated and the m/u estimates are non-degenerate
+            "is_match",
+            F.col("edit_distance")
+            <= 0.68 * F.greatest("la", "lb").cast("double"),
+        )
+        .withColumn(
+            "lvl_j",
+            F.when(F.col("jaccard") >= 0.5, 2)
+            .when(F.col("jaccard") >= 0.2, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "lvl_w",
+            F.when(F.col("jw_micros") >= 900000, 2)
+            .when(F.col("jw_micros") >= 700000, 1)
+            .otherwise(0),
+        )
+    )
+    totals = f.agg(
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("tm"),
+        F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).alias("tu"),
+    )
+
+    def mu_table(lvl_col, m_name, u_name):
+        g = f.groupBy(lvl_col).agg(
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("cm"),
+            F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).alias("cu"),
+        )
+        return g.crossJoin(F.broadcast(totals)).select(
+            lvl_col,
+            (
+                (F.col("cm") + 1).cast("double")
+                / (F.col("tm") + 3).cast("double")
+            ).alias(m_name),
+            (
+                (F.col("cu") + 1).cast("double")
+                / (F.col("tu") + 3).cast("double")
+            ).alias(u_name),
+        )
+
+    out = (
+        f.join(F.broadcast(mu_table("lvl_j", "mj", "uj")), "lvl_j")
+        .join(F.broadcast(mu_table("lvl_w", "mw", "uw")), "lvl_w")
+        .withColumn(
+            "lr_micros",
+            F.floor(
+                (F.col("mj") / F.col("uj"))
+                * (F.col("mw") / F.col("uw"))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "doc_a", "doc_b", "lvl_j", "lvl_w", "is_match", "lr_micros"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1697,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_golden_record": _q61_golden_record,
         "q62_pair_features": _q62_pair_features,
         "q63_damerau_distance": _q63_damerau_distance,
+        "q64_fellegi_sunter": _q64_fellegi_sunter,
     }
 
 
@@ -2890,5 +2977,71 @@ def oracle_sql() -> dict[str, str]:
                        substr(a.text, 1, 48), substr(b.text, 1, 48)
                    ) AS BIGINT) AS damerau_distance
             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        """,
+        "q64_fellegi_sunter": """
+            -- Fellegi-Sunter over the q62 features: m/u per agreement
+            -- level (+1 smoothing over 3 levels), likelihood-ratio
+            -- score; only IEEE-exact ops (div/mul/floor), no libm log
+            WITH grams AS (
+              SELECT DISTINCT d.doc_id,
+                     substr(d.text, CAST(g.i AS INT), 5) AS gram
+              FROM documents d,
+                   unnest(generate_series(1, greatest(length(d.text) - 4, 0)))
+                       AS g(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id + 1 = b.doc_id
+              GROUP BY 1, 2),
+            feats AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     levenshtein(a.text, b.text)
+                         <= 0.68 * CAST(greatest(length(a.text),
+                                                 length(b.text)) AS DOUBLE)
+                         AS is_match,
+                     CASE WHEN round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                               / (sa.sz + sb.sz - coalesce(i.i, 0)), 4)
+                               >= 0.5 THEN 2
+                          WHEN round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                               / (sa.sz + sb.sz - coalesce(i.i, 0)), 4)
+                               >= 0.2 THEN 1
+                          ELSE 0 END AS lvl_j,
+                     CASE WHEN floor(jaro_winkler_similarity(
+                               substr(a.text, 1, 64), substr(b.text, 1, 64)
+                           ) * 1e6) >= 900000 THEN 2
+                          WHEN floor(jaro_winkler_similarity(
+                               substr(a.text, 1, 64), substr(b.text, 1, 64)
+                           ) * 1e6) >= 700000 THEN 1
+                          ELSE 0 END AS lvl_w
+              FROM documents a
+              JOIN documents b ON a.doc_id + 1 = b.doc_id
+              LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
+              JOIN sizes sa ON sa.doc_id = a.doc_id
+              JOIN sizes sb ON sb.doc_id = b.doc_id),
+            totals AS (
+              SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS tm,
+                     sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS tu
+              FROM feats),
+            muj AS (
+              SELECT lvl_j,
+                     CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1
+                          AS DOUBLE) / CAST(t.tm + 3 AS DOUBLE) AS mj,
+                     CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) + 1
+                          AS DOUBLE) / CAST(t.tu + 3 AS DOUBLE) AS uj
+              FROM feats, totals t GROUP BY lvl_j, t.tm, t.tu),
+            muw AS (
+              SELECT lvl_w,
+                     CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1
+                          AS DOUBLE) / CAST(t.tm + 3 AS DOUBLE) AS mw,
+                     CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) + 1
+                          AS DOUBLE) / CAST(t.tu + 3 AS DOUBLE) AS uw
+              FROM feats, totals t GROUP BY lvl_w, t.tm, t.tu)
+            SELECT f.doc_a, f.doc_b, f.lvl_j, f.lvl_w, f.is_match,
+                   CAST(floor((j.mj / j.uj) * (w.mw / w.uw) * 1e6)
+                        AS BIGINT) AS lr_micros
+            FROM feats f
+            JOIN muj j ON j.lvl_j = f.lvl_j
+            JOIN muw w ON w.lvl_w = f.lvl_w
         """,
     }
