@@ -140,6 +140,64 @@ def test_damerau_operator(spark):
     assert rows[("u1", "u3")] == len("acme corp")  # vs empty
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _byte_text = st.text(
+        alphabet="abcé 日ß", min_size=0, max_size=14
+    )
+
+    @given(st.lists(st.tuples(_byte_text, _byte_text), min_size=1, max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def test_jw_matches_duckdb_hypothesis(pairs):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+        exp = np.array(
+            [
+                r[0]
+                for r in con.execute(
+                    "SELECT jaro_winkler_similarity(a, b) FROM p"
+                ).fetchall()
+            ]
+        )
+        got = jaro_winkler_batch(
+            [a.encode() for a, _ in pairs], [b.encode() for _, b in pairs]
+        )
+        np.testing.assert_allclose(got, exp, atol=1e-12)
+
+    @given(st.lists(st.tuples(_byte_text, _byte_text), min_size=1, max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def test_damerau_matches_duckdb_hypothesis(pairs):
+        import duckdb
+
+        from sassy_spark.kernel.damerau import damerau_levenshtein_batch
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+        exp = np.array(
+            [
+                r[0]
+                for r in con.execute(
+                    "SELECT damerau_levenshtein(a, b) FROM p"
+                ).fetchall()
+            ]
+        )
+        got = damerau_levenshtein_batch(
+            [a.encode() for a, _ in pairs], [b.encode() for _, b in pairs]
+        )
+        assert (got == exp).all()
+
+
 def test_operator_end_to_end(spark):
     from pyspark.sql import functions as F
 
