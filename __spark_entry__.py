@@ -1718,6 +1718,40 @@ def _q64_fellegi_sunter(spark, sf):
     )
 
 
+def _q65_blocking_stats(spark, sf):
+    """Blocking-quality monitoring: per-block size and implied pair
+    count for the host blocking key (source column), plus the global
+    reduction ratio vs naive all-pairs — the numbers an operator watches
+    at 10^12 docs to catch hot-key skew before it burns a shuffle.
+    Pure Catalyst aggregation; the global totals attach via a 1-row
+    broadcast crossJoin, never a whole-frame window."""
+    d = _load(spark, sf, "documents")
+    blocks = d.groupBy("source").agg(F.count("*").alias("block_size"))
+    blocks = blocks.withColumn(
+        "pairs_in_block",
+        (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long"),
+    )
+    totals = blocks.agg(
+        F.sum("pairs_in_block").alias("blocked_pairs"),
+        F.sum("block_size").alias("n_docs"),
+    ).select(
+        "blocked_pairs",
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long").alias(
+            "all_pairs"
+        ),
+    )
+    return blocks.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "block_size",
+        "pairs_in_block",
+        F.floor(
+            F.col("blocked_pairs").cast("double")
+            / F.col("all_pairs").cast("double")
+            * 1e6
+        ).cast("long").alias("reduction_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1784,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_pair_features": _q62_pair_features,
         "q63_damerau_distance": _q63_damerau_distance,
         "q64_fellegi_sunter": _q64_fellegi_sunter,
+        "q65_blocking_stats": _q65_blocking_stats,
     }
 
 
@@ -3043,5 +3078,22 @@ def oracle_sql() -> dict[str, str]:
             FROM feats f
             JOIN muj j ON j.lvl_j = f.lvl_j
             JOIN muw w ON w.lvl_w = f.lvl_w
+        """,
+        "q65_blocking_stats": """
+            WITH blocks AS (
+              SELECT source, count(*) AS block_size,
+                     CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
+                         AS pairs_in_block
+              FROM documents GROUP BY source),
+            totals AS (
+              SELECT sum(pairs_in_block) AS blocked_pairs,
+                     CAST(sum(block_size) * (sum(block_size) - 1) / 2
+                          AS BIGINT) AS all_pairs
+              FROM blocks)
+            SELECT b.source, b.block_size, b.pairs_in_block,
+                   CAST(floor(CAST(t.blocked_pairs AS DOUBLE)
+                              / CAST(t.all_pairs AS DOUBLE) * 1e6)
+                        AS BIGINT) AS reduction_micros
+            FROM blocks b, totals t
         """,
     }
