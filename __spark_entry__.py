@@ -1752,6 +1752,26 @@ def _q65_blocking_stats(spark, sf):
     )
 
 
+def _q66_asof_join(spark, sf):
+    """Distributed as-of join (events.asof_join): each purchase gets the
+    most recent view at or before it for the same user — one shuffle on
+    the key via tag-union + running last(ignorenulls), never a range
+    join's per-key pair expansion. Spark has no native ASOF JOIN;
+    DuckDB's builtin ASOF JOIN is the oracle."""
+    from sassy_spark.operators.events import asof_join
+
+    e = _load(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(purchases, views).select(
+        "event_id", "user_id", "ts", "asof_value", "asof_ts"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1819,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_damerau_distance": _q63_damerau_distance,
         "q64_fellegi_sunter": _q64_fellegi_sunter,
         "q65_blocking_stats": _q65_blocking_stats,
+        "q66_asof_join": _q66_asof_join,
     }
 
 
@@ -3095,5 +3116,15 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(t.all_pairs AS DOUBLE) * 1e6)
                         AS BIGINT) AS reduction_micros
             FROM blocks b, totals t
+        """,
+        "q66_asof_join": """
+            -- DuckDB's native ASOF JOIN is the oracle for the
+            -- tag-union + running-last distributed formulation
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.value AS asof_value, r.ts AS asof_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
     }

@@ -102,3 +102,67 @@ def funnel(
         F.col("step_idx").cast("int").alias("step_idx"),
         F.col("kv.n_users").alias("n_users"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_value: str = "value",
+    order_cols: tuple = ("event_id",),
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Distributed as-of join: attach to each LEFT row the RIGHT row with
+    the greatest ``ts <= left.ts`` for the same key (ties on ts broken by
+    ``order_cols``, highest wins — deterministic). Rows with no prior
+    right match are DROPPED (inner as-of).
+
+    Spark has no native ASOF JOIN; the naive formulations are a range
+    join (quadratic blow-up per key) or a per-key collect. This is the
+    scale-safe form: tag-union both sides, ONE shuffle on the key, and a
+    running ``last(value, ignorenulls)`` over the (ts, side, order)
+    window — right rows sort before left rows at equal ts so same-ts
+    matches are included. Cost is a single exchange + sort regardless of
+    match distances; skewed keys follow the events table's own key
+    distribution (no pair expansion ever materializes).
+
+    Returns the LEFT columns plus ``{out_prefix}{right_value}`` and
+    ``{out_prefix}{ts_col}`` of the matched right row.
+    """
+    lcols = left.columns
+    tag_r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        F.lit(0).alias("_side"),
+        F.col(right_value).alias("_rv"),
+        F.col(ts_col).alias("_rts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+    )
+    tag_l = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("_rv"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_rts"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side", *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = tag_r.unionByName(tag_l).select(
+        "*",
+        F.last("_rv", ignorenulls=True).over(w).alias("_m_rv"),
+        F.last("_rts", ignorenulls=True).over(w).alias("_m_rts"),
+    )
+    out = u.where((F.col("_side") == 1) & F.col("_m_rv").isNotNull())
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        F.col("_m_rv").alias(f"{out_prefix}{right_value}"),
+        F.col("_m_rts").alias(f"{out_prefix}{ts_col}"),
+    )

@@ -48,3 +48,34 @@ def test_funnel_ordering(ev):
     assert got["view"] == 3
     assert got["click"] == 3
     assert got["purchase"] == 2  # user 3 purchased before clicking
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from sassy_spark.operators.events import asof_join
+
+    T = datetime
+    right = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 9, 0), 1.0),
+            (2, 10, T(2024, 1, 1, 10, 0), 2.0),
+            (3, 10, T(2024, 1, 1, 12, 0), 3.0),   # after the left row
+            (4, 20, T(2024, 1, 1, 11, 0), 4.0),   # same-ts as left
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    left = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1, 11, 0)),  # matches id=2 (10:00)
+            (101, 20, T(2024, 1, 1, 11, 0)),  # same-ts view counts
+            (102, 30, T(2024, 1, 1, 11, 0)),  # no view at all -> dropped
+            (103, 10, T(2024, 1, 1, 8, 0)),   # before any view -> dropped
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    rows = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert set(rows) == {100, 101}
+    assert rows[100]["asof_value"] == 2.0
+    assert rows[100]["asof_ts"] == T(2024, 1, 1, 10, 0)
+    assert rows[101]["asof_value"] == 4.0  # ties on ts: right sorts first
