@@ -1772,6 +1772,42 @@ def _q66_asof_join(spark, sf):
     )
 
 
+def _q67_label_propagation(spark, sf):
+    """Bounded-hop (k=3) min-label propagation over the q22 edge graph —
+    the fixed-cost pre-clustering pass (cluster.label_propagation). On
+    the fixture's run-structured graph the k-hop min has a closed form:
+    min(doc_id) over the 3 preceding docs of the same run — so the
+    generic message-passing operator is pinned against a windowed-min
+    oracle."""
+    from sassy_spark.operators import linkage
+    from sassy_spark.operators.cluster import label_propagation
+
+    d = _load(spark, sf, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
+    )
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.lpad(F.col("a.doc_id").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("b.doc_id").cast("string"), 8, "0").alias("url_b"),
+    )
+    scored = linkage.score_pairs(adj, pages, k=220)
+    edges = scored.where("is_match").select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    lp = label_propagation(edges, iterations=3)
+    out = pages.select("url").join(
+        lp.withColumnRenamed("vertex", "url"), "url", "left"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.coalesce(F.col("label"), F.col("url")).cast("long").alias(
+            "label3"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1840,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_fellegi_sunter": _q64_fellegi_sunter,
         "q65_blocking_stats": _q65_blocking_stats,
         "q66_asof_join": _q66_asof_join,
+        "q67_label_propagation": _q67_label_propagation,
     }
 
 
@@ -3126,5 +3163,29 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN
                  (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "q67_label_propagation": """
+            -- closed form of 3-round sync min-label propagation on the
+            -- run-structured edge graph: min doc_id within 3 preceding
+            -- rows of the same run (same edges/runs as q22)
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks)
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY cluster_id
+                       ORDER BY doc_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS label3
+            FROM cc
         """,
     }

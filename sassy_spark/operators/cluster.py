@@ -475,3 +475,47 @@ def resolve_entities(
         .join(cc, "url", "left")
         .select("url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop min-label propagation: after k synchronous rounds each
+    vertex's label is the minimum vertex id within graph distance <= k.
+
+    The cheap pre-clustering pass: unlike full connected components
+    (large-star/small-star, above), the cost is a FIXED k rounds of
+    equi-join + groupBy-min — no convergence loop, no checkpointing —
+    which is the right tool when approximate communities suffice or as a
+    label seed that cuts the CC iteration count. Labels shuffle as
+    (vertex, long) pairs only; skew follows vertex degree, and the
+    groupBy-min is a partial-aggregating hash agg (map-side combine), so
+    a hot vertex receives pre-combined messages, not one row per edge.
+
+    Returns (vertex, label). Vertices are those appearing in edges;
+    callers attach isolated vertices with a left join + coalesce.
+    """
+    sym = edges.select(
+        F.col(src).alias("_v"), F.col(dst).alias("_u")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_v"), F.col(src).alias("_u"))
+    ).distinct()
+    labels = sym.select(F.col("_v").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    )
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels.select(
+                F.col("vertex").alias("_u"), F.col("label").alias("_ul")
+            ),
+            "_u",
+        ).select(F.col("_v").alias("vertex"), F.col("_ul").alias("label"))
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels

@@ -201,3 +201,24 @@ def test_cc_small_graph_finisher_identical_labels(spark, seed, tmp_path):
         ).collect()
     }
     assert a == b == c
+
+
+def test_label_propagation_bounded_hops(spark):
+    from sassy_spark.operators.cluster import label_propagation
+
+    # path 1-2-3-4-5-6 plus a triangle 10-11-12: after k=2 rounds a
+    # vertex's label is the min id within graph distance <= 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12)],
+        ["src", "dst"],
+    )
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,        # within 2 hops of vertex 1
+        4: 2, 5: 3, 6: 4,        # min id exactly 2 hops back
+        10: 10, 11: 10, 12: 10,  # triangle converges immediately
+    }
