@@ -1808,6 +1808,50 @@ def _q67_label_propagation(spark, sf):
     )
 
 
+def _q68_cross_table_linkage(spark, sf):
+    """Cross-table entity linkage — the textbook ER scenario: match
+    customer names against supplier names within a nation block
+    (equi-join blocking, never a cross join), score with the JW kernel,
+    keep each customer's best supplier. jw is quantized to micros
+    BEFORE ranking (the q38 lesson) so near-ties rank identically in
+    both engines; ties break on min s_suppkey."""
+    from pyspark.sql import Window
+
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    c = _load(spark, sf, "customer")
+    s = _load(spark, sf, "supplier")
+    pairs = c.join(
+        s, c["c_nationkey"] == s["s_nationkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("url_a"),
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("url_b"),
+    )
+    fields = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("url"),
+        F.col("c_name").alias("field"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("url"),
+            F.col("s_name").alias("field"),
+        )
+    )
+    scored = jaro_winkler_pairs(pairs, fields).select(
+        F.substring("url_a", 2, 100).cast("long").alias("c_custkey"),
+        F.substring("url_b", 2, 100).cast("long").alias("s_suppkey"),
+        F.floor(F.col("jw") * 1e6).cast("long").alias("jw_micros"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("jw_micros").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("best_suppkey"),
+                "jw_micros")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1877,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_blocking_stats": _q65_blocking_stats,
         "q66_asof_join": _q66_asof_join,
         "q67_label_propagation": _q67_label_propagation,
+        "q68_cross_table_linkage": _q68_cross_table_linkage,
     }
 
 
@@ -3187,5 +3232,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS label3
             FROM cc
+        """,
+        "q68_cross_table_linkage": """
+            -- cross-table ER: nation-blocked name matching, best
+            -- supplier per customer, jw quantized BEFORE ranking
+            WITH scored AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     CAST(floor(jaro_winkler_similarity(c.c_name, s.s_name)
+                                * 1e6) AS BIGINT) AS jw_micros
+              FROM customer c JOIN supplier s
+                ON c.c_nationkey = s.s_nationkey)
+            SELECT c_custkey, s_suppkey AS best_suppkey, jw_micros
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY c_custkey
+                      ORDER BY jw_micros DESC, s_suppkey) AS rk
+                  FROM scored)
+            WHERE rk = 1
         """,
     }
