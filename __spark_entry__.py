@@ -1679,6 +1679,10 @@ def _q64_fellegi_sunter(spark, sf):
             .otherwise(0),
         )
     )
+    # the feature frame feeds FIVE consumers (main branch, totals, two
+    # mu tables x two aggs) — without a persist each one re-runs the
+    # Myers + JW UDFs and the 5-gram shuffle from scratch
+    f = f.persist()
     totals = f.agg(
         F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("tm"),
         F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).alias("tu"),

@@ -506,7 +506,7 @@ def label_propagation(
     labels = sym.select(F.col("_v").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         msgs = sym.join(
             labels.select(
                 F.col("vertex").alias("_u"), F.col("label").alias("_ul")
@@ -518,4 +518,10 @@ def label_propagation(
             .groupBy("vertex")
             .agg(F.min("label").alias("label"))
         )
+        # labels appears twice per round (join input + union), so the
+        # logical plan doubles each iteration; truncate lineage
+        # periodically or large k stalls the DRIVER in Catalyst long
+        # before executors do any work
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels

@@ -128,26 +128,38 @@ def asof_join(
     distribution (no pair expansion ever materializes).
 
     Returns the LEFT columns plus ``{out_prefix}{right_value}`` and
-    ``{out_prefix}{ts_col}`` of the matched right row.
+    ``{out_prefix}{ts_col}`` of the matched right row. A matched right
+    row whose value is NULL still counts as a match (with a NULL value
+    attached) — SQL ASOF JOIN semantics. NULL keys never match (SQL
+    equality), so both sides filter them out up front.
     """
     lcols = left.columns
+    left = left.where(F.col(key_col).isNotNull())
+    right = right.where(F.col(key_col).isNotNull())
+    # the matched right row travels as ONE struct so value and ts can
+    # never come from different rows (a value-NULL right row is still a
+    # non-null struct, so it both matches and carries its NULL value)
+    r_struct = F.struct(
+        F.col(right_value).alias("_rv"), F.col(ts_col).alias("_rts")
+    )
     tag_r = right.select(
         F.col(key_col),
         F.col(ts_col),
         *[F.col(c) for c in order_cols],
         F.lit(0).alias("_side"),
-        F.col(right_value).alias("_rv"),
-        F.col(ts_col).alias("_rts"),
+        r_struct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols],
     )
+    rv_t = right.schema[right_value].dataType.simpleString()
+    rts_t = right.schema[ts_col].dataType.simpleString()
+    null_struct = F.lit(None).cast(f"struct<_rv:{rv_t},_rts:{rts_t}>")
     tag_l = left.select(
         F.col(key_col),
         F.col(ts_col),
         *[F.col(c) for c in order_cols],
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_value].dataType).alias("_rv"),
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("_rts"),
+        null_struct.alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     w = (
@@ -156,13 +168,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = tag_r.unionByName(tag_l).select(
-        "*",
-        F.last("_rv", ignorenulls=True).over(w).alias("_m_rv"),
-        F.last("_rts", ignorenulls=True).over(w).alias("_m_rts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
-    out = u.where((F.col("_side") == 1) & F.col("_m_rv").isNotNull())
+    out = u.where((F.col("_side") == 1) & F.col("_m").isNotNull())
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        F.col("_m_rv").alias(f"{out_prefix}{right_value}"),
-        F.col("_m_rts").alias(f"{out_prefix}{ts_col}"),
+        F.col("_m._rv").alias(f"{out_prefix}{right_value}"),
+        F.col("_m._rts").alias(f"{out_prefix}{ts_col}"),
     )

@@ -79,3 +79,42 @@ def test_asof_join_semantics(spark):
     assert rows[100]["asof_value"] == 2.0
     assert rows[100]["asof_ts"] == T(2024, 1, 1, 10, 0)
     assert rows[101]["asof_value"] == 4.0  # ties on ts: right sorts first
+
+
+def test_asof_join_null_value_and_null_keys(spark):
+    from datetime import datetime
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    from sassy_spark.operators.events import asof_join
+
+    T = datetime
+    schema_r = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    right = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 9, 0), 1.0),
+            (2, 10, T(2024, 1, 1, 10, 0), None),   # most recent, NULL value
+            (3, None, T(2024, 1, 1, 10, 0), 5.0),  # NULL key: never matches
+        ],
+        schema_r,
+    )
+    schema_l = StructType(schema_r.fields[:3])
+    left = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1, 11, 0)),
+            (101, None, T(2024, 1, 1, 11, 0)),     # NULL key: dropped
+        ],
+        schema_l,
+    )
+    rows = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert set(rows) == {100}
+    # the matched ROW is the 10:00 one: NULL value travels with ITS ts —
+    # value and ts must never come from different right rows
+    assert rows[100]["asof_value"] is None
+    assert rows[100]["asof_ts"] == T(2024, 1, 1, 10, 0)

@@ -156,7 +156,7 @@ if _HAVE_HYP:
     @given(st.lists(st.tuples(_byte_text, _byte_text), min_size=1, max_size=40))
     @settings(max_examples=60, deadline=None)
     def test_jw_matches_duckdb_hypothesis(pairs):
-        import duckdb
+        duckdb = pytest.importorskip("duckdb")
 
         con = duckdb.connect()
         con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
@@ -177,7 +177,7 @@ if _HAVE_HYP:
     @given(st.lists(st.tuples(_byte_text, _byte_text), min_size=1, max_size=40))
     @settings(max_examples=60, deadline=None)
     def test_damerau_matches_duckdb_hypothesis(pairs):
-        import duckdb
+        duckdb = pytest.importorskip("duckdb")
 
         from sassy_spark.kernel.damerau import damerau_levenshtein_batch
 
@@ -214,10 +214,22 @@ def test_operator_end_to_end(spark):
         (r["url_a"], r["url_b"]): r["jw"]
         for r in jaro_winkler_pairs(pairs, fields).collect()
     }
-    import duckdb
+    duckdb = pytest.importorskip("duckdb")
 
     exp = duckdb.connect().execute(
         "SELECT jaro_winkler_similarity('martha stewart', 'marhta stewart')"
     ).fetchone()[0]
     assert rows[("u1", "u2")] == pytest.approx(exp, abs=1e-12)
     assert rows[("u1", "u3")] == 0.0  # null field -> empty -> 0
+
+
+def test_missing_field_rows_kept_as_empty(spark):
+    from sassy_spark.operators.strsim import damerau_pairs, jaro_winkler_pairs
+
+    fields = spark.createDataFrame([("u1", "acme")], ["url", "field"])
+    pairs = spark.createDataFrame([("u1", "u9")], ["url_a", "url_b"])
+    # u9 absent from fields entirely: the pair is KEPT, scoring vs ""
+    (jw_row,) = jaro_winkler_pairs(pairs, fields).collect()
+    assert jw_row["jw"] == 0.0
+    (dl_row,) = damerau_pairs(pairs, fields).collect()
+    assert dl_row["dl"] == len("acme")
