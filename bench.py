@@ -107,7 +107,10 @@ def _guard(out: dict, phase: str, fn) -> None:
     try:
         fn()
     except BaseException as exc:  # noqa: BLE001 — includes TimeoutExpired
-        if isinstance(exc, KeyboardInterrupt):
+        if isinstance(exc, (KeyboardInterrupt, SystemExit)):
+            # SIGTERM raises SystemExit via _die_printably: stop the run
+            # NOW (the supervisor will escalate to SIGKILL) — main()
+            # records the truncation and still prints the JSON
             raise
         out.setdefault("errors", {})[phase] = (
             f"{type(exc).__name__}: {exc}"[:500]
@@ -321,7 +324,18 @@ def _run(out: dict) -> None:
         _guard(out, "spark_scaling", phase_spark_scaling)
 
 
+def _die_printably(signum, frame):  # noqa: ARG001 — signal signature
+    """SIGTERM -> SystemExit so main()'s finally still emits the JSON
+    accumulated so far. A supervisor that soft-kills a long run (e.g.
+    during the scaling phases) then still gets every completed block;
+    only SIGKILL can lose the record."""
+    raise SystemExit(143)
+
+
 def main() -> None:
+    import signal
+
+    signal.signal(signal.SIGTERM, _die_printably)
     t_bench = time.time()
     out: dict = {
         "metric": "headline queries + ER candidate scoring (total wall sec)",
@@ -333,6 +347,12 @@ def main() -> None:
     }
     try:
         _guard(out, "bench", lambda: _run(out))
+    except SystemExit:
+        # SIGTERM mid-run: record the truncation and exit 0 with every
+        # block completed so far (the record is valid, just partial)
+        out.setdefault("errors", {})["terminated"] = (
+            "SIGTERM mid-run; completed blocks emitted"
+        )
     finally:
         out["bench_wall_sec"] = round(time.time() - t_bench, 1)
         print(json.dumps(out), flush=True)

@@ -66,3 +66,41 @@ def test_bench_json_survives_phase_failure_and_scaling_overrun():
         assert ref["file"].startswith("BENCH/spark_scaling_")
         assert ref["samples"], ref
         assert "NOT a live measurement" in ref["note"]
+
+
+def test_bench_json_survives_sigterm():
+    """A supervisor soft-kill (SIGTERM) mid-run must still yield one
+    parseable JSON line and rc=0 — completed blocks survive, the
+    truncation is recorded under errors.terminated."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": "8",
+            "SASSY_BENCH_PAGES": "200",
+            "SASSY_BENCH_WARMUP": "0",
+            "SASSY_BENCH_F1": "0",
+            "SASSY_BENCH_ORACLE_SUITE": "0",
+            "SASSY_BENCH_SCALING": "0",
+            "SASSY_BENCH_SPARK_SCALING": "0",
+        }
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    time.sleep(20)  # inside the queries phase (JVM up, work running)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, f"rc={proc.returncode}"
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, out
+    rec = json.loads(lines[0])
+    assert rec["errors"]["terminated"].startswith("SIGTERM")
+    assert "bench_wall_sec" in rec
