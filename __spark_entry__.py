@@ -1856,6 +1856,48 @@ def _q68_cross_table_linkage(spark, sf):
     )
 
 
+def _q69_streaming_asof_enrich(spark, sf):
+    """Streaming as-of enrichment (streaming face of q66), batch-
+    equivalence oracle: the events table streams in as 4 snapshot
+    directories split by event_id % 4 — so purchases routinely arrive
+    BEFORE the views that best match them, exercising the operator's
+    re-emission path — and the converged answer (max_by(asof_ts) per
+    purchase) must equal the batch/SQL ASOF JOIN exactly. Same oracle
+    SQL as q66."""
+    import tempfile
+
+    from sassy_spark.streaming.ingest import streaming_asof_enrich
+
+    e = _load(spark, sf, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    src_dir = tempfile.mkdtemp(prefix="sassy_asof_src_")
+    for i in range(4):
+        e.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/snap{i}")
+    out_dir = tempfile.mkdtemp(prefix="sassy_asof_out_")
+    ck_dir = tempfile.mkdtemp(prefix="sassy_asof_ck_")
+    q = streaming_asof_enrich(
+        spark, src_dir, f"{out_dir}/enriched", ck_dir, max_state=1_000_000
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{out_dir}/enriched")
+    final = got.groupBy("event_id").agg(
+        F.max_by(
+            F.struct("user_id", "ts_us", "asof_value", "asof_ts_us"),
+            F.col("asof_ts_us"),
+        ).alias("m")
+    )
+    return final.select(
+        "event_id",
+        F.col("m.user_id").alias("user_id"),
+        F.timestamp_micros(F.col("m.ts_us")).alias("ts"),
+        F.col("m.asof_value").alias("asof_value"),
+        F.timestamp_micros(F.col("m.asof_ts_us")).alias("asof_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1926,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_asof_join": _q66_asof_join,
         "q67_label_propagation": _q67_label_propagation,
         "q68_cross_table_linkage": _q68_cross_table_linkage,
+        "q69_streaming_asof_enrich": _q69_streaming_asof_enrich,
     }
 
 
@@ -3252,5 +3295,15 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY jw_micros DESC, s_suppkey) AS rk
                   FROM scored)
             WHERE rk = 1
+        """,
+        "q69_streaming_asof_enrich": """
+            -- same ASOF oracle as q66: the streamed, re-emitting
+            -- operator must converge to the batch/SQL answer
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.value AS asof_value, r.ts AS asof_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
     }

@@ -177,3 +177,131 @@ def streaming_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_asof_enrich(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    max_state: int = 128,
+):
+    """Streaming as-of enrichment — the streaming face of
+    ``operators.events.asof_join``, ARRIVAL-ORDER ROBUST: each left-type
+    event (purchase) is enriched with the most recent right-type event
+    (view) at or before it for the same user, converging to exactly the
+    batch as-of answer no matter how the micro-batches interleave.
+
+    Mechanism (``applyInPandasWithState`` per user): state keeps the
+    views and the open purchases (with each purchase's best match ts so
+    far). A purchase emits its best-so-far answer on arrival; a LATER
+    view that improves an open purchase's answer re-emits it. Downstream
+    takes max_by(asof_ts) per purchase — the improvement filter makes
+    emissions monotone, so the last emission IS the batch answer.
+    Per-user state is capped at ``max_state`` rows per side (the skew
+    rule every stateful operator here follows); outputs carry event-time
+    as epoch micros (converted back with timestamp_micros downstream) so
+    state stays primitive arrays.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .where(F.col("event_type").isin(left_type, right_type))
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("event_type") == left_type).alias("is_left"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+    cols = ["event_id", "user_id", "ts_us", "asof_value", "asof_ts_us"]
+
+    def enrich(key, pdfs, state: GroupState):
+        if state.exists:
+            v_ts, v_val, p_id, p_ts, p_best = (
+                list(state.get[0]), list(state.get[1]),
+                list(state.get[2]), list(state.get[3]), list(state.get[4]),
+            )
+        else:
+            v_ts, v_val, p_id, p_ts, p_best = [], [], [], [], []
+        out = []
+
+        def best_view(ts):
+            bi = -1
+            for i, vt in enumerate(v_ts):
+                if vt <= ts and (bi < 0 or vt > v_ts[bi]):
+                    bi = i
+            return bi
+
+        for pdf in pdfs:
+            # views of this batch first: same-batch views are visible to
+            # same-batch purchases (batch as-of semantics)
+            for r in pdf[~pdf["is_left"]].itertuples():
+                if len(v_ts) >= max_state:
+                    break
+                v_ts.append(int(r.ts_us))
+                v_val.append(float(r.value) if pd.notna(r.value) else None)
+                # a later-arriving view may improve an OPEN purchase
+                for j in range(len(p_id)):
+                    if p_ts[j] >= r.ts_us and r.ts_us > p_best[j]:
+                        p_best[j] = int(r.ts_us)
+                        out.append(
+                            (p_id[j], key[0], p_ts[j], v_val[-1], int(r.ts_us))
+                        )
+            for r in pdf[pdf["is_left"]].itertuples():
+                if len(p_id) >= max_state:
+                    break
+                bi = best_view(int(r.ts_us))
+                p_id.append(int(r.event_id))
+                p_ts.append(int(r.ts_us))
+                p_best.append(v_ts[bi] if bi >= 0 else -1)
+                if bi >= 0:
+                    out.append(
+                        (int(r.event_id), key[0], int(r.ts_us),
+                         v_val[bi], v_ts[bi])
+                    )
+        state.update((v_ts, v_val, p_id, p_ts, p_best))
+        yield pd.DataFrame(out, columns=cols)
+
+    enriched = src.groupBy("user_id").applyInPandasWithState(
+        enrich,
+        outputStructType=(
+            "event_id long, user_id long, ts_us long, "
+            "asof_value double, asof_ts_us long"
+        ),
+        stateStructType=(
+            "v_ts array<long>, v_val array<double>, p_id array<long>, "
+            "p_ts array<long>, p_best array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

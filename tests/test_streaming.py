@@ -120,3 +120,51 @@ def test_streaming_candidate_pairs_stateful_incremental(spark, tmp_path):
 
     c = Counter((r.url_a, r.url_b) for r in all_rows)
     assert c[("u1", "u2")] <= c[("u1", "u3")] + c[("u2", "u3")]
+
+
+def test_streaming_asof_enrich_order_adversarial(spark, tmp_path):
+    """ALL purchases arrive in snapshot 0, ALL views in snapshot 1 —
+    every answer must come from the re-emission path and still converge
+    to the batch as-of result."""
+    from datetime import datetime
+
+    T = datetime
+    purchases = [
+        (100, T(2024, 1, 1, 11, 0), 10, "purchase", 0.0),
+        (101, T(2024, 1, 1, 12, 0), 10, "purchase", 0.0),
+        (102, T(2024, 1, 1, 8, 0), 10, "purchase", 0.0),  # before any view
+    ]
+    views = [
+        (1, T(2024, 1, 1, 9, 0), 10, "view", 1.0),
+        (2, T(2024, 1, 1, 10, 0), 10, "view", 2.0),
+        (3, T(2024, 1, 1, 11, 30), 10, "view", 3.0),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    spark.createDataFrame(purchases, cols).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "snap0")
+    )
+    spark.createDataFrame(views, cols).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "snap1")
+    )
+    q = ingest.streaming_asof_enrich(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    final = {
+        r["event_id"]: r
+        for r in got.groupBy("event_id")
+        .agg(
+            F.max_by(
+                F.struct("asof_value", "asof_ts_us"), F.col("asof_ts_us")
+            ).alias("m")
+        )
+        .select("event_id", "m.asof_value", "m.asof_ts_us")
+        .collect()
+    }
+    assert set(final) == {100, 101}          # 102 precedes every view
+    assert final[100]["asof_value"] == 2.0   # 10:00 view
+    assert final[101]["asof_value"] == 3.0   # 11:30 view
