@@ -1898,6 +1898,51 @@ def _q69_streaming_asof_enrich(spark, sf):
     )
 
 
+def _q70_incremental_cc(spark, sf):
+    """Incremental entity resolution: cluster the OLD half of the edge
+    graph first (its labels become star edges vertex->cluster_id), then
+    merge the NEW half by running CC over (star edges UNION new edges) —
+    the production pattern for folding tonight's crawl into existing
+    entities without re-reading the historical pair set. Equality with
+    the from-scratch clustering is the correctness claim, so the oracle
+    is q22's full-graph runs CTE."""
+    from sassy_spark.operators import linkage
+    from sassy_spark.operators.cluster import connected_components
+
+    d = _load(spark, sf, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
+    )
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.lpad(F.col("a.doc_id").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("b.doc_id").cast("string"), 8, "0").alias("url_b"),
+    )
+    scored = linkage.score_pairs(adj, pages, k=220)
+    edges = scored.where("is_match").select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    # old batch = first half of the id space, new batch = the rest
+    # (median by construction: doc_ids are dense 0..N-1)
+    n_docs = d.count()
+    cut = F.lit(n_docs // 2)
+    old_e = edges.where(F.col("src").cast("long") < cut)
+    new_e = edges.where(F.col("src").cast("long") >= cut)
+    cc_old = connected_components(old_e)  # url, cluster_id
+    star = cc_old.select(
+        F.col("url").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    cc2 = connected_components(star.unionByName(new_e))
+    all_docs = pages.select("url").join(cc2, "url", "left")
+    return all_docs.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("url")).cast("long").alias(
+            "cluster_id"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -1969,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_label_propagation": _q67_label_propagation,
         "q68_cross_table_linkage": _q68_cross_table_linkage,
         "q69_streaming_asof_enrich": _q69_streaming_asof_enrich,
+        "q70_incremental_cc": _q70_incremental_cc,
     }
 
 
@@ -3305,5 +3351,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN
                  (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "q70_incremental_cc": """
+            -- incremental (old-then-merge) clustering must equal the
+            -- from-scratch answer: q22's full-graph runs CTE verbatim
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id)
+            SELECT doc_id,
+                   max(run_start) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cluster_id
+            FROM marks
         """,
     }
