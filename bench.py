@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "q22_connected_components",
     "q29_nonascii_search",
     "q31_search_end_filter",
+    # round-5 ER additions: JW kernel scoring, distributed as-of join,
+    # cross-table linkage — new lines, the rows above keep their
+    # cross-round comparability
+    "q60_jaro_winkler_adjacent",
+    "q66_asof_join",
+    "q68_cross_table_linkage",
 ]
 
 
