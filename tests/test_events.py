@@ -118,3 +118,27 @@ def test_asof_join_null_value_and_null_keys(spark):
     # value and ts must never come from different right rows
     assert rows[100]["asof_value"] is None
     assert rows[100]["asof_ts"] == T(2024, 1, 1, 10, 0)
+
+
+def test_asof_join_preserves_carried_left_columns(spark):
+    from datetime import datetime
+
+    from sassy_spark.operators.events import asof_join
+
+    T = datetime
+    right = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1, 9, 0), 7.5)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    left = spark.createDataFrame(
+        [(100, 10, T(2024, 1, 1, 11, 0), "checkout", 42)],
+        ["event_id", "user_id", "ts", "page", "cart_size"],
+    )
+    (row,) = asof_join(left, right).collect()
+    # every left column survives, plus the two asof_ outputs
+    assert row["page"] == "checkout" and row["cart_size"] == 42
+    assert row["asof_value"] == 7.5
+    assert set(asof_join(left, right).columns) == {
+        "event_id", "user_id", "ts", "page", "cart_size",
+        "asof_value", "asof_ts",
+    }

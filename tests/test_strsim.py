@@ -233,3 +233,16 @@ def test_missing_field_rows_kept_as_empty(spark):
     assert jw_row["jw"] == 0.0
     (dl_row,) = damerau_pairs(pairs, fields).collect()
     assert dl_row["dl"] == len("acme")
+
+
+def test_operator_non_ascii_matches_kernel(spark):
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    # byte-level semantics must survive the Spark/Arrow string path:
+    # café vs cafe is the DuckDB-pinned 0.8483... (5 UTF-8 bytes vs 4)
+    fields = spark.createDataFrame(
+        [("u1", "café"), ("u2", "cafe")], ["url", "field"]
+    )
+    pairs = spark.createDataFrame([("u1", "u2")], ["url_a", "url_b"])
+    (row,) = jaro_winkler_pairs(pairs, fields).collect()
+    assert row["jw"] == pytest.approx(0.8483333333333334, abs=1e-12)
