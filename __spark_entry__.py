@@ -1943,6 +1943,83 @@ def _q70_incremental_cc(spark, sf):
     )
 
 
+def _q71_phonetic_blocking(spark, sf):
+    """Phonetic blocking keys (operators/blocking.phonetic_key): a
+    Soundex-family code over each document's first token — pure
+    Catalyst translate+regexp chain, no UDF. The spec is deterministic
+    and mirrored 1:1 by the DuckDB oracle (same translate map, same
+    run-collapse replaces, 'g' flags on the DuckDB side because its
+    regexp_replace is first-match by default)."""
+    from sassy_spark.operators.blocking import phonetic_key
+
+    d = _load(spark, sf, "documents")
+    name = F.split(F.col("text"), " ").getItem(0)
+    return d.select(
+        "doc_id",
+        name.alias("name"),
+        phonetic_key(name).alias("pkey"),
+    )
+
+
+def _q72_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): global rank by
+    (16-char text prefix, doc_id) computed scale-safely (range
+    repartition + per-partition row_number + broadcast offsets — never
+    a single-partition global window), then each record pairs with its
+    4 successors via a bounded explode + integer equi-join. Oracle:
+    DuckDB row_number over the same total order."""
+    from sassy_spark.operators.blocking import sorted_neighborhood_pairs
+
+    d = _load(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("snkey")
+    )
+    return sorted_neighborhood_pairs(
+        d, ["snkey"], id_col="doc_id", window=4
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "gap",
+    )
+
+
+def _q73_meta_blocking(spark, sf):
+    """Meta-blocking with Common-Blocks-Scheme pruning (Papadakis):
+    three cheap blocking schemes over documents (source, lang, 100-char
+    length bucket) feed a many-to-many (doc, block) table; candidate
+    pairs are kept only when they agree on >= 2 schemes. The
+    within-block self-join is capped at max_block_size before
+    expansion (skew stop-key), and the pair weight is a plain
+    count — all JVM-side."""
+    from sassy_spark.operators.blocking import cbs_pairs
+
+    d = _load(spark, sf, "documents")
+    blocks = (
+        d.select(
+            "doc_id", F.concat(F.lit("src:"), F.col("source")).alias("block")
+        )
+        .unionByName(
+            d.select(
+                "doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("block")
+            )
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.lit("len:"), F.floor(F.col("n_chars") / 100).cast("string")
+                ).alias("block"),
+            )
+        )
+    )
+    return cbs_pairs(
+        blocks, id_col="doc_id", block_col="block", min_common=2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cbs",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2015,6 +2092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_cross_table_linkage": _q68_cross_table_linkage,
         "q69_streaming_asof_enrich": _q69_streaming_asof_enrich,
         "q70_incremental_cc": _q70_incremental_cc,
+        "q71_phonetic_blocking": _q71_phonetic_blocking,
+        "q72_sorted_neighborhood": _q72_sorted_neighborhood,
+        "q73_meta_blocking": _q73_meta_blocking,
     }
 
 
@@ -3368,5 +3448,71 @@ def oracle_sql() -> dict[str, str]:
                    max(run_start) OVER (ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING) AS cluster_id
             FROM marks
+        """,
+        "q71_phonetic_blocking": """
+            -- the identical phonetic spec as operators/blocking.py::
+            -- phonetic_key, expressed in DuckDB's dialect ('g' flags:
+            -- DuckDB regexp_replace is first-match by default, Spark's
+            -- is global)
+            WITH s AS (
+              SELECT doc_id, split_part(text, ' ', 1) AS name,
+                     regexp_replace(upper(split_part(text, ' ', 1)),
+                                    '[^A-Z]', '', 'g') AS letters
+              FROM documents),
+            m AS (
+              SELECT doc_id, name, letters,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         translate(substr(letters, 2),
+                                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   '01230120022455012623010202'),
+                         '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+                         '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+                         '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+                       AS digits_raw
+              FROM s)
+            SELECT doc_id, name,
+                   CASE WHEN letters = '' THEN '0000'
+                        ELSE rpad(substr(substr(letters, 1, 1)
+                                         || replace(digits_raw, '0', ''),
+                                         1, 4), 4, '0')
+                   END AS pkey
+            FROM m
+        """,
+        "q72_sorted_neighborhood": """
+            -- global total order (snkey, doc_id) via row_number, pairs
+            -- within rank window 4 — the single-node closed form of the
+            -- distributed range-repartition + offset rank
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY substr(text, 1, 16),
+                                        doc_id) AS rn
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        """,
+        "q73_meta_blocking": """
+            -- CBS meta-blocking: three schemes, pairs kept when they
+            -- share >= 2 blocks; blocks over the 4096 cap dropped
+            -- before expansion (none at this sf, semantics mirrored)
+            WITH blocks AS (
+              SELECT doc_id, 'src:' || source AS block FROM documents
+              UNION ALL
+              SELECT doc_id, 'lang:' || lang FROM documents
+              UNION ALL
+              SELECT doc_id, 'len:' || CAST(CAST(floor(n_chars / 100)
+                  AS BIGINT) AS VARCHAR) FROM documents),
+            db AS (SELECT DISTINCT doc_id, block FROM blocks),
+            keep AS (SELECT block FROM db
+                     GROUP BY block HAVING count(*) <= 4096),
+            f AS (SELECT db.doc_id, db.block
+                  FROM db JOIN keep USING (block))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS cbs
+            FROM f a JOIN f b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
     }

@@ -1,0 +1,209 @@
+"""Classic record-linkage blocking strategies beyond host/MinHash-LSH.
+
+Three textbook blocking families that complement `linkage.blocking_keys`
+(URL-host + MinHash bands) for the stage-1 candidate generation of an
+entity-resolution pipeline:
+
+- **phonetic blocking** (`phonetic_key`): a Soundex-family code over a
+  short name-like field, as a pure Catalyst column expression — records
+  whose names sound alike land in the same block even when spelled
+  differently. The exact algorithm is specified below so the DuckDB
+  oracle can express the identical regexp/translate chain.
+- **sorted-neighborhood** (Hernandez & Stolfo, SIGMOD '95)
+  (`global_rank` + `sorted_neighborhood_pairs`): sort the corpus by a
+  fuzzy key and pair every record with its `window` successors in the
+  global order. The global rank is computed scale-safely (range
+  repartition + per-partition row_number + cumulative offsets — never a
+  single-partition global window), and the windowed self-join is an
+  equi-join on integer rank after a bounded `explode` fan-out.
+- **meta-blocking / CBS pruning** (Papadakis et al., TKDE '14)
+  (`cbs_pairs`): given a many-to-many (record, block) table from any
+  mix of blocking schemes, weight each candidate pair by the number of
+  blocks it co-occurs in (Common Blocks Scheme) and keep only pairs
+  above a threshold — the standard way to prune the candidate explosion
+  of cheap blocking keys before the expensive pairwise scorer runs.
+
+Scale notes (100 TB audit):
+- `phonetic_key` is pure JVM-side Catalyst (translate + regexp chain),
+  no UDF, no shuffle of its own;
+- `global_rank`'s only driver-side collect is one row per partition
+  (bounded by the partition count, never by data size);
+- `sorted_neighborhood_pairs` shuffles (rank, id) integer pairs only —
+  the fan-out is exactly `window` rows per record, and the join is an
+  integer equi-join that AQE can freely re-plan;
+- `cbs_pairs` caps every block at `max_block_size` BEFORE the
+  within-block self-join (skipped mega-blocks are the caller's signal
+  to refine that scheme), so the pair expansion per block is bounded by
+  max_block_size**2 regardless of key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Soundex-style consonant classes for A..Z (vowels + H/W/Y -> 0):
+# B F P V -> 1, C G J K Q S X Z -> 2, D T -> 3, L -> 4, M N -> 5, R -> 6
+_PHONETIC_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_PHONETIC_TO = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column) -> Column:
+    """Soundex-family phonetic blocking key, pure Catalyst.
+
+    Exact spec (deterministic, mirrored 1:1 by the DuckDB oracle in
+    `__spark_entry__.oracle_sql()['q71_phonetic_blocking']`):
+
+    1. uppercase, strip every character outside A-Z;
+    2. key head = first remaining letter;
+    3. map the REST through the Soundex consonant classes
+       (``_PHONETIC_FROM`` -> ``_PHONETIC_TO``);
+    4. collapse runs of the same non-zero digit to one digit
+       (adjacent-equal collapse only — unlike classic Soundex this spec
+       does NOT merge across H/W separators, and does NOT drop a first
+       digit equal to the head letter's class);
+    5. drop the zeros (vowels/H/W/Y);
+    6. head + digits, truncated/right-padded with '0' to 4 chars.
+       An input with no A-Z letters at all keys to '0000'.
+    """
+    s = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    digits = F.translate(F.substring(s, 2, 1 << 30), _PHONETIC_FROM, _PHONETIC_TO)
+    for d in "123456":
+        digits = F.regexp_replace(digits, d + "{2,}", d)
+    digits = F.regexp_replace(digits, "0", "")
+    key = F.rpad(
+        F.substring(F.concat(F.substring(s, 1, 1), digits), 1, 4), 4, "0"
+    )
+    return F.when(s == F.lit(""), F.lit("0000")).otherwise(key)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global rank by ``order_cols``, scale-safe.
+
+    `row_number().over(Window.orderBy(...))` with no partitionBy pulls
+    the whole frame through ONE partition — the classic driver-shaped
+    bottleneck. This does it the distributed way:
+
+    1. `repartitionByRange(order_cols)` — contiguous, ordered ranges
+       (partition i's keys all sort <= partition i+1's);
+    2. per-partition `row_number` (window partitioned by the physical
+       partition id — parallel, no global shuffle);
+    3. per-partition counts -> cumulative offsets, collected to the
+       driver (one row PER PARTITION, bounded by the partition count)
+       and joined back as a broadcast.
+
+    ``order_cols`` must be a total order (append a unique id as the
+    last column) or ranks of tied rows are partition-placement
+    dependent.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    d = d.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    d = d.withColumn("_rn", F.row_number().over(w)).persist()
+    # one row per physical partition — driver-bounded by design
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    if not offsets:  # empty input: rank column exists, zero rows
+        d.unpersist()
+        return df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+    off = spark.createDataFrame(offsets, ["_pid", "_off"])
+    out = (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    d.unpersist()
+    return out
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: every record pairs with its
+    `window` successors in the global (key_cols, id_col) order.
+
+    Returns (id_a, id_b, gap) where gap in [1, window] is the rank
+    distance. The id tie-break makes the order total, so the pair set
+    is deterministic. The windowed self-join is expressed as a bounded
+    explode (each record emits `window` integer probe ranks) followed
+    by an integer equi-join — one shuffle of (rank, id) pairs, no range
+    join, no single-partition window.
+    """
+    ranked = global_rank(
+        df.select(id_col, *key_cols),
+        [*key_cols, id_col],
+        num_partitions=num_partitions,
+    ).select(id_col, "rank")
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window)
+        ).alias("rank"),
+    )
+    return (
+        probes.join(
+            ranked.select(F.col(id_col).alias("id_b"), "rank"), "rank"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rank") - F.col("rank_a")).cast("long").alias("gap"),
+        )
+    )
+
+
+def cbs_pairs(
+    doc_blocks: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+    min_common: int = 2,
+    max_block_size: int = 4096,
+) -> DataFrame:
+    """Meta-blocking with Common-Blocks-Scheme weighting.
+
+    ``doc_blocks``: many-to-many (id, block) rows from any mix of
+    blocking schemes (phonetic keys, hosts, LSH bands, length buckets).
+    Emits (id_a, id_b, cbs) with id_a < id_b and cbs = number of
+    distinct blocks the pair shares, keeping only cbs >= min_common —
+    the agreement-across-schemes prune that cuts cheap-key false
+    candidates before pairwise scoring.
+
+    Blocks larger than ``max_block_size`` are dropped BEFORE the
+    self-join (a stop-key, same rationale as candidate_pairs'
+    max_block_size): a mega-block is a degenerate key whose pairs
+    would dominate the shuffle without adding discriminative weight.
+    """
+    db = doc_blocks.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")
+    ).dropDuplicates(["_id", "_blk"])
+    sizes = db.groupBy("_blk").agg(F.count("*").alias("_bs"))
+    db = db.join(
+        sizes.where(F.col("_bs") <= max_block_size).select("_blk"), "_blk"
+    )
+    a = db.select(F.col("_blk"), F.col("_id").alias("id_a"))
+    b = db.select(F.col("_blk"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cbs"))
+        .where(F.col("cbs") >= min_common)
+    )

@@ -1,0 +1,142 @@
+"""Unit tests for operators/blocking.py: phonetic keys, distributed
+sorted-neighborhood, and CBS meta-blocking — each pinned against a
+brute-force Python oracle on small in-memory frames."""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sassy_spark.operators.blocking import (
+    cbs_pairs,
+    global_rank,
+    phonetic_key,
+    sorted_neighborhood_pairs,
+)
+
+
+def _phonetic_oracle(name: str) -> str:
+    """Straight-line Python of the documented spec."""
+    letters = "".join(c for c in name.upper() if "A" <= c <= "Z")
+    if not letters:
+        return "0000"
+    mapping = dict(zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"))
+    digits = "".join(mapping[c] for c in letters[1:])
+    out = []
+    for ch in digits:
+        if out and out[-1] == ch and ch != "0":
+            continue
+        out.append(ch)
+    collapsed = "".join(out).replace("0", "")
+    return (letters[0] + collapsed)[:4].ljust(4, "0")
+
+
+def test_phonetic_key_matches_python_oracle(spark):
+    names = [
+        "Robert", "Rupert", "robert!", "Ashcraft", "Ashcroft", "Tymczak",
+        "Pfister", "Honeyman", "a", "", "1234", "Lukasiewicz", "MULLER",
+        "mueller", "o'brien", "O Brien", "smith", "SMYTHE", "  spaced ",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        r["name"]: r["pkey"]
+        for r in df.select("name", phonetic_key(F.col("name")).alias("pkey")).collect()
+    }
+    for n in names:
+        assert got[n] == _phonetic_oracle(n), n
+
+
+def test_phonetic_key_blocks_similar_names(spark):
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Smith",), ("Smythe",), ("Lopez",)],
+        ["name"],
+    )
+    keys = dict(
+        (r["name"], r["pkey"])
+        for r in df.select("name", phonetic_key(F.col("name")).alias("pkey")).collect()
+    )
+    assert keys["Robert"] == keys["Rupert"]
+    assert keys["Smith"] == keys["Smythe"]
+    assert keys["Lopez"] != keys["Smith"]
+
+
+def test_global_rank_is_dense_and_ordered(spark):
+    rows = [(i, f"k{(i * 7) % 23:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    ranked = global_rank(df, ["key", "id"], num_partitions=7).collect()
+    assert sorted(r["rank"] for r in ranked) == list(range(1, 201))
+    by_rank = sorted(ranked, key=lambda r: r["rank"])
+    assert [
+        (r["key"], r["id"]) for r in by_rank
+    ] == sorted((r["key"], r["id"]) for r in by_rank)
+
+
+def test_global_rank_empty_input(spark):
+    df = spark.createDataFrame([], "id long, key string")
+    out = global_rank(df, ["key", "id"])
+    assert out.count() == 0
+    assert "rank" in out.columns
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    rows = [(i, f"w{(i * 13) % 17:02d}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    w = 3
+    got = {
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            df, ["key"], id_col="id", window=w, num_partitions=5
+        ).collect()
+    }
+    order = [i for _, i in sorted((k, i) for i, k in rows)]
+    want = {
+        (order[i], order[i + g], g)
+        for i in range(len(order))
+        for g in range(1, w + 1)
+        if i + g < len(order)
+    }
+    assert got == want
+
+
+def test_cbs_pairs_matches_bruteforce(spark):
+    # 8 docs x 3 schemes with planted agreements
+    rows = []
+    blocks_of = {}
+    for i in range(8):
+        bl = [f"s{i % 3}", f"l{i % 2}", f"n{i % 4}"]
+        blocks_of[i] = set(bl)
+        rows += [(i, b) for b in bl]
+    df = spark.createDataFrame(rows, ["id", "block"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cbs"]
+        for r in cbs_pairs(df, min_common=2).collect()
+    }
+    want = {}
+    for a, b in combinations(range(8), 2):
+        n = len(blocks_of[a] & blocks_of[b])
+        if n >= 2:
+            want[(a, b)] = n
+    assert got == want
+
+
+def test_cbs_pairs_drops_mega_blocks(spark):
+    # one block holds everyone (over the cap) -> contributes nothing
+    rows = [(i, "mega") for i in range(10)] + [
+        (0, "tiny"), (1, "tiny"), (0, "tiny2"), (1, "tiny2"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "block"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cbs"]
+        for r in cbs_pairs(df, min_common=2, max_block_size=5).collect()
+    }
+    assert got == {(0, 1): 2}
+
+
+def test_cbs_pairs_duplicate_rows_do_not_inflate(spark):
+    rows = [(0, "b1"), (0, "b1"), (1, "b1"), (0, "b2"), (1, "b2")]
+    df = spark.createDataFrame(rows, ["id", "block"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cbs"]
+        for r in cbs_pairs(df, min_common=2).collect()
+    }
+    assert got == {(0, 1): 2}
