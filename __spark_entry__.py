@@ -2020,6 +2020,36 @@ def _q73_meta_blocking(spark, sf):
     )
 
 
+def _q74_monge_elkan_adjacent(spark, sf):
+    """Quantized Monge-Elkan hybrid token similarity on a short field of
+    adjacent doc pairs — the classic tokenized ER scorer (mean over left
+    tokens of best-match Jaro-Winkler in the right field), completing
+    the scorer family next to Myers edit distance (q13), JW (q60) and
+    Damerau (q63). The oracle recomputes it in DuckDB with list lambdas
+    over its builtin jaro_winkler_similarity; the quantization contract
+    (floor-micros per token BEFORE the integer-division mean) makes
+    every post-kernel step exact integer math on both engines."""
+    from sassy_spark.operators.strsim import monge_elkan_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    fields = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 128).alias("field"),
+    )
+    out = monge_elkan_pairs(pairs, fields)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("me_qmicros").alias("me_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2095,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_phonetic_blocking": _q71_phonetic_blocking,
         "q72_sorted_neighborhood": _q72_sorted_neighborhood,
         "q73_meta_blocking": _q73_meta_blocking,
+        "q74_monge_elkan": _q74_monge_elkan_adjacent,
     }
 
 
@@ -3514,5 +3545,31 @@ def oracle_sql() -> dict[str, str]:
               ON a.block = b.block AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "q74_monge_elkan": """
+            -- quantized Monge-Elkan via DuckDB's own builtin JW inside
+            -- list lambdas; per-token floor-micros BEFORE the integer
+            -- mean makes every post-kernel step exact on both engines
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(substr(text, 1, 128)), '[^a-z0-9]+'),
+                         x -> x <> '')[1:12] AS toks
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(CASE
+                     WHEN len(ta.toks) = 0 OR len(tb.toks) = 0 THEN 0
+                     ELSE list_sum(list_transform(ta.toks,
+                            x -> CAST(floor(1e6 * list_max(
+                                   list_transform(tb.toks,
+                                     y -> jaro_winkler_similarity(x, y))))
+                                 AS BIGINT)))
+                          // len(ta.toks)
+                   END AS BIGINT) AS me_qmicros
+            FROM documents a
+            JOIN documents b ON a.doc_id + 1 = b.doc_id
+            JOIN t ta ON ta.doc_id = a.doc_id
+            JOIN t tb ON tb.doc_id = b.doc_id
         """,
     }

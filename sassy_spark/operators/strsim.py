@@ -148,3 +148,115 @@ def damerau_pairs(
     return _score_pairs_on_field(
         pairs, fields, url, field_col, out_col, _dl_series, "long"
     )
+
+
+# Monge-Elkan caps: 12 tokens per side bounds the flattened token-pair
+# batch at 144 JW evaluations per row; chunking at _CHUNK_ROWS//4 rows
+# keeps each kernel call <= ~74k short-token pairs.
+_ME_MAX_TOKENS = 12
+_ME_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _me_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Quantized Monge-Elkan over two short-field Series.
+
+    Monge-Elkan (Monge & Elkan 1996) is the classic hybrid tokenized
+    similarity for multi-token identifying fields:
+
+        ME(A, B) = mean over tokens ta of A of  max over tb of B  JW(ta, tb)
+
+    Quantization contract (what makes this exactly oracle-able): each
+    per-token max-JW is floored to integer MICROS before the mean, and
+    the mean is integer floor-division by the token count —
+
+        me_qmicros = ( sum_i floor(1e6 * max_j JW(ta_i, tb_j)) ) // |A|
+
+    max over float64 is exact and the per-pair JW doubles are already
+    bit-pinned to DuckDB's builtin (tests/test_kernel_hypothesis.py), so
+    every arithmetic step after the kernel is exact integer math on both
+    engines — no float-summation-order hazard in the mean. Empty token
+    lists on either side score 0.
+    """
+    import re
+
+    import numpy as np
+
+    from sassy_spark.kernel.jaro import jaro_winkler_batch
+
+    tok = re.compile(_ME_TOKEN_RE)
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    step = max(_CHUNK_ROWS // 4, 1)
+
+    def toks(x):
+        if not isinstance(x, str):
+            return []
+        return tok.findall(x.lower())[:_ME_MAX_TOKENS]
+
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        ta = [toks(x) for x in av[lo:hi]]
+        tb = [toks(x) for x in bv[lo:hi]]
+        flat_a: list[bytes] = []
+        flat_b: list[bytes] = []
+        seg: list[int] = []  # flattened (row, token_i) segment id
+        seg_row: list[int] = []  # chunk-local row of each segment
+        nseg = 0
+        for r, (xs, ys) in enumerate(zip(ta, tb)):
+            if not xs or not ys:
+                continue
+            for x in xs:
+                xb = x.encode("ascii")
+                for y in ys:
+                    flat_a.append(xb)
+                    flat_b.append(y.encode("ascii"))
+                    seg.append(nseg)
+                seg_row.append(r)
+                nseg += 1
+        if nseg == 0:
+            continue
+        jw = jaro_winkler_batch(flat_a, flat_b)
+        tokmax = np.zeros(nseg, dtype=np.float64)
+        np.maximum.at(tokmax, np.asarray(seg, dtype=np.int64), jw)
+        tmic = np.floor(tokmax * 1e6).astype(np.int64)
+        row_sum = np.zeros(hi - lo, dtype=np.int64)
+        np.add.at(row_sum, np.asarray(seg_row, dtype=np.int64), tmic)
+        n_a = np.fromiter(
+            (len(xs) if xs and ys else 0 for xs, ys in zip(ta, tb)),
+            dtype=np.int64,
+            count=hi - lo,
+        )
+        scored = n_a > 0
+        res = np.zeros(hi - lo, dtype=np.int64)
+        res[scored] = row_sum[scored] // n_a[scored]
+        out[lo:hi] = res
+    return pd.Series(out)
+
+
+def monge_elkan_pairs(
+    pairs: DataFrame,
+    fields: DataFrame,
+    url: str = "url",
+    field_col: str = "field",
+    out_col: str = "me_qmicros",
+) -> DataFrame:
+    """Quantized Monge-Elkan hybrid similarity per candidate pair.
+
+    The third classic record-linkage scorer next to edit distance and
+    Jaro-Winkler: tokenize both short fields (lowercase ASCII runs of
+    ``[a-z0-9]+``, first 12 tokens), then average over the left field's
+    tokens the best Jaro-Winkler match in the right field. Asymmetric by
+    definition (scored left-to-right, like the original formulation).
+
+    Returns pairs with ``out_col`` (long, floor-micros in [0, 1e6])
+    appended — see ``_me_series`` for the exact quantization contract.
+    Same join shape and 100 TB scale properties as jaro_winkler_pairs:
+    the field-attach joins broadcast a narrow dimension, the UDF itself
+    is shuffle-free, and the token caps bound per-row kernel work at
+    144 JW evaluations regardless of input length.
+    """
+    return _score_pairs_on_field(
+        pairs, fields, url, field_col, out_col, _me_series, "long"
+    )

@@ -246,3 +246,82 @@ def test_operator_non_ascii_matches_kernel(spark):
     pairs = spark.createDataFrame([("u1", "u2")], ["url_a", "url_b"])
     (row,) = jaro_winkler_pairs(pairs, fields).collect()
     assert row["jw"] == pytest.approx(0.8483333333333334, abs=1e-12)
+
+
+def test_monge_elkan_series_closed_form():
+    import pandas as pd
+
+    from sassy_spark.operators.strsim import _me_series
+    from sassy_spark.kernel.jaro import jaro_winkler_batch
+
+    # hand-checked: ME("peter christen", "christian pedro") =
+    # mean(max JW(peter, {christian, pedro}), max JW(christen, ...))
+    a, b = "peter christen", "christian pedro"
+    jw = jaro_winkler_batch(
+        [b"peter", b"peter", b"christen", b"christen"],
+        [b"christian", b"pedro", b"christian", b"pedro"],
+    )
+    t1 = int(np.floor(1e6 * max(jw[0], jw[1])))
+    t2 = int(np.floor(1e6 * max(jw[2], jw[3])))
+    exp = (t1 + t2) // 2
+    got = _me_series(pd.Series([a]), pd.Series([b]))
+    assert got.tolist() == [exp]
+
+    # identical multi-token fields -> exactly 1.0 (1e6 micros)
+    got = _me_series(pd.Series(["acme corp ltd"]), pd.Series(["acme corp ltd"]))
+    assert got.tolist() == [1_000_000]
+
+    # asymmetry: left-token mean, so swapping sides can change the score
+    l = _me_series(pd.Series(["acme"]), pd.Series(["acme incorporated"]))
+    r = _me_series(pd.Series(["acme incorporated"]), pd.Series(["acme"]))
+    assert l.tolist() == [1_000_000]  # 'acme' finds its exact match
+    assert r.tolist()[0] < 1_000_000  # 'incorporated' has no good match
+
+    # empty / null / punctuation-only fields score 0
+    z = _me_series(
+        pd.Series(["", None, "!!!", "real text"]),
+        pd.Series(["x", "y", "z", ""]),
+    )
+    assert z.tolist() == [0, 0, 0, 0]
+
+
+def test_monge_elkan_operator_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+
+    from sassy_spark.operators.strsim import monge_elkan_pairs
+
+    rows = [
+        ("u1", "peter christen data matching"),
+        ("u2", "christian pedro entity resolution"),
+        ("u3", "acme corporation 42 ltd"),
+        ("u4", "ACME Corp. Ltd (42)"),
+    ]
+    fields = spark.createDataFrame(rows, ["url", "field"])
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u3", "u4"), ("u4", "u3")], ["url_a", "url_b"]
+    )
+    got = {
+        (r["url_a"], r["url_b"]): r["me_qmicros"]
+        for r in monge_elkan_pairs(pairs, fields).collect()
+    }
+    con = duckdb.connect()
+    by_url = dict(rows)
+    for (ua, ub), val in got.items():
+        exp = con.execute(
+            """
+            WITH t AS (SELECT
+              list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'),
+                          x -> x <> '')[1:12] AS ta,
+              list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'),
+                          x -> x <> '')[1:12] AS tb)
+            SELECT CAST(CASE
+              WHEN len(ta) = 0 OR len(tb) = 0 THEN 0
+              ELSE list_sum(list_transform(ta,
+                     x -> CAST(floor(1e6 * list_max(list_transform(tb,
+                            y -> jaro_winkler_similarity(x, y))))
+                          AS BIGINT))) // len(ta)
+            END AS BIGINT) FROM t
+            """,
+            [by_url[ua], by_url[ub]],
+        ).fetchone()[0]
+        assert val == exp, (ua, ub, val, exp)
