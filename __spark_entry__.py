@@ -2050,6 +2050,35 @@ def _q74_monge_elkan_adjacent(spark, sf):
     )
 
 
+def _q75_prefix_filter_blocking(spark, sf):
+    """PPJoin-style prefix-filter candidate generation for a Jaccard
+    set-similarity join over document token sets (first 256 chars):
+    each doc keeps only its rarest n - ceil(0.8n) + 1 tokens (global
+    ascending-df order), pairs must share a prefix token and pass the
+    min >= 0.8*max length filter. The completeness guarantee (every
+    pair with Jaccard >= 0.8 survives) is pinned by a brute-force
+    property test in tests/test_blocking.py; the oracle mirrors the
+    identical rarity order, prefix length, and length filter in SQL."""
+    from sassy_spark.operators.blocking import prefix_filter_pairs
+
+    d = _load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.substring("text", 1, 256)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    return prefix_filter_pairs(
+        toks, id_col="doc_id", token_col="token", threshold=0.8
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2126,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_sorted_neighborhood": _q72_sorted_neighborhood,
         "q73_meta_blocking": _q73_meta_blocking,
         "q74_monge_elkan": _q74_monge_elkan_adjacent,
+        "q75_prefix_filter_blocking": _q75_prefix_filter_blocking,
     }
 
 
@@ -3571,5 +3601,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents b ON a.doc_id + 1 = b.doc_id
             JOIN t ta ON ta.doc_id = a.doc_id
             JOIN t tb ON tb.doc_id = b.doc_id
+        """,
+        "q75_prefix_filter_blocking": """
+            -- PPJoin prefix filter: identical rarity order (ascending
+            -- document frequency, ties by token), prefix length
+            -- n - ceil(0.8n) + 1, length filter min >= 0.8*max
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(
+                                   lower(substr(text, 1, 256)),
+                                   '[^a-z0-9]+'),
+                               x -> x <> '')) AS t
+                    FROM documents)),
+            n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            dfreq AS (SELECT token, count(*) AS df
+                      FROM tok GROUP BY token),
+            ranked AS (
+              SELECT tok.doc_id, tok.token, n.n,
+                     row_number() OVER (
+                         PARTITION BY tok.doc_id
+                         ORDER BY dfreq.df, tok.token) AS rk
+              FROM tok
+              JOIN dfreq USING (token)
+              JOIN n USING (doc_id)),
+            prefix AS (
+              SELECT doc_id, token, n FROM ranked
+              WHERE rk <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM prefix a
+            JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+            WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
         """,
     }

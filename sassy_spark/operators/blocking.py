@@ -207,3 +207,78 @@ def cbs_pairs(
         .agg(F.count("*").alias("cbs"))
         .where(F.col("cbs") >= min_common)
     )
+
+
+def prefix_filter_pairs(
+    tokens: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Prefix-filter candidate generation for a Jaccard set-similarity
+    join (the PPJoin family: Chaudhuri et al. ICDE'06 prefix filter,
+    Xiao et al. WWW'08).
+
+    ``tokens``: (id, token) rows — one row per distinct token of each
+    record's token set (duplicates are dropped defensively). For a
+    Jaccard threshold ``t``, every record keeps only the first
+    ``n - ceil(t*n) + 1`` of its ``n`` tokens in the GLOBAL rarity
+    order (ascending document frequency, ties by token string);
+    candidates are the distinct pairs sharing at least one prefix
+    token, further pruned by the length filter
+    ``min(n_a, n_b) >= t * max(n_a, n_b)``.
+
+    Completeness guarantee (why the prefix is sound): if
+    J(A, B) >= t then |A ∩ B| >= ceil(t * max(|A|, |B|)), so A and B
+    cannot disagree on ALL of their first ``n - ceil(t*n) + 1`` tokens
+    of any shared total order — they must share a prefix token. Every
+    qualifying pair therefore survives; the filter only prunes pairs
+    that provably cannot reach the threshold. Verification (actual
+    Jaccard on the survivors) is the caller's stage-2 scorer, e.g.
+    ``dedup.ngram_jaccard_verify``.
+
+    Scale notes (100 TB audit):
+    - the document-frequency table is vocabulary-sized (a dimension),
+      joined on token — Catalyst broadcasts it when small and
+      sort-merges beyond that;
+    - the per-record rarity sort is a window partitioned by id — one
+      shuffle of (id, token, df) rows, never a global sort;
+    - the candidate self-join keys on PREFIX tokens only, which are by
+      construction the rarest ~(1-t) fraction of each record's tokens:
+      hot tokens are excluded from the join key exactly because a
+      common token is never in a short prefix — the prefix filter is
+      inherently skew-resistant, no salting needed;
+    - output pairs are distinct (id_a < id_b) narrow integer/string
+      rows.
+    """
+    tok = tokens.select(
+        F.col(id_col).alias("_id"), F.col(token_col).alias("_tok")
+    ).dropDuplicates(["_id", "_tok"])
+    n = tok.groupBy("_id").agg(F.count("*").alias("_n"))
+    dfreq = tok.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = (
+        tok.join(dfreq, "_tok")
+        .join(n, "_id")
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), "_tok", F.col("_n").alias("_na")
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), "_tok", F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("_na", "_nb")
+            >= F.lit(threshold) * F.greatest("_na", "_nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -11,6 +11,7 @@ from sassy_spark.operators.blocking import (
     cbs_pairs,
     global_rank,
     phonetic_key,
+    prefix_filter_pairs,
     sorted_neighborhood_pairs,
 )
 
@@ -140,3 +141,62 @@ def test_cbs_pairs_duplicate_rows_do_not_inflate(spark):
         for r in cbs_pairs(df, min_common=2).collect()
     }
     assert got == {(0, 1): 2}
+
+
+def test_prefix_filter_completeness_bruteforce(spark):
+    # THE property the operator exists for: every pair whose true
+    # Jaccard >= t must survive the prefix + length filters. Random
+    # token sets with planted near-duplicates, checked exhaustively.
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    sets = {}
+    for i in range(40):
+        sets[i] = set(rng.sample(vocab, rng.randint(3, 14)))
+    # planted near-dupes: copy with small edits (high Jaccard)
+    for i in range(40, 52):
+        base = set(sets[i - 40])
+        if len(base) > 3 and rng.random() < 0.7:
+            base.discard(next(iter(base)))
+        if rng.random() < 0.5:
+            base.add(rng.choice(vocab))
+        sets[i] = base
+
+    t = 0.6
+    rows = [(i, w) for i, ws in sets.items() for w in ws]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(
+            spark.createDataFrame(rows, ["id", "token"]), threshold=t
+        ).collect()
+    }
+    qualifying = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            qualifying.add((a, b))
+    missed = qualifying - got
+    assert not missed, f"prefix filter dropped qualifying pairs: {missed}"
+    # and it actually prunes: the candidate set must be far below all-pairs
+    assert len(got) < len(sets) * (len(sets) - 1) // 2 * 0.5
+    # every survivor passes the length filter it claims to apply
+    for a, b in got:
+        na, nb = len(sets[a]), len(sets[b])
+        assert min(na, nb) >= t * max(na, nb)
+
+
+def test_prefix_filter_duplicate_tokens_and_identical_sets(spark):
+    rows = [
+        (1, "x"), (1, "x"), (1, "y"),          # duplicate token rows
+        (2, "x"), (2, "y"),                    # identical set to 1
+        (3, "z"),                              # disjoint singleton
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(
+            spark.createDataFrame(rows, ["id", "token"]), threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2)}
