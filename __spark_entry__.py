@@ -2079,6 +2079,34 @@ def _q75_prefix_filter_blocking(spark, sf):
     )
 
 
+def _q76_cannot_link_audit(spark, sf):
+    """Cannot-link constraint audit over resolved entities: the q22
+    cluster labels joined against deterministic negative constraints
+    (doc_id, doc_id+3 for doc_id % 17 == 2 — 'known different
+    entities'); emits constraint pairs that transitive closure wrongly
+    bridged, with cluster id + size for clerical-review triage. The
+    oracle recomputes the same run-structured clusters and constraint
+    set in SQL."""
+    from sassy_spark.operators.cluster import constraint_violations
+
+    labels = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    constraints = d.where((F.col("doc_id") % 17) == 2).alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 3 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    out = constraint_violations(
+        labels, constraints, id_col="doc_id", label_col="cluster_id"
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2156,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_meta_blocking": _q73_meta_blocking,
         "q74_monge_elkan": _q74_monge_elkan_adjacent,
         "q75_prefix_filter_blocking": _q75_prefix_filter_blocking,
+        "q76_cannot_link_audit": _q76_cannot_link_audit,
     }
 
 
@@ -3633,5 +3662,38 @@ def oracle_sql() -> dict[str, str]:
             FROM prefix a
             JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
             WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        """,
+        "q76_cannot_link_audit": """
+            -- q22's run-structured clusters + deterministic
+            -- cannot-link constraints; violations = same-cluster pairs
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id),
+            cons AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b
+                ON a.doc_id + 3 = b.doc_id
+              WHERE a.doc_id % 17 = 2)
+            SELECT cons.id_a, cons.id_b, ca.cluster_id,
+                   sizes.cluster_size
+            FROM cons
+            JOIN cc ca ON ca.doc_id = cons.id_a
+            JOIN cc cb ON cb.doc_id = cons.id_b
+            JOIN sizes ON sizes.cluster_id = ca.cluster_id
+            WHERE ca.cluster_id = cb.cluster_id
         """,
     }

@@ -525,3 +525,54 @@ def label_propagation(
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def constraint_violations(
+    labels: DataFrame,
+    cannot_link: DataFrame,
+    id_col: str = "url",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Audit resolved entities against cannot-link constraints.
+
+    Real ER deployments carry negative knowledge next to the match
+    edges — "these two records are DIFFERENT entities" (distinct tax
+    ids, disjoint date-of-birth, a steward's manual split). Transitive
+    closure happily bridges them through intermediate matches, so the
+    standard post-resolution step is this audit: join each cannot-link
+    pair against the entity labels and emit the pairs that landed in
+    the same cluster, with the cluster id and size for triage (the
+    clerical-review queue, largest offending clusters first).
+
+    labels:      (id, cluster_id) — e.g. resolve_entities output
+    cannot_link: (id_a, id_b) constraint pairs
+
+    Returns (id_a, id_b, cluster_id, cluster_size) for violated
+    constraints only. Constraints whose endpoints are unlabeled or in
+    different clusters produce no row.
+
+    Scale notes (100 TB audit): constraints are typically a tiny
+    fraction of the corpus — both attach joins broadcast the constraint
+    side when small (Catalyst's size estimate decides); cluster sizes
+    come from one map-side-combining groupBy of the labels table; no
+    step touches pair-expansion or text payloads.
+    """
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("_cb")
+    )
+    sizes = labels.groupBy(label_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        cannot_link.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(
+            "id_a", "id_b", F.col("_ca").alias(label_col)
+        )
+        .join(sizes, label_col)
+        .select("id_a", "id_b", label_col, "cluster_size")
+    )

@@ -222,3 +222,34 @@ def test_label_propagation_bounded_hops(spark):
         4: 2, 5: 3, 6: 4,        # min id exactly 2 hops back
         10: 10, 11: 10, 12: 10,  # triangle converges immediately
     }
+
+
+def test_constraint_violations(spark):
+    from sassy_spark.operators.cluster import constraint_violations
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        ["url", "cluster_id"],
+    )
+    cons = spark.createDataFrame(
+        [
+            ("a", "c"),   # violated: both in c1 (size 3)
+            ("a", "d"),   # satisfied: different clusters
+            ("d", "e"),   # violated: both in c2 (size 2)
+            ("a", "zz"),  # endpoint unlabeled -> no row
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["cluster_id"], r["cluster_size"])
+        for r in constraint_violations(labels, cons).collect()
+    }
+    assert got == {("a", "c"): ("c1", 3), ("d", "e"): ("c2", 2)}
+
+
+def test_constraint_violations_empty_constraints(spark):
+    from sassy_spark.operators.cluster import constraint_violations
+
+    labels = spark.createDataFrame([("a", "c1")], ["url", "cluster_id"])
+    cons = spark.createDataFrame([], "id_a string, id_b string")
+    assert constraint_violations(labels, cons).count() == 0
