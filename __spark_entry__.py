@@ -2107,6 +2107,64 @@ def _q76_cannot_link_audit(spark, sf):
     )
 
 
+def _q77_cluster_metrics(spark, sf):
+    """ER evaluation as a first-class distributed operator: pairwise
+    precision/recall/F1 + B-cubed of the bounded-hop LP labeling (q67,
+    pred) against full connected components (q22, truth) — quantifying
+    exactly how much 3-hop truncation fragments long runs. All counts
+    come from cluster-size aggregations (sum C(n,2) identities), never
+    pair expansion; every ratio is floor-quantized to micros with pure
+    integer arithmetic so the oracle compare is exact
+    (operators/evaluation.py docstring has the full contract)."""
+    from sassy_spark.operators import linkage
+    from sassy_spark.operators.cluster import (
+        connected_components,
+        label_propagation,
+    )
+    from sassy_spark.operators.evaluation import cluster_metrics
+
+    d = _load(spark, sf, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
+    )
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.lpad(F.col("a.doc_id").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("b.doc_id").cast("string"), 8, "0").alias("url_b"),
+    )
+    # score ONCE; both labelings consume the same materialized edge set
+    # (narrow rows) instead of re-running the Myers kernel per labeling
+    edges = (
+        linkage.score_pairs(adj, pages, k=220)
+        .where("is_match")
+        .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    urls = pages.select("url")
+    cc = connected_components(edges)
+    truth = urls.join(cc, "url", "left").select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("url")).cast("long").alias(
+            "cluster_id"
+        ),
+    )
+    lp = label_propagation(edges, iterations=3)
+    pred = urls.join(
+        lp.withColumnRenamed("vertex", "url"), "url", "left"
+    ).select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.coalesce(F.col("label"), F.col("url")).cast("long").alias("label3"),
+    )
+    return cluster_metrics(
+        pred,
+        truth,
+        id_col="doc_id",
+        pred_col="label3",
+        true_col="cluster_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2185,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_monge_elkan": _q74_monge_elkan_adjacent,
         "q75_prefix_filter_blocking": _q75_prefix_filter_blocking,
         "q76_cannot_link_audit": _q76_cannot_link_audit,
+        "q77_cluster_metrics": _q77_cluster_metrics,
     }
 
 
@@ -3695,5 +3754,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN cc cb ON cb.doc_id = cons.id_b
             JOIN sizes ON sizes.cluster_id = ca.cluster_id
             WHERE ca.cluster_id = cb.cluster_id
+        """,
+        "q77_cluster_metrics": """
+            -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the
+            -- q67 closed form) vs full CC (truth, the q22 closed form),
+            -- same integer quantization as operators/evaluation.py:
+            -- tp+fp = pp, tp+fn = tt, 2tp+fp+fn = pp+tt
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            lab AS (
+              SELECT doc_id, cluster_id,
+                     min(doc_id) OVER (PARTITION BY cluster_id
+                         ORDER BY doc_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                         AS label3
+              FROM cc),
+            cells AS (SELECT label3 AS p, cluster_id AS t,
+                             count(*) AS c
+                      FROM lab GROUP BY 1, 2),
+            psz AS (SELECT p, sum(c) AS np FROM cells GROUP BY p),
+            tsz AS (SELECT t, sum(c) AS nt FROM cells GROUP BY t),
+            agg AS (SELECT
+              (SELECT sum(c) FROM cells) AS n,
+              (SELECT sum((c * (c - 1)) // 2) FROM cells) AS tp,
+              (SELECT sum((np * (np - 1)) // 2) FROM psz) AS pp,
+              (SELECT sum((nt * (nt - 1)) // 2) FROM tsz) AS tt,
+              (SELECT sum((1000000 * c * c) // np)
+               FROM cells JOIN psz USING (p)) AS bp,
+              (SELECT sum((1000000 * c * c) // nt)
+               FROM cells JOIN tsz USING (t)) AS br)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(pp - tp AS BIGINT) AS fp,
+                   CAST(tt - tp AS BIGINT) AS fn,
+                   CAST(CASE WHEN pp > 0 THEN (1000000 * tp) // pp
+                        ELSE 0 END AS BIGINT) AS precision_qmicros,
+                   CAST(CASE WHEN tt > 0 THEN (1000000 * tp) // tt
+                        ELSE 0 END AS BIGINT) AS recall_qmicros,
+                   CAST(CASE WHEN pp + tt > 0
+                        THEN (2000000 * tp) // (pp + tt)
+                        ELSE 0 END AS BIGINT) AS f1_qmicros,
+                   CAST(CASE WHEN n > 0 THEN bp // n
+                        ELSE 0 END AS BIGINT) AS bcubed_precision_qmicros,
+                   CAST(CASE WHEN n > 0 THEN br // n
+                        ELSE 0 END AS BIGINT) AS bcubed_recall_qmicros
+            FROM agg
         """,
     }

@@ -1,0 +1,162 @@
+"""Clustering-quality metrics for entity resolution, computed
+distributively — no pair expansion anywhere.
+
+Two standard ER evaluation families over a (predicted, truth) pair of
+labelings:
+
+- **pairwise precision/recall/F1** (the north metric of this engine):
+  counts of record PAIRS that agree/disagree across the two labelings.
+  Naively this is O(N^2); here every count comes from cluster-size
+  aggregations using the identity  #same-cluster-pairs = sum C(n, 2)
+  over clusters — three groupBys, one row out.
+- **B-cubed precision/recall** (Bagga & Baldwin '98): per-record
+  overlap ratios averaged over the corpus, the standard complement to
+  pairwise F1 when cluster sizes are skewed (pairwise F1 is dominated
+  by the biggest clusters; B-cubed weights every record equally).
+
+Quantization contract (what makes the DuckDB oracle compare exact):
+ratios are never emitted as doubles. Each is floor-quantized to micros
+with INTEGER arithmetic only —
+
+    precision_qmicros = (1_000_000 * tp)          // (tp + fp)
+    recall_qmicros    = (1_000_000 * tp)          // (tp + fn)
+    f1_qmicros        = (2_000_000 * tp)          // (2*tp + fp + fn)
+    bcubed_*_qmicros  = ( sum over (pred, truth) cells of
+                          (1_000_000 * c*c) // n_side ) // N
+
+For B-cubed the quantization happens per cell BEFORE the sum (each
+cell's c^2/n is floored to micros independently), so the sum is
+order-independent integer math on both engines; the result understates
+the true B-cubed by < (#cells + 1) / N micros.
+
+Records present in only one labeling are excluded (inner join on id):
+metrics are defined over the co-labeled corpus.
+
+Scale notes (100 TB audit): the id join shuffles (id, label) narrow
+rows once; every metric after that is a map-side-combining groupBy of
+label keys, then a single-row final aggregate. Skewed cluster sizes
+affect only count magnitudes, never row fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def _joint(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    pred_col: str,
+    true_col: str,
+) -> DataFrame:
+    """(pred_label, true_label, c) cell counts over co-labeled ids."""
+    p = pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(true_col).alias("_t"))
+    return (
+        p.join(t, "_id")
+        .groupBy("_p", "_t")
+        .agg(F.count("*").alias("_c"))
+    )
+
+
+def cluster_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    true_col: str = "cluster_id",
+) -> DataFrame:
+    """One-row DataFrame of pairwise + B-cubed metrics (quantized).
+
+    Columns: n, tp, fp, fn, precision_qmicros, recall_qmicros,
+    f1_qmicros, bcubed_precision_qmicros, bcubed_recall_qmicros — all
+    longs, exact integer arithmetic end-to-end (see module docstring
+    for the quantization contract). Degenerate cases (no co-labeled
+    records, or no same-cluster pairs on a side) emit 0 for the
+    affected ratios rather than null.
+    """
+    # The cells table is tiny (one row per (pred, truth) cluster pair)
+    # but its lineage carries BOTH labeling pipelines (often a full CC
+    # run each); six aggregate branches consume it below, so materialize
+    # it exactly once — an eager localCheckpoint both runs the upstream
+    # a single time and truncates the lineage the branches re-plan.
+    cells = _joint(pred, truth, id_col, pred_col, true_col).localCheckpoint(
+        eager=True
+    )
+    psz = cells.groupBy("_p").agg(F.sum("_c").alias("_np"))
+    tsz = cells.groupBy("_t").agg(F.sum("_c").alias("_nt"))
+
+    # pairwise counts from C(n,2) identities — integer div keeps the
+    # arithmetic exact (n*(n-1) is always even)
+    tp = cells.select(
+        F.sum(F.expr("(_c * (_c - 1)) div 2")).cast("long").alias("v")
+    )
+    pp = psz.select(
+        F.sum(F.expr("(_np * (_np - 1)) div 2")).cast("long").alias("v")
+    )
+    tt = tsz.select(
+        F.sum(F.expr("(_nt * (_nt - 1)) div 2")).cast("long").alias("v")
+    )
+    n = cells.select(F.sum("_c").cast("long").alias("v"))
+
+    # B-cubed cell terms: (1e6 * c^2) // n_side, summed as integers
+    bp = (
+        cells.join(psz, "_p")
+        .select(
+            F.expr(f"({_M} * _c * _c) div _np").alias("q")
+        )
+        .agg(F.sum("q").alias("v"))
+    )
+    br = (
+        cells.join(tsz, "_t")
+        .select(
+            F.expr(f"({_M} * _c * _c) div _nt").alias("q")
+        )
+        .agg(F.sum("q").alias("v"))
+    )
+
+    row = (
+        n.select(F.col("v").alias("n"))
+        .crossJoin(tp.select(F.col("v").alias("tp")))
+        .crossJoin(pp.select(F.col("v").alias("pp")))
+        .crossJoin(tt.select(F.col("v").alias("tt")))
+        .crossJoin(bp.select(F.col("v").alias("bp")))
+        .crossJoin(br.select(F.col("v").alias("br")))
+    )
+    z = F.lit(0).cast("long")
+    out = row.select(
+        F.coalesce("n", z).alias("n"),
+        F.coalesce("tp", z).alias("tp"),
+        (F.coalesce("pp", z) - F.coalesce("tp", z)).alias("fp"),
+        (F.coalesce("tt", z) - F.coalesce("tp", z)).alias("fn"),
+        F.coalesce("bp", z).alias("_bp"),
+        F.coalesce("br", z).alias("_br"),
+    )
+    return out.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr(f"({_M} * tp) div (tp + fp)"),
+        ).otherwise(z).alias("precision_qmicros"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr(f"({_M} * tp) div (tp + fn)"),
+        ).otherwise(z).alias("recall_qmicros"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr(f"({2 * _M} * tp) div (2 * tp + fp + fn)"),
+        ).otherwise(z).alias("f1_qmicros"),
+        F.when(F.col("n") > 0, F.expr("_bp div n")).otherwise(z).alias(
+            "bcubed_precision_qmicros"
+        ),
+        F.when(F.col("n") > 0, F.expr("_br div n")).otherwise(z).alias(
+            "bcubed_recall_qmicros"
+        ),
+    )

@@ -1,0 +1,72 @@
+"""cluster_metrics: hand-computed pairwise + B-cubed pins."""
+
+import pytest
+
+from sassy_spark.operators.evaluation import cluster_metrics
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _row(spark, pred_rows, true_rows):
+    pred = spark.createDataFrame(pred_rows, ["url", "cluster_id"])
+    truth = spark.createDataFrame(true_rows, ["url", "cluster_id"])
+    (r,) = cluster_metrics(pred, truth).collect()
+    return r.asDict()
+
+
+def test_textbook_example(spark):
+    # truth: {a,b,c} {d,e}; pred splits the big cluster: {a,b} {c} {d,e}
+    truth = [(x, "t1") for x in "abc"] + [(x, "t2") for x in "de"]
+    pred = [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p3"), ("e", "p3")]
+    r = _row(spark, pred, truth)
+    # pairs: truth same-cluster = C(3,2)+C(2,2) = 4; pred = 1+0+1 = 2
+    # tp = pairs same in both = {ab, de} = 2; fp = 0; fn = 2
+    assert (r["n"], r["tp"], r["fp"], r["fn"]) == (5, 2, 0, 2)
+    assert r["precision_qmicros"] == 1_000_000
+    assert r["recall_qmicros"] == 500_000
+    # f1 = 2*2 / (2*2 + 0 + 2) = 2/3
+    assert r["f1_qmicros"] == 666_666
+    # b-cubed precision: cells (p1,t1,2) (p2,t1,1) (p3,t2,2)
+    #   = (4/2 + 1/1 + 4/2)/5 = 1.0
+    assert r["bcubed_precision_qmicros"] == 1_000_000
+    # b-cubed recall = (4/3 + 1/3 + 4/2)/5: per-cell floor-micros then //5
+    exp = (
+        (1_000_000 * 4) // 3 + (1_000_000 * 1) // 3 + (1_000_000 * 4) // 2
+    ) // 5
+    assert r["bcubed_recall_qmicros"] == exp
+
+
+def test_perfect_match(spark):
+    rows = [("a", "x"), ("b", "x"), ("c", "y")]
+    r = _row(spark, rows, rows)
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+    for k in (
+        "precision_qmicros",
+        "recall_qmicros",
+        "f1_qmicros",
+        "bcubed_precision_qmicros",
+        "bcubed_recall_qmicros",
+    ):
+        assert r[k] == 1_000_000, k
+
+
+def test_all_singletons_vs_one_cluster(spark):
+    # pred all singletons, truth one cluster: no predicted pairs
+    pred = [(x, x) for x in "abcd"]
+    truth = [(x, "t") for x in "abcd"]
+    r = _row(spark, pred, truth)
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 6)
+    assert r["precision_qmicros"] == 0  # degenerate: 0 predicted pairs
+    assert r["recall_qmicros"] == 0
+    assert r["f1_qmicros"] == 0
+    assert r["bcubed_precision_qmicros"] == 1_000_000  # each own cluster
+    assert r["bcubed_recall_qmicros"] == 250_000  # (4 * (1e6*1)//4) // 4
+
+
+def test_inner_join_on_ids(spark):
+    # records labeled on only one side are excluded from the metric
+    pred = [("a", "p"), ("b", "p"), ("zz", "p")]
+    truth = [("a", "t"), ("b", "t"), ("yy", "t")]
+    r = _row(spark, pred, truth)
+    assert r["n"] == 2
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
