@@ -2165,6 +2165,29 @@ def _q77_cluster_metrics(spark, sf):
     )
 
 
+def _q78_majority_vote_lang(spark, sf):
+    """Attribute-level survivorship: per q22 entity, elect the majority
+    language among member docs (cluster.majority_vote — highest vote
+    count, ties by ascending value, NULLs don't vote). Complements
+    q61's longest-field golden record with the other standard
+    conflict-resolution rule. The window runs over vote-count rows
+    (bounded by attribute cardinality per cluster), never member
+    rows."""
+    from sassy_spark.operators.cluster import majority_vote
+
+    labels = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    attrs = d.select("doc_id", F.col("lang").alias("value"))
+    out = majority_vote(
+        labels, attrs, id_col="doc_id", label_col="cluster_id"
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("value").alias("lang"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2244,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_prefix_filter_blocking": _q75_prefix_filter_blocking,
         "q76_cannot_link_audit": _q76_cannot_link_audit,
         "q77_cluster_metrics": _q77_cluster_metrics,
+        "q78_majority_vote_lang": _q78_majority_vote_lang,
     }
 
 
@@ -3811,5 +3835,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n > 0 THEN br // n
                         ELSE 0 END AS BIGINT) AS bcubed_recall_qmicros
             FROM agg
+        """,
+        "q78_majority_vote_lang": """
+            -- majority-vote survivorship over the q22 run clusters:
+            -- most frequent lang, ties by ascending value
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            v AS (
+              SELECT cc.cluster_id, d.lang, count(*) AS votes
+              FROM cc JOIN documents d USING (doc_id)
+              WHERE d.lang IS NOT NULL
+              GROUP BY cc.cluster_id, d.lang),
+            r AS (
+              SELECT cluster_id, lang, votes,
+                     row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY votes DESC, lang ASC) AS rk
+              FROM v)
+            SELECT cluster_id, lang, votes FROM r WHERE rk = 1
         """,
     }

@@ -253,3 +253,37 @@ def test_constraint_violations_empty_constraints(spark):
     labels = spark.createDataFrame([("a", "c1")], ["url", "cluster_id"])
     cons = spark.createDataFrame([], "id_a string, id_b string")
     assert constraint_violations(labels, cons).count() == 0
+
+
+def test_majority_vote(spark):
+    from sassy_spark.operators.cluster import majority_vote
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        ["url", "cluster_id"],
+    )
+    attrs = spark.createDataFrame(
+        [
+            ("a", "en"), ("b", "en"), ("c", "de"),   # c1: en wins 2-1
+            ("d", "fr"), ("e", None),                 # c2: null doesn't vote
+        ],
+        ["url", "value"],
+    )
+    got = {
+        r["cluster_id"]: (r["value"], r["votes"])
+        for r in majority_vote(labels, attrs).collect()
+    }
+    assert got == {"c1": ("en", 2), "c2": ("fr", 1)}
+
+
+def test_majority_vote_tie_breaks_ascending(spark):
+    from sassy_spark.operators.cluster import majority_vote
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1")], ["url", "cluster_id"]
+    )
+    attrs = spark.createDataFrame(
+        [("a", "fr"), ("b", "en")], ["url", "value"]
+    )
+    (row,) = majority_vote(labels, attrs).collect()
+    assert (row["value"], row["votes"]) == ("en", 1)  # tie -> ascending
