@@ -2188,6 +2188,38 @@ def _q78_majority_vote_lang(spark, sf):
     )
 
 
+def _q79_weighted_jaccard(spark, sf):
+    """Rarity-weighted token Jaccard on adjacent doc pairs — integer
+    reciprocal-df weights (scale // df, no libm anywhere) make the
+    TF-IDF-style overlap exactly SQL-reproducible; quantized as
+    (1e6 * W(inter)) // W(union) with W(union) = W(A)+W(B)-W(inter).
+    Same tokenization as q75 (lowercase [a-z0-9]+ runs of the first
+    256 chars)."""
+    from sassy_spark.operators.dedup import weighted_jaccard_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.substring("text", 1, 256)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    out = weighted_jaccard_pairs(pairs, toks)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("wj_qmicros").alias("wj_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2268,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_cannot_link_audit": _q76_cannot_link_audit,
         "q77_cluster_metrics": _q77_cluster_metrics,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
+        "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
 
 
@@ -3864,5 +3897,50 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY votes DESC, lang ASC) AS rk
               FROM v)
             SELECT cluster_id, lang, votes FROM r WHERE rk = 1
+        """,
+        "q79_weighted_jaccard": """
+            -- reciprocal-df integer weights (1e6 // df), weighted
+            -- Jaccard quantized with pure integer arithmetic; union
+            -- weight = W(A) + W(B) - W(inter)
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(
+                                   lower(substr(text, 1, 256)),
+                                   '[^a-z0-9]+'),
+                               x -> x <> '')) AS t
+                    FROM documents)),
+            dfreq AS (SELECT token, count(*) AS df
+                      FROM tok GROUP BY token),
+            tw AS (SELECT tok.doc_id, tok.token,
+                          1000000 // dfreq.df AS w
+                   FROM tok JOIN dfreq USING (token)),
+            docw AS (SELECT doc_id, sum(w) AS tw
+                     FROM tw GROUP BY doc_id),
+            prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM documents a
+                    JOIN documents b ON a.doc_id + 1 = b.doc_id),
+            inter AS (
+              SELECT prs.id_a, prs.id_b, sum(ta.w) AS iw
+              FROM prs
+              JOIN tw ta ON ta.doc_id = prs.id_a
+              JOIN tw tb ON tb.doc_id = prs.id_b
+                        AND tb.token = ta.token
+              GROUP BY prs.id_a, prs.id_b)
+            SELECT prs.id_a, prs.id_b,
+                   CAST(CASE
+                     WHEN coalesce(wa.tw, 0) + coalesce(wb.tw, 0)
+                          - coalesce(inter.iw, 0) > 0
+                     THEN (1000000 * coalesce(inter.iw, 0)) //
+                          (coalesce(wa.tw, 0) + coalesce(wb.tw, 0)
+                           - coalesce(inter.iw, 0))
+                     ELSE 0
+                   END AS BIGINT) AS wj_qmicros
+            FROM prs
+            LEFT JOIN docw wa ON wa.doc_id = prs.id_a
+            LEFT JOIN docw wb ON wb.doc_id = prs.id_b
+            LEFT JOIN inter ON inter.id_a = prs.id_a
+                           AND inter.id_b = prs.id_b
         """,
     }

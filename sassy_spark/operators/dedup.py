@@ -850,3 +850,83 @@ def duplicate_paragraph_stats(
             6,
         ).alias("dup_char_frac"),
     )
+
+
+def weighted_jaccard_pairs(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Rarity-weighted token overlap for candidate pairs — the
+    exact-arithmetic cousin of TF-IDF cosine (q56): each token weighs
+    ``scale // df`` (integer reciprocal document frequency, so a
+    corpus-unique token weighs ``scale`` and boilerplate weighs ~0),
+    and the pair score is weighted Jaccard, floor-quantized —
+
+        wj_qmicros = (1_000_000 * W(A ∩ B)) // W(A ∪ B)
+        where W(S) = sum of scale // df(t) over t in S
+
+    Integer weights end-to-end: unlike log-idf variants there is no
+    libm call anywhere, so a SQL oracle reproduces the score exactly.
+    The union weight is computed as W(A) + W(B) - W(A ∩ B) — per-doc
+    totals from one groupBy, intersection from one equi-join on
+    (pair, token) — no full-outer join, no per-pair token material
+    beyond the shared tokens.
+
+    pairs: (id_a, id_b); tokens: (id, token), duplicates dropped.
+    Returns pairs + ``wj_qmicros`` (long; 0 for disjoint or empty
+    sides). Pairs whose ids have no tokens at all score 0.
+
+    Scale notes (100 TB audit): the df table is vocabulary-sized and
+    joined on token (broadcast when small); per-doc weight totals are
+    one map-side-combining groupBy; the intersection join ships only
+    tokens of docs that appear in pairs (semi-join pushdown via the
+    pair join itself), keyed on (id_b, token) — skew follows shared-
+    token counts of CANDIDATE pairs, which blocking already bounded.
+    """
+    tok = tokens.select(
+        F.col(id_col).alias("_id"), F.col(token_col).alias("_tok")
+    ).dropDuplicates(["_id", "_tok"])
+    dfreq = tok.groupBy("_tok").agg(F.count("*").alias("_df"))
+    tw = tok.join(dfreq, "_tok").withColumn(
+        "_w", F.expr(f"{scale} div _df")
+    )
+    docw = tw.groupBy("_id").agg(F.sum("_w").alias("_tw"))
+
+    ta = tw.select(
+        F.col("_id").alias("id_a"), "_tok", F.col("_w").alias("_wa")
+    )
+    tb = tw.select(F.col("_id").alias("id_b"), "_tok")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "_tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_wa").alias("_iw"))
+    )
+    z = F.lit(0).cast("long")
+    out = (
+        pairs.join(
+            docw.select(F.col("_id").alias("id_a"), F.col("_tw").alias("_twa")),
+            "id_a",
+            "left",
+        )
+        .join(
+            docw.select(F.col("_id").alias("id_b"), F.col("_tw").alias("_twb")),
+            "id_b",
+            "left",
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .withColumn("_iw", F.coalesce("_iw", z))
+        .withColumn(
+            "_uw",
+            F.coalesce("_twa", z) + F.coalesce("_twb", z) - F.col("_iw"),
+        )
+    )
+    return out.withColumn(
+        "wj_qmicros",
+        F.when(
+            F.col("_uw") > 0, F.expr("(1000000 * _iw) div _uw")
+        ).otherwise(z),
+    ).drop("_twa", "_twb", "_iw", "_uw")

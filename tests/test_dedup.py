@@ -278,3 +278,44 @@ def test_duplicate_paragraph_stats(spark):
     assert got[5].n_paras == 0 and got[5].dup_char_frac == 0.0
     frac1 = len(shared) / (len("unique alpha text") + len(shared) + len("unique beta"))
     assert abs(got[1].dup_char_frac - round(frac1, 6)) < 1e-9
+
+
+def test_weighted_jaccard_pairs_hand_values(spark):
+    from sassy_spark.operators.dedup import weighted_jaccard_pairs
+
+    # corpus of 3 docs; df: x->2, y->1, z->3, q->1
+    # weights (scale=1e6 div df): x=500000, y=1000000, z=333333, q=1000000
+    toks = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "z"),
+        (3, "z"), (3, "q"),
+    ]
+    # pair (1,2): inter {x,z} = 833333; W1 = 1833333, W2 = 833333
+    #   union = 1833333 -> (1e6 * 833333) // 1833333 = 454545
+    # pair (2,3): inter {z} = 333333; W3 = 1333333
+    #   union = 833333 + 1333333 - 333333 = 1833333 -> 181818
+    # pair (1,9): id 9 has no tokens -> union = W1, inter 0 -> 0
+    pairs = [(1, 2), (2, 3), (1, 9)]
+    got = {
+        (r["id_a"], r["id_b"]): r["wj_qmicros"]
+        for r in weighted_jaccard_pairs(
+            spark.createDataFrame(pairs, ["id_a", "id_b"]),
+            spark.createDataFrame(toks, ["id", "token"]),
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (1_000_000 * 833_333) // 1_833_333,
+        (2, 3): (1_000_000 * 333_333) // 1_833_333,
+        (1, 9): 0,
+    }
+
+
+def test_weighted_jaccard_identical_docs_score_full(spark):
+    from sassy_spark.operators.dedup import weighted_jaccard_pairs
+
+    toks = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    got = weighted_jaccard_pairs(
+        spark.createDataFrame([(1, 2)], ["id_a", "id_b"]),
+        spark.createDataFrame(toks, ["id", "token"]),
+    ).collect()
+    assert got[0]["wj_qmicros"] == 1_000_000
