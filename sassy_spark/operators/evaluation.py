@@ -32,6 +32,16 @@ the true B-cubed by < (#cells + 1) / N micros.
 Records present in only one labeling are excluded (inner join on id):
 metrics are defined over the co-labeled corpus.
 
+Int64 domain (know your limits before 10^12-doc runs): the B-cubed
+cell term ``1e6 * c^2`` stays in int64 for cell counts c <= ~3.0e6,
+and the pairwise C(n,2) identities for cluster sizes n <= ~4.3e9.
+A (pred, truth) cell holding more than 3M records means a mega-cluster
+agreement — at web scale that is almost always an upstream blocking or
+transitive-closure bug worth failing on, but Spark's non-ANSI mode
+would WRAP silently here, so run metric jobs with
+``spark.sql.ansi.enabled=true`` (overflow then raises) or pre-check
+``max(c)`` if clusters that large are legitimate in your domain.
+
 Scale notes (100 TB audit): the id join shuffles (id, label) narrow
 rows once; every metric after that is a map-side-combining groupBy of
 label keys, then a single-row final aggregate. Skewed cluster sizes
