@@ -200,9 +200,19 @@ def _run(out: dict) -> None:
         # toPandas + DuckDB adds on top, but the Spark side is what this
         # repo controls.
         qs = E.queries()
+        # Hard wall budget (same philosophy as the scaling protocols):
+        # the suite grew past 79 queries, and a loaded box can stretch
+        # the ~10s queries 3-4x — truncate and report rather than risk
+        # blowing the driver's whole-bench timeout. Untimed queries are
+        # listed so a truncated run is visibly partial, never silent.
+        budget = float(os.environ.get("SASSY_ORACLE_SUITE_BUDGET_SEC", "300"))
         t0 = time.time()
         n_ok = 0
+        skipped = []
         for name, fn in qs.items():
+            if time.time() - t0 > budget:
+                skipped.append(name)
+                continue
             try:
                 fn(spark, "/root/testdata/sf0.01").count()
                 n_ok += 1
@@ -210,6 +220,9 @@ def _run(out: dict) -> None:
                 out.setdefault("errors", {})[f"oracle_suite:{name}"] = "failed"
         out["oracle_suite_sec"] = round(time.time() - t0, 1)
         out["oracle_suite_queries_ok"] = n_ok
+        out["oracle_suite_queries_total"] = len(qs)
+        if skipped:
+            out["oracle_suite_truncated"] = skipped
 
     _guard(out, "queries", phase_queries)
     _guard(out, "er_pipeline", phase_er)
