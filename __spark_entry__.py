@@ -2128,6 +2128,34 @@ def _q76_cannot_link_audit(spark, sf):
     )
 
 
+def _q80_must_link_audit(spark, sf):
+    """Must-link constraint audit over resolved entities — the positive
+    counterpart of q76: deterministic positive constraints (doc_id,
+    doc_id+1 for doc_id % 13 == 5 — 'known same entity') joined against
+    the q22 cluster labels; emits the constraint pairs resolution
+    SPLIT across clusters (a missed match edge), with both cluster ids
+    for the merge-review queue. The oracle recomputes the same
+    run-structured clusters and constraint set in SQL."""
+    from sassy_spark.operators.cluster import must_link_violations
+
+    labels = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    constraints = d.where((F.col("doc_id") % 13) == 5).alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    out = must_link_violations(
+        labels, constraints, id_col="doc_id", label_col="cluster_id"
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cluster_a").cast("long").alias("cluster_a"),
+        F.col("cluster_b").cast("long").alias("cluster_b"),
+    )
+
+
 def _q77_cluster_metrics(spark, sf):
     """ER evaluation as a first-class distributed operator: pairwise
     precision/recall/F1 + B-cubed of the bounded-hop LP labeling (q67,
@@ -2320,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_prefix_filter_blocking": _q75_prefix_filter_blocking,
         "q76_cannot_link_audit": _q76_cannot_link_audit,
         "q77_cluster_metrics": _q77_cluster_metrics,
+        "q80_must_link_audit": _q80_must_link_audit,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -3832,6 +3861,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN cc cb ON cb.doc_id = cons.id_b
             JOIN sizes ON sizes.cluster_id = ca.cluster_id
             WHERE ca.cluster_id = cb.cluster_id
+        """,
+        "q80_must_link_audit": """
+            -- q22's run-structured clusters + deterministic must-link
+            -- constraints; violations = split (different-cluster) pairs
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            cons AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b
+                ON a.doc_id + 1 = b.doc_id
+              WHERE a.doc_id % 13 = 5)
+            SELECT cons.id_a, cons.id_b,
+                   ca.cluster_id AS cluster_a,
+                   cb.cluster_id AS cluster_b
+            FROM cons
+            JOIN cc ca ON ca.doc_id = cons.id_a
+            JOIN cc cb ON cb.doc_id = cons.id_b
+            WHERE ca.cluster_id <> cb.cluster_id
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

@@ -578,6 +578,51 @@ def constraint_violations(
     )
 
 
+def must_link_violations(
+    labels: DataFrame,
+    must_link: DataFrame,
+    id_col: str = "url",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Audit resolved entities against must-link constraints.
+
+    The positive counterpart of constraint_violations: stewards and
+    upstream systems also assert "these two records ARE the same
+    entity" (shared account id, a manual merge). Resolution can still
+    split them — a missed match edge, an over-aggressive blocking key,
+    a score just under threshold — so the audit joins each must-link
+    pair against the labels and emits the pairs whose endpoints landed
+    in DIFFERENT clusters, with both cluster ids for the merge-review
+    queue.
+
+    labels:    (id, cluster_id) — singletons must already carry a
+               label (resolve_entities coalesces them to their own id);
+               unlabeled endpoints produce no row, mirroring
+               constraint_violations.
+    must_link: (id_a, id_b) constraint pairs
+
+    Returns (id_a, id_b, cluster_a, cluster_b) for violated
+    constraints only.
+
+    Scale notes: same shape as the cannot-link audit — the constraint
+    side is tiny relative to the corpus, so both attach joins broadcast
+    it when Catalyst's size estimate allows; no pair expansion, no text
+    payloads shuffled.
+    """
+    la = labels.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("cluster_a")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("cluster_b")
+    )
+    return (
+        must_link.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("cluster_a") != F.col("cluster_b"))
+        .select("id_a", "id_b", "cluster_a", "cluster_b")
+    )
+
+
 def majority_vote(
     labels: DataFrame,
     attrs: DataFrame,

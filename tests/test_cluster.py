@@ -247,6 +247,29 @@ def test_constraint_violations(spark):
     assert got == {("a", "c"): ("c1", 3), ("d", "e"): ("c2", 2)}
 
 
+def test_must_link_violations(spark):
+    from sassy_spark.operators.cluster import must_link_violations
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        ["url", "cluster_id"],
+    )
+    cons = spark.createDataFrame(
+        [
+            ("a", "d"),   # violated: split across c1 / c2
+            ("a", "b"),   # satisfied: same cluster
+            ("e", "c"),   # violated: split across c2 / c1
+            ("a", "zz"),  # endpoint unlabeled -> no row
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["cluster_a"], r["cluster_b"])
+        for r in must_link_violations(labels, cons).collect()
+    }
+    assert got == {("a", "d"): ("c1", "c2"), ("e", "c"): ("c2", "c1")}
+
+
 def test_constraint_violations_empty_constraints(spark):
     from sassy_spark.operators.cluster import constraint_violations
 
