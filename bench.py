@@ -152,6 +152,11 @@ def _run(out: dict) -> None:
         for name in BENCH_QUERIES:
             samples = []
             for _ in range(2):
+                # q22 memoizes its labels per (session, sf) for downstream
+                # queries (q61/q76/q78/q80); a timed sample must measure the
+                # computation, not the memo read — clear it so both samples
+                # (and therefore the reported min) are real CC runs
+                E._Q22_LABEL_MEMO.clear()
                 t0 = time.time()
                 qs[name](spark, SF_DIR).count()
                 samples.append(round(time.time() - t0, 3))
