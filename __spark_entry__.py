@@ -2269,6 +2269,103 @@ def _q79_weighted_jaccard(spark, sf):
     )
 
 
+def _q81_adjusted_rand(spark, sf):
+    """Adjusted Rand Index of the 3-hop-truncated labeling against full
+    connected components — the chance-corrected external metric next to
+    q77's pairwise F1 + B-cubed. Truth = the q22 labels (memoized);
+    pred = the 3-hop label-propagation closed form on chain graphs
+    (min doc_id over the 3-preceding window within a cluster, the same
+    identity q77's oracle uses for q67). evaluation.adjusted_rand does
+    sum-C(n,2) contingency algebra only — no pair expansion — and
+    quantizes with the sign/abs integer-division contract so the
+    DuckDB compare is exact."""
+    from pyspark.sql.window import Window
+    from sassy_spark.operators.evaluation import adjusted_rand
+
+    labels = _q22_connected_components(spark, sf)  # doc_id, cluster_id
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy("doc_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    pred = labels.select(
+        "doc_id", F.min("doc_id").over(w).alias("label3")
+    )
+    return adjusted_rand(
+        pred,
+        labels,
+        id_col="doc_id",
+        pred_col="label3",
+        true_col="cluster_id",
+    )
+
+
+def _q82_source_priority_pick(spark, sf):
+    """Source-trust survivorship over the resolved entities — the third
+    classic conflict-resolution rule next to q61 (longest field) and
+    q78 (majority vote): each member doc carries a trust tier derived
+    from its source feed (numeric suffix mod 3: tier 0 = most
+    trusted), and the entity's surviving lang is the most-trusted
+    member's value, ties inside a tier by ascending doc_id.
+    cluster.priority_pick is ONE map-side-combining min_by per entity
+    over the (priority, id) struct key — no window over member
+    rows."""
+    from sassy_spark.operators.cluster import priority_pick
+
+    labels = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    attrs = d.select(
+        "doc_id",
+        F.col("lang").alias("value"),
+        (F.substring("source", 4, 10).cast("int") % 3).alias("priority"),
+    )
+    out = priority_pick(
+        labels,
+        attrs,
+        id_col="doc_id",
+        label_col="cluster_id",
+        attr_col="value",
+        priority_col="priority",
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("value").alias("lang"),
+        F.col("picked_id").cast("long").alias("picked_doc_id"),
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
+def _q83_cluster_cohesion(spark, sf):
+    """Intra-cluster cohesion audit: transitive closure merges by
+    chains, so an entity can hold records whose DIRECT distance far
+    exceeds the pair threshold. cluster.cluster_cohesion re-scores all
+    intra-cluster pairs of each small entity (size 2..8, C(s,2) pair
+    fan-out capped) with the Myers kernel at k=2048 (> max text
+    length, so costs are never capped) and reports diameter + quantized
+    mean per entity — the over-merge triage signal. Oracle: the same
+    pairs via DuckDB levenshtein on the run-structured clusters."""
+    from sassy_spark.operators.cluster import cluster_cohesion
+
+    labels = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    out = cluster_cohesion(
+        labels,
+        d.select("doc_id", "text"),
+        id_col="doc_id",
+        label_col="cluster_id",
+        k=2048,
+        min_size=2,
+        max_size=8,
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members",
+        "n_pairs",
+        "diameter",
+        "mean_cost_qmicros",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2349,6 +2446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_cannot_link_audit": _q76_cannot_link_audit,
         "q77_cluster_metrics": _q77_cluster_metrics,
         "q80_must_link_audit": _q80_must_link_audit,
+        "q81_adjusted_rand": _q81_adjusted_rand,
+        "q82_source_priority_pick": _q82_source_priority_pick,
+        "q83_cluster_cohesion": _q83_cluster_cohesion,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -3891,6 +3991,131 @@ def oracle_sql() -> dict[str, str]:
             JOIN cc ca ON ca.doc_id = cons.id_a
             JOIN cc cb ON cb.doc_id = cons.id_b
             WHERE ca.cluster_id <> cb.cluster_id
+        """,
+        "q81_adjusted_rand": """
+            -- ARI of 3-hop labels (closed form) vs full CC, same
+            -- sign/abs truncate-toward-zero integer quantization as
+            -- operators/evaluation.adjusted_rand
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            lab AS (
+              SELECT doc_id, cluster_id,
+                     min(doc_id) OVER (PARTITION BY cluster_id
+                         ORDER BY doc_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                         AS label3
+              FROM cc),
+            cells AS (SELECT label3 AS p, cluster_id AS t,
+                             count(*) AS c
+                      FROM lab GROUP BY 1, 2),
+            psz AS (SELECT p, sum(c) AS np FROM cells GROUP BY p),
+            tsz AS (SELECT t, sum(c) AS nt FROM cells GROUP BY t),
+            agg AS (SELECT
+              (SELECT sum(c) FROM cells) AS n,
+              (SELECT sum((c * (c - 1)) // 2) FROM cells) AS s_pairs,
+              (SELECT sum((np * (np - 1)) // 2) FROM psz) AS a_pairs,
+              (SELECT sum((nt * (nt - 1)) // 2) FROM tsz) AS b_pairs),
+            agg2 AS (SELECT n, s_pairs, a_pairs, b_pairs,
+                            (n * (n - 1)) // 2 AS t_pairs
+                     FROM agg)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(s_pairs AS BIGINT) AS s_pairs,
+                   CAST(a_pairs AS BIGINT) AS a_pairs,
+                   CAST(b_pairs AS BIGINT) AS b_pairs,
+                   CAST(t_pairs AS BIGINT) AS t_pairs,
+                   CAST(CASE WHEN t_pairs * (a_pairs + b_pairs)
+                                  - 2 * a_pairs * b_pairs <= 0 THEN 0
+                        ELSE CAST(sign(2 * (t_pairs * s_pairs
+                                            - a_pairs * b_pairs))
+                                  AS BIGINT)
+                             * ((1000000 * abs(2 * (t_pairs * s_pairs
+                                                - a_pairs * b_pairs)))
+                                // (t_pairs * (a_pairs + b_pairs)
+                                    - 2 * a_pairs * b_pairs))
+                        END AS BIGINT) AS ari_qmicros
+            FROM agg2
+        """,
+        "q82_source_priority_pick": """
+            -- source-trust survivorship: per run-cluster, the lang of
+            -- the most-trusted member (tier = suffix(source) % 3,
+            -- ties by ascending doc_id) via an encoded
+            -- priority*2^40 + id key — order-equivalent to the
+            -- operator's (priority, id) struct key for integral ids
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            keyed AS (
+              SELECT cc.cluster_id, d.doc_id, d.lang,
+                     CAST(substr(d.source, 4) AS INT) % 3 AS pr,
+                     CAST(CAST(substr(d.source, 4) AS INT) % 3 AS BIGINT)
+                         * 1099511627776 + d.doc_id AS k
+              FROM cc JOIN documents d USING (doc_id)
+              WHERE d.lang IS NOT NULL)
+            SELECT cluster_id,
+                   arg_min(lang, k) AS lang,
+                   CAST(arg_min(doc_id, k) AS BIGINT) AS picked_doc_id,
+                   CAST(arg_min(pr, k) AS BIGINT) AS priority
+            FROM keyed GROUP BY cluster_id
+        """,
+        "q83_cluster_cohesion": """
+            -- per-entity edit-distance diameter + quantized mean over
+            -- intra-cluster pairs of small (2..8) run-clusters
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            sz AS (SELECT cluster_id, count(*) AS n_members
+                   FROM cc GROUP BY 1),
+            elig AS (SELECT cluster_id, n_members FROM sz
+                     WHERE n_members BETWEEN 2 AND 8),
+            m AS (SELECT cc.doc_id, cc.cluster_id, d.text
+                  FROM cc JOIN documents d USING (doc_id)
+                  JOIN elig USING (cluster_id)),
+            p AS (SELECT a.cluster_id,
+                         levenshtein(a.text, b.text) AS cost
+                  FROM m a JOIN m b ON a.cluster_id = b.cluster_id
+                       AND a.doc_id < b.doc_id)
+            SELECT CAST(p.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(e2.n_members AS BIGINT) AS n_members,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(max(cost) AS BIGINT) AS diameter,
+                   CAST((1000000 * sum(cost)) // count(*) AS BIGINT)
+                       AS mean_cost_qmicros
+            FROM p JOIN elig e2 USING (cluster_id)
+            GROUP BY p.cluster_id, e2.n_members
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

@@ -675,3 +675,161 @@ def majority_vote(
             "votes",
         )
     )
+
+
+def cluster_cohesion(
+    labels: DataFrame,
+    records: DataFrame,
+    id_col: str = "url",
+    label_col: str = "cluster_id",
+    text_col: str = "text",
+    k: int = 2048,
+    min_size: int = 2,
+    max_size: int = 8,
+) -> DataFrame:
+    """Intra-cluster cohesion audit: per-entity edit-distance diameter.
+
+    Transitive closure merges by CHAINS — a→b→c can land two records in
+    one entity whose direct distance far exceeds the pair threshold
+    (the classic over-merge failure mode of CC-based ER). This audit
+    re-scores every intra-cluster pair of each small entity with the
+    Myers kernel and reports the cluster's diameter (max pairwise
+    cost) and quantized mean, the triage signal for chained
+    over-merges: a diameter >> the match threshold means the entity
+    needs review or a stricter clustering (e.g. center/star).
+
+    labels: (id, cluster_id); records: (id, text). Only clusters with
+    min_size <= size <= max_size are audited — the C(s,2) pair
+    expansion is bounded at C(max_size,2) per cluster, so the audit's
+    cost is linear in the number of small entities regardless of skew;
+    mega-clusters (almost always upstream bugs) are cheap to detect by
+    size alone and should be sampled, not exhaustively paired. ``k``
+    must exceed the longest text so no cost is capped (costs saturate
+    at k+1 past it, like the kernel).
+
+    Returns (cluster_id, n_members, n_pairs, diameter,
+    mean_cost_qmicros) with mean_cost_qmicros = (1e6 * sum(cost)) div
+    n_pairs — floor-quantized integer math, exact across engines.
+
+    Scale notes (100 TB audit): one groupBy for sizes, one equi-join to
+    filter members, one self-join on cluster_id whose fan-out is capped
+    by max_size, then score_pairs' own two-phase text join; the final
+    aggregate is map-side-combining on cluster_id.
+    """
+    from . import linkage
+
+    mem = labels.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(label_col).alias("_cl"),
+    )
+    sizes = mem.groupBy("_cl").agg(F.count("*").alias("n_members"))
+    eligible = sizes.where(
+        (F.col("n_members") >= int(min_size))
+        & (F.col("n_members") <= int(max_size))
+    )
+    elig_mem = mem.join(eligible, "_cl")
+    pairs = (
+        elig_mem.alias("a")
+        .join(elig_mem.alias("b"), F.col("a._cl") == F.col("b._cl"))
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._cl").alias("_cl"),
+            F.col("a._id").alias("url_a"),
+            F.col("b._id").alias("url_b"),
+        )
+    )
+    pages = records.select(
+        F.col(id_col).cast("string").alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    scored = linkage.score_pairs(
+        pairs.select("url_a", "url_b"), pages, k=int(k)
+    )
+    # score_pairs' mapInArrow emits a fixed (url_a, url_b, ...) schema,
+    # so the cluster id re-attaches by key instead of riding through;
+    # the member->cluster map is unique per id (no join fan-out)
+    back = scored.join(
+        mem.select(
+            F.col("_id").alias("_ja"), F.col("_cl").alias("_cl2")
+        ),
+        scored["url_a"] == F.col("_ja"),
+    ).drop("_ja")
+    agg = back.groupBy("_cl2").agg(
+        F.count("*").alias("n_pairs"),
+        F.max("cost").cast("long").alias("diameter"),
+        F.sum("cost").cast("long").alias("_sum_cost"),
+    )
+    return (
+        agg.join(
+            eligible.select(F.col("_cl").alias("_cl2"), "n_members"), "_cl2"
+        )
+        .select(
+            F.col("_cl2").alias(label_col),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "diameter",
+            F.expr("(1000000 * _sum_cost) div n_pairs").alias(
+                "mean_cost_qmicros"
+            ),
+        )
+    )
+
+
+def priority_pick(
+    labels: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "url",
+    label_col: str = "cluster_id",
+    attr_col: str = "value",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Attribute survivorship by source trust: most-trusted wins.
+
+    The third standard survivorship rule next to longest-field
+    (``resolve_entities`` reps / q61) and ``majority_vote``: each
+    member record carries an integer trust *priority* (lower = more
+    trusted — e.g. registry feed 0, partner crawl 1, open web 2), and
+    the entity's surviving attribute value is the one held by the
+    most-trusted member; ties inside a priority tier break by
+    ascending record id, so the pick is fully deterministic. NULL
+    attribute values never win (they are filtered before the pick).
+
+    labels: (id, cluster_id); attrs: (id, value, priority) with id of
+    any orderable type (long doc ids, url strings, ...).
+    Returns (cluster_id, value, picked_id, priority).
+
+    Implementation: one equi-join on id, then a single
+    map-side-combining ``min_by`` aggregation per cluster over the
+    lexicographic key ``struct(priority, id)`` — an entity with a
+    million members is ONE combining aggregation group, never a window
+    sort over member rows (contrast a naive row_number approach, which
+    single-tasks the biggest entity). For integral ids this orders
+    identically to the flat encoding ``priority * 2^B + id``; the
+    struct form additionally covers string ids (binary collation) with
+    no encoding-domain precondition.
+    """
+    rows = (
+        labels.select(
+            F.col(id_col).alias("_id"), F.col(label_col).alias("_cl")
+        )
+        .join(
+            attrs.select(
+                F.col(id_col).alias("_id"),
+                F.col(attr_col).alias("_v"),
+                F.col(priority_col).alias("_pr"),
+            ),
+            "_id",
+        )
+        .where(F.col("_v").isNotNull())
+        .withColumn("_key", F.struct(F.col("_pr"), F.col("_id")))
+    )
+    return rows.groupBy("_cl").agg(
+        F.min_by("_v", "_key").alias("_pick_v"),
+        F.min_by("_id", "_key").alias("_pick_id"),
+        F.min_by("_pr", "_key").alias("_pick_pr"),
+    ).select(
+        F.col("_cl").alias(label_col),
+        F.col("_pick_v").alias(attr_col),
+        F.col("_pick_id").alias("picked_id"),
+        F.col("_pick_pr").alias(priority_col),
+    )

@@ -56,6 +56,96 @@ from pyspark.sql import functions as F
 _M = 1_000_000
 
 
+def adjusted_rand(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    true_col: str = "cluster_id",
+) -> DataFrame:
+    """Adjusted Rand Index between two labelings, exact integer math.
+
+    The chance-corrected external clustering metric (Hubert & Arabie
+    '85) — the standard complement to pairwise F1 (which ignores
+    true-negative agreement) and B-cubed (which weights records, not
+    pairs). Computed entirely from cluster-size aggregations via the
+    same sum-C(n,2) identities as :func:`cluster_metrics` — no pair
+    expansion anywhere.
+
+    With S = sum over contingency cells of C(c,2), A/B = sum of
+    C(size,2) over pred/truth clusters, T = C(n,2):
+
+        ARI = (S - A*B/T) / ((A+B)/2 - A*B/T)
+            = 2*(T*S - A*B) / (T*(A+B) - 2*A*B)
+
+    Quantization contract: ``ari_qmicros`` is the second form scaled by
+    1e6 and integer-divided, truncating toward zero via an explicit
+    sign/abs split (ARI can be negative for anti-correlated labelings;
+    Spark ``div`` and DuckDB ``//`` disagree on negative operands, the
+    split makes both engines truncate identically). The denominator is
+    always >= 0 (A(T-B) + B(T-A) with A, B <= T); when it is 0 (both
+    labelings all-singletons or all-one-cluster) the conventional 0 is
+    emitted.
+
+    Int64 domain: the products T*S, T*(A+B) and 2*A*B must stay below
+    2^63 (~9.2e18). For bounded cluster sizes s, A ~ n*(s-1)/2, so
+    A*B <= 4.6e18 holds up to roughly n ~ 4e8 co-labeled records at
+    s <= 10; T*S needs T ~ n^2/2 <= 3e9 pairs per labeling side —
+    beyond that, cast the five count columns this emits to
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) and redo the final ratio
+    downstream. Like :func:`cluster_metrics`, run with
+    ``spark.sql.ansi.enabled=true`` so an overflow raises instead of
+    wrapping.
+
+    Columns: n, s_pairs, a_pairs, b_pairs, t_pairs, ari_qmicros — all
+    longs.
+    """
+    cells = _joint(pred, truth, id_col, pred_col, true_col).localCheckpoint(
+        eager=True
+    )
+    psz = cells.groupBy("_p").agg(F.sum("_c").alias("_np"))
+    tsz = cells.groupBy("_t").agg(F.sum("_c").alias("_nt"))
+
+    s = cells.select(
+        F.sum(F.expr("(_c * (_c - 1)) div 2")).cast("long").alias("v")
+    )
+    a = psz.select(
+        F.sum(F.expr("(_np * (_np - 1)) div 2")).cast("long").alias("v")
+    )
+    b = tsz.select(
+        F.sum(F.expr("(_nt * (_nt - 1)) div 2")).cast("long").alias("v")
+    )
+    n = cells.select(F.sum("_c").cast("long").alias("v"))
+
+    z = F.lit(0).cast("long")
+    row = (
+        n.select(F.col("v").alias("n"))
+        .crossJoin(s.select(F.col("v").alias("s_pairs")))
+        .crossJoin(a.select(F.col("v").alias("a_pairs")))
+        .crossJoin(b.select(F.col("v").alias("b_pairs")))
+        .select(
+            F.coalesce("n", z).alias("n"),
+            F.coalesce("s_pairs", z).alias("s_pairs"),
+            F.coalesce("a_pairs", z).alias("a_pairs"),
+            F.coalesce("b_pairs", z).alias("b_pairs"),
+        )
+        .withColumn("t_pairs", F.expr("(n * (n - 1)) div 2"))
+    )
+    q = F.expr(
+        f"CASE WHEN t_pairs * (a_pairs + b_pairs)"
+        f"          - 2 * a_pairs * b_pairs <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(sign(2 * (t_pairs * s_pairs - a_pairs * b_pairs)) "
+        f"          AS BIGINT) "
+        f"     * (({_M} * abs(2 * (t_pairs * s_pairs - a_pairs * b_pairs)))"
+        f"        div (t_pairs * (a_pairs + b_pairs)"
+        f"             - 2 * a_pairs * b_pairs)) END"
+    )
+    return row.select(
+        "n", "s_pairs", "a_pairs", "b_pairs", "t_pairs",
+        q.alias("ari_qmicros"),
+    )
+
+
 def _joint(
     pred: DataFrame,
     truth: DataFrame,

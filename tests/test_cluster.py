@@ -310,3 +310,49 @@ def test_majority_vote_tie_breaks_ascending(spark):
     )
     (row,) = majority_vote(labels, attrs).collect()
     assert (row["value"], row["votes"]) == ("en", 1)  # tie -> ascending
+
+
+def test_priority_pick(spark):
+    from sassy_spark.operators.cluster import priority_pick
+
+    labels = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c1"), (4, "c2"), (5, "c2")],
+        ["url", "cluster_id"],
+    )
+    attrs = spark.createDataFrame(
+        [
+            # c1: tier-1 tie between ids 2 and 3 -> ascending id -> 2
+            (1, "en", 2), (2, "de", 1), (3, "fr", 1),
+            # c2: the only non-null value wins regardless of tier
+            (4, "zh", 5), (5, None, 0),
+        ],
+        ["url", "value", "priority"],
+    )
+    got = {
+        r["cluster_id"]: (r["value"], r["picked_id"], r["priority"])
+        for r in priority_pick(labels, attrs).collect()
+    }
+    assert got == {"c1": ("de", 2, 1), "c2": ("zh", 4, 5)}
+
+
+def test_cluster_cohesion(spark):
+    from sassy_spark.operators.cluster import cluster_cohesion
+
+    # c1 = {1,2,3}: d(aaaa,aaab)=1 d(aaaa,abbb)=3 d(aaab,abbb)=2
+    # c2 = singleton (below min_size), c3 = 9 members (above max_size)
+    rows = [(1, "c1"), (2, "c1"), (3, "c1"), (4, "c2")]
+    rows += [(10 + i, "c3") for i in range(9)]
+    labels = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    recs = [(1, "aaaa"), (2, "aaab"), (3, "abbb"), (4, "zz")]
+    recs += [(10 + i, "x") for i in range(9)]
+    records = spark.createDataFrame(recs, ["doc_id", "text"])
+    out = cluster_cohesion(
+        labels, records, id_col="doc_id", k=64, min_size=2, max_size=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cluster_id"] == "c1"
+    assert r["n_members"] == 3
+    assert r["n_pairs"] == 3
+    assert r["diameter"] == 3
+    assert r["mean_cost_qmicros"] == (1_000_000 * 6) // 3

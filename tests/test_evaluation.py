@@ -70,3 +70,54 @@ def test_inner_join_on_ids(spark):
     r = _row(spark, pred, truth)
     assert r["n"] == 2
     assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+
+
+def test_adjusted_rand_textbook(spark):
+    from sassy_spark.operators.evaluation import adjusted_rand
+
+    # truth: {a,b,c} {d,e}; pred splits: {a,b} {c} {d,e}
+    # S=2, A=2, B=4, T=10 -> ARI = 2*(20-8)/(60-16) = 24/44
+    truth = spark.createDataFrame(
+        [(x, "t1") for x in "abc"] + [(x, "t2") for x in "de"],
+        ["url", "cluster_id"],
+    )
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p3"), ("e", "p3")],
+        ["url", "cluster_id"],
+    )
+    (r,) = adjusted_rand(pred, truth).collect()
+    assert (r["n"], r["s_pairs"], r["a_pairs"], r["b_pairs"]) == (5, 2, 2, 4)
+    assert r["t_pairs"] == 10
+    assert r["ari_qmicros"] == (1_000_000 * 24) // 44  # 545454
+
+
+def test_adjusted_rand_perfect_and_degenerate(spark):
+    from sassy_spark.operators.evaluation import adjusted_rand
+
+    rows = [("a", "x"), ("b", "x"), ("c", "y")]
+    df = spark.createDataFrame(rows, ["url", "cluster_id"])
+    (r,) = adjusted_rand(df, df).collect()
+    assert r["ari_qmicros"] == 1_000_000
+
+    singles = spark.createDataFrame(
+        [(x, x) for x in "abcd"], ["url", "cluster_id"]
+    )
+    (r,) = adjusted_rand(singles, singles).collect()
+    assert r["ari_qmicros"] == 0  # den = 0: conventional 0
+
+
+def test_adjusted_rand_negative_truncates_toward_zero(spark):
+    from sassy_spark.operators.evaluation import adjusted_rand
+
+    # anti-correlated: truth {a,b}{c,d}, pred {a,c}{b,d}
+    # S=0, A=B=2, T=6 -> ARI = 2*(0-4)/(24-8) = -0.5
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t2"), ("d", "t2")],
+        ["url", "cluster_id"],
+    )
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("c", "p1"), ("b", "p2"), ("d", "p2")],
+        ["url", "cluster_id"],
+    )
+    (r,) = adjusted_rand(pred, truth).collect()
+    assert r["ari_qmicros"] == -500_000
