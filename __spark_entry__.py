@@ -2366,6 +2366,31 @@ def _q83_cluster_cohesion(spark, sf):
     )
 
 
+def _q84_em_fellegi_sunter(spark, sf):
+    """UNSUPERVISED Fellegi-Sunter parameter estimation — the labeled
+    counterpart q64 needs a truth proxy; this is the classic
+    no-labels EM (Winkler '88, splink/fastLink style) over three
+    binary agreement features of adjacent candidate pairs (lang,
+    source, |len diff| <= 20). operators/em.py reduces the corpus to
+    <= 2^K pattern counts in ONE map-side-combining groupBy, then runs
+    2 fixed-point EM iterations on those counts (integer micros, floor
+    after every multiply, [1, 1e6-1] clamp) — the oracle unrolls the
+    identical arithmetic in SQL, so the compare is exact."""
+    from sassy_spark.operators.em import em_fit
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        (F.col("a.lang") == F.col("b.lang")).alias("f_lang"),
+        (F.col("a.source") == F.col("b.source")).alias("f_source"),
+        (
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20
+        ).alias("f_len"),
+    )
+    return em_fit(pairs, ["f_lang", "f_source", "f_len"], n_iter=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2449,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_adjusted_rand": _q81_adjusted_rand,
         "q82_source_priority_pick": _q82_source_priority_pick,
         "q83_cluster_cohesion": _q83_cluster_cohesion,
+        "q84_em_fellegi_sunter": _q84_em_fellegi_sunter,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4116,6 +4142,113 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_cost_qmicros
             FROM p JOIN elig e2 USING (cluster_id)
             GROUP BY p.cluster_id, e2.n_members
+        """,
+        "q84_em_fellegi_sunter": """
+            -- 2 unrolled fixed-point EM iterations over the 2^3
+            -- agreement-pattern counts, mirroring operators/em.py
+            -- verbatim: fold products left-to-right with // 1e6 after
+            -- every multiply, r = (1e6*wm)//(wm+wu), clamp [1, 1e6-1]
+            WITH feats AS (
+              SELECT (a.lang = b.lang) AS f1,
+                     (a.source = b.source) AS f2,
+                     (abs(a.n_chars - b.n_chars) <= 20) AS f3
+              FROM documents a JOIN documents b
+                ON a.doc_id + 1 = b.doc_id),
+            pc AS (SELECT f1, f2, f3, count(*) AS c
+                   FROM feats GROUP BY 1, 2, 3),
+            r1 AS (SELECT f1, f2, f3, c,
+              ((((((CAST(100000 AS BIGINT)
+                * (CASE WHEN f1 THEN 900000 ELSE 100000 END)) // 1000000)
+                * (CASE WHEN f2 THEN 900000 ELSE 100000 END)) // 1000000)
+                * (CASE WHEN f3 THEN 900000 ELSE 100000 END)) // 1000000)
+                AS wm,
+              ((((((CAST(900000 AS BIGINT)
+                * (CASE WHEN f1 THEN 100000 ELSE 900000 END)) // 1000000)
+                * (CASE WHEN f2 THEN 100000 ELSE 900000 END)) // 1000000)
+                * (CASE WHEN f3 THEN 100000 ELSE 900000 END)) // 1000000)
+                AS wu
+              FROM pc),
+            r1b AS (SELECT *, CASE WHEN wm + wu > 0
+                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
+                    FROM r1),
+            a1 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
+              sum(c * (1000000 - r)) AS snr,
+              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
+              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
+              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
+              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
+              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
+              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
+              FROM r1b),
+            p1 AS (SELECT
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr1) // sr ELSE 900000 END)) AS m1,
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr2) // sr ELSE 900000 END)) AS m2,
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr3) // sr ELSE 900000 END)) AS m3,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr1) // snr ELSE 100000 END)) AS u1,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr2) // snr ELSE 100000 END)) AS u2,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr3) // snr ELSE 100000 END)) AS u3,
+              greatest(1, least(999999, CASE WHEN n > 0
+                  THEN sr // n ELSE 100000 END)) AS p
+              FROM a1),
+            r2 AS (SELECT pc.f1, pc.f2, pc.f3, pc.c,
+              ((((((p1.p
+                * (CASE WHEN f1 THEN p1.m1 ELSE 1000000 - p1.m1 END))
+                   // 1000000)
+                * (CASE WHEN f2 THEN p1.m2 ELSE 1000000 - p1.m2 END))
+                   // 1000000)
+                * (CASE WHEN f3 THEN p1.m3 ELSE 1000000 - p1.m3 END))
+                   // 1000000) AS wm,
+              (((((((1000000 - p1.p)
+                * (CASE WHEN f1 THEN p1.u1 ELSE 1000000 - p1.u1 END))
+                   // 1000000)
+                * (CASE WHEN f2 THEN p1.u2 ELSE 1000000 - p1.u2 END))
+                   // 1000000)
+                * (CASE WHEN f3 THEN p1.u3 ELSE 1000000 - p1.u3 END))
+                   // 1000000) AS wu
+              FROM pc, p1),
+            r2b AS (SELECT *, CASE WHEN wm + wu > 0
+                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
+                    FROM r2),
+            a2 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
+              sum(c * (1000000 - r)) AS snr,
+              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
+              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
+              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
+              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
+              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
+              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
+              FROM r2b),
+            p2 AS (SELECT
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr1) // a2.sr ELSE p1.m1 END)) AS m1,
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr2) // a2.sr ELSE p1.m2 END)) AS m2,
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr3) // a2.sr ELSE p1.m3 END)) AS m3,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr1) // a2.snr ELSE p1.u1 END)) AS u1,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr2) // a2.snr ELSE p1.u2 END)) AS u2,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr3) // a2.snr ELSE p1.u3 END)) AS u3,
+              greatest(1, least(999999, CASE WHEN a2.n > 0
+                  THEN a2.sr // a2.n ELSE p1.p END)) AS p
+              FROM a2, p1)
+            SELECT 'f_lang' AS feature, CAST(m1 AS BIGINT) AS m_qmicros,
+                   CAST(u1 AS BIGINT) AS u_qmicros,
+                   CAST(p AS BIGINT) AS p_qmicros FROM p2
+            UNION ALL
+            SELECT 'f_source', CAST(m2 AS BIGINT), CAST(u2 AS BIGINT),
+                   CAST(p AS BIGINT) FROM p2
+            UNION ALL
+            SELECT 'f_len', CAST(m3 AS BIGINT), CAST(u3 AS BIGINT),
+                   CAST(p AS BIGINT) FROM p2
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

@@ -1,0 +1,145 @@
+"""Unsupervised Fellegi-Sunter parameter estimation via EM.
+
+q64 scores pairs with m/u probabilities estimated against a truth
+proxy; the classic production alternative (Winkler '88, and what
+splink/fastLink do) needs NO labels: treat match status as a latent
+variable and run EM over the comparison-vector distribution. For K
+binary agreement features the sufficient statistics are just the
+2^K **pattern counts** — EM never touches pairs again after one
+distributed aggregation.
+
+Model (conditional independence / naive Bayes, the standard FS form):
+
+    P(pattern g) = p * prod_k m_k^g_k (1-m_k)^(1-g_k)
+                 + (1-p) * prod_k u_k^g_k (1-u_k)^(1-g_k)
+
+E-step: responsibility r_g = P(match | g); M-step: m_k, u_k, p from
+r-weighted pattern counts.
+
+Fixed-point contract (what makes the DuckDB oracle compare exact):
+every probability lives as integer micros in [0, 1e6]. Products fold
+LEFT TO RIGHT with a floor division after each multiply:
+
+    w_m(g) = fold(p,   t_1 .. t_K)   with t_k = m_k if g_k else 1e6-m_k
+    w_u(g) = fold(1e6-p, ...)        where fold(a, t) = (a * t) // 1e6
+    r_g    = (1e6 * w_m) // (w_m + w_u)     (0 when both weights
+                                             underflow to 0)
+    m_k'   = clamp( (1e6 * sum_g c_g*r_g*g_k)       // sum_g c_g*r_g )
+    u_k'   = clamp( (1e6 * sum_g c_g*(1e6-r_g)*g_k) // sum_g c_g*(1e6-r_g) )
+    p'     = clamp( sum_g c_g*r_g // N )
+
+clamp keeps parameters in [1, 1e6-1] so no weight degenerates to an
+exact 0/1 spike (the standard EM boundary guard). The fold order, the
+floor after every multiply, and the clamp are part of the contract —
+an oracle must replicate them verbatim, and then both engines do
+exact int64 arithmetic end to end. Quantization cost: each fold step
+loses < 1 micro, so estimates sit within ~K+1 micros of the real-
+valued EM fixpoint per iteration — noise far below estimation error.
+
+Int64 domain: the largest intermediate is 1e6 * sum(c_g * r_g)
+<= 1e12 * N_pairs, safe through N ~ 9e6 pairs... which is why the
+driver-side sums below run on PYTHON ints (arbitrary precision), not
+in Spark: only the pattern counts (<= 2^K rows) are computed
+distributed and collected; the EM loop is O(2^K * K * n_iter) integer
+ops on the driver, independent of corpus size. At 10^12 candidate
+pairs the aggregation is still one map-side-combining groupBy of K
+booleans; the collect is still <= 2^K rows. (An oracle engine doing
+the same sums in int64/int128 matches exactly as long as
+1e12 * N_pairs fits — document N when porting.)
+
+Reference parity: estimates the same (m, u, p) the Fellegi-Sunter
+likelihood-ratio scorer consumes (q64 / operators docstrings cite
+reference semantics); sassy itself has no probabilistic layer — this
+is part of the cluster-scale ER reimagining, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def pattern_counts(pairs: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """Distributed sufficient statistics: one row per agreement pattern.
+
+    Columns: the K boolean features + ``c`` (long). At most 2^K rows
+    regardless of input size; the groupBy combines map-side.
+    """
+    keys = [F.col(c).cast("boolean").alias(c) for c in feature_cols]
+    return pairs.groupBy(*keys).agg(F.count("*").alias("c"))
+
+
+def _clamp(x: int) -> int:
+    return max(1, min(_M - 1, x))
+
+
+def em_step(
+    patterns: list[tuple[tuple[bool, ...], int]],
+    m: list[int],
+    u: list[int],
+    p: int,
+) -> tuple[list[int], list[int], int]:
+    """One fixed-point EM iteration over pattern counts (pure ints)."""
+    k_n = len(m)
+    sr = 0
+    snr = 0
+    n = 0
+    srk = [0] * k_n
+    snrk = [0] * k_n
+    for g, c in patterns:
+        wm = p
+        wu = _M - p
+        for k in range(k_n):
+            wm = (wm * (m[k] if g[k] else _M - m[k])) // _M
+            wu = (wu * (u[k] if g[k] else _M - u[k])) // _M
+        r = (_M * wm) // (wm + wu) if (wm + wu) > 0 else 0
+        n += c
+        sr += c * r
+        snr += c * (_M - r)
+        for k in range(k_n):
+            if g[k]:
+                srk[k] += c * r
+                snrk[k] += c * (_M - r)
+    m2 = [
+        _clamp((_M * srk[k]) // sr) if sr > 0 else m[k] for k in range(k_n)
+    ]
+    u2 = [
+        _clamp((_M * snrk[k]) // snr) if snr > 0 else u[k]
+        for k in range(k_n)
+    ]
+    p2 = _clamp(sr // n) if n > 0 else p
+    return m2, u2, p2
+
+
+def em_fit(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    n_iter: int = 2,
+    m_init: int = 900_000,
+    u_init: int = 100_000,
+    p_init: int = 100_000,
+) -> DataFrame:
+    """Fit FS parameters by EM; returns one row per feature.
+
+    Columns: feature (string), m_qmicros, u_qmicros, p_qmicros (longs;
+    p repeated on every row). The ONLY driver-side data is the <= 2^K
+    pattern-count rows — see module docstring for the scale argument.
+    """
+    rows = pattern_counts(pairs, feature_cols).collect()
+    patterns = [
+        (tuple(bool(r[c]) for c in feature_cols), int(r["c"])) for r in rows
+    ]
+    m = [int(m_init)] * len(feature_cols)
+    u = [int(u_init)] * len(feature_cols)
+    p = int(p_init)
+    for _ in range(int(n_iter)):
+        m, u, p = em_step(patterns, m, u, p)
+    spark = pairs.sparkSession
+    out = [
+        (feature_cols[k], m[k], u[k], p) for k in range(len(feature_cols))
+    ]
+    return spark.createDataFrame(
+        out, "feature string, m_qmicros long, u_qmicros long, p_qmicros long"
+    )
