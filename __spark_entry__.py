@@ -2391,6 +2391,39 @@ def _q84_em_fellegi_sunter(spark, sf):
     return em_fit(pairs, ["f_lang", "f_source", "f_len"], n_iter=2)
 
 
+def _q85_fs_em_scores(spark, sf):
+    """End-to-end unsupervised probabilistic scoring: fit m/u/p by EM
+    (q84's exact arithmetic) and score every candidate pair with the
+    FS likelihood ratio under the fitted model — em.fs_score folds
+    (lr * num_k) div den_k in fixed point with a 1e12-micros
+    saturation after every step (part of the contract: bounds
+    intermediates inside int64 AND makes the fold engine-exact). The
+    scoring projection is one JVM-side select with the K fitted
+    parameters inlined as literals — no join, no UDF."""
+    from sassy_spark.operators.em import em_fit, fs_score
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("a.lang") == F.col("b.lang")).alias("f_lang"),
+        (F.col("a.source") == F.col("b.source")).alias("f_source"),
+        (
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20
+        ).alias("f_len"),
+    )
+    feature_cols = ["f_lang", "f_source", "f_len"]
+    # the features frame feeds the fit's pattern groupBy AND the
+    # scoring projection — persist so the adjacent-join runs once
+    pairs = pairs.persist()
+    params = em_fit(pairs, feature_cols, n_iter=2)
+    return fs_score(pairs, params, feature_cols).select(
+        "doc_a", "doc_b", "f_lang", "f_source", "f_len", "lr_qmicros"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2475,9 +2508,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_source_priority_pick": _q82_source_priority_pick,
         "q83_cluster_cohesion": _q83_cluster_cohesion,
         "q84_em_fellegi_sunter": _q84_em_fellegi_sunter,
+        "q85_fs_em_scores": _q85_fs_em_scores,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
+
+
+# Shared by the q84/q85 oracles: the 2-unrolled-iteration fixed-point
+# EM over the 2^3 agreement-pattern counts, mirroring operators/em.py
+# verbatim (fold products left-to-right with // 1e6 after every
+# multiply, r = (1e6*wm)//(wm+wu), clamp [1, 1e6-1]). Ends with the
+# fitted params in CTE p2 (m1..m3, u1..u3, p); feats carries pair ids
+# so the q85 scoring select can join back.
+_EM_ORACLE_CTES = """
+            WITH feats AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (a.lang = b.lang) AS f1,
+                     (a.source = b.source) AS f2,
+                     (abs(a.n_chars - b.n_chars) <= 20) AS f3
+              FROM documents a JOIN documents b
+                ON a.doc_id + 1 = b.doc_id),
+            pc AS (SELECT f1, f2, f3, count(*) AS c
+                   FROM feats GROUP BY 1, 2, 3),
+            r1 AS (SELECT f1, f2, f3, c,
+              ((((((CAST(100000 AS BIGINT)
+                * (CASE WHEN f1 THEN 900000 ELSE 100000 END)) // 1000000)
+                * (CASE WHEN f2 THEN 900000 ELSE 100000 END)) // 1000000)
+                * (CASE WHEN f3 THEN 900000 ELSE 100000 END)) // 1000000)
+                AS wm,
+              ((((((CAST(900000 AS BIGINT)
+                * (CASE WHEN f1 THEN 100000 ELSE 900000 END)) // 1000000)
+                * (CASE WHEN f2 THEN 100000 ELSE 900000 END)) // 1000000)
+                * (CASE WHEN f3 THEN 100000 ELSE 900000 END)) // 1000000)
+                AS wu
+              FROM pc),
+            r1b AS (SELECT *, CASE WHEN wm + wu > 0
+                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
+                    FROM r1),
+            a1 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
+              sum(c * (1000000 - r)) AS snr,
+              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
+              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
+              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
+              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
+              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
+              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
+              FROM r1b),
+            p1 AS (SELECT
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr1) // sr ELSE 900000 END)) AS m1,
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr2) // sr ELSE 900000 END)) AS m2,
+              greatest(1, least(999999, CASE WHEN sr > 0
+                  THEN (1000000 * sr3) // sr ELSE 900000 END)) AS m3,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr1) // snr ELSE 100000 END)) AS u1,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr2) // snr ELSE 100000 END)) AS u2,
+              greatest(1, least(999999, CASE WHEN snr > 0
+                  THEN (1000000 * snr3) // snr ELSE 100000 END)) AS u3,
+              greatest(1, least(999999, CASE WHEN n > 0
+                  THEN sr // n ELSE 100000 END)) AS p
+              FROM a1),
+            r2 AS (SELECT pc.f1, pc.f2, pc.f3, pc.c,
+              ((((((p1.p
+                * (CASE WHEN f1 THEN p1.m1 ELSE 1000000 - p1.m1 END))
+                   // 1000000)
+                * (CASE WHEN f2 THEN p1.m2 ELSE 1000000 - p1.m2 END))
+                   // 1000000)
+                * (CASE WHEN f3 THEN p1.m3 ELSE 1000000 - p1.m3 END))
+                   // 1000000) AS wm,
+              (((((((1000000 - p1.p)
+                * (CASE WHEN f1 THEN p1.u1 ELSE 1000000 - p1.u1 END))
+                   // 1000000)
+                * (CASE WHEN f2 THEN p1.u2 ELSE 1000000 - p1.u2 END))
+                   // 1000000)
+                * (CASE WHEN f3 THEN p1.u3 ELSE 1000000 - p1.u3 END))
+                   // 1000000) AS wu
+              FROM pc, p1),
+            r2b AS (SELECT *, CASE WHEN wm + wu > 0
+                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
+                    FROM r2),
+            a2 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
+              sum(c * (1000000 - r)) AS snr,
+              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
+              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
+              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
+              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
+              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
+              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
+              FROM r2b),
+            p2 AS (SELECT
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr1) // a2.sr ELSE p1.m1 END)) AS m1,
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr2) // a2.sr ELSE p1.m2 END)) AS m2,
+              greatest(1, least(999999, CASE WHEN a2.sr > 0
+                  THEN (1000000 * a2.sr3) // a2.sr ELSE p1.m3 END)) AS m3,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr1) // a2.snr ELSE p1.u1 END)) AS u1,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr2) // a2.snr ELSE p1.u2 END)) AS u2,
+              greatest(1, least(999999, CASE WHEN a2.snr > 0
+                  THEN (1000000 * a2.snr3) // a2.snr ELSE p1.u3 END)) AS u3,
+              greatest(1, least(999999, CASE WHEN a2.n > 0
+                  THEN a2.sr // a2.n ELSE p1.p END)) AS p
+              FROM a2, p1)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4143,103 +4280,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN elig e2 USING (cluster_id)
             GROUP BY p.cluster_id, e2.n_members
         """,
-        "q84_em_fellegi_sunter": """
-            -- 2 unrolled fixed-point EM iterations over the 2^3
-            -- agreement-pattern counts, mirroring operators/em.py
-            -- verbatim: fold products left-to-right with // 1e6 after
-            -- every multiply, r = (1e6*wm)//(wm+wu), clamp [1, 1e6-1]
-            WITH feats AS (
-              SELECT (a.lang = b.lang) AS f1,
-                     (a.source = b.source) AS f2,
-                     (abs(a.n_chars - b.n_chars) <= 20) AS f3
-              FROM documents a JOIN documents b
-                ON a.doc_id + 1 = b.doc_id),
-            pc AS (SELECT f1, f2, f3, count(*) AS c
-                   FROM feats GROUP BY 1, 2, 3),
-            r1 AS (SELECT f1, f2, f3, c,
-              ((((((CAST(100000 AS BIGINT)
-                * (CASE WHEN f1 THEN 900000 ELSE 100000 END)) // 1000000)
-                * (CASE WHEN f2 THEN 900000 ELSE 100000 END)) // 1000000)
-                * (CASE WHEN f3 THEN 900000 ELSE 100000 END)) // 1000000)
-                AS wm,
-              ((((((CAST(900000 AS BIGINT)
-                * (CASE WHEN f1 THEN 100000 ELSE 900000 END)) // 1000000)
-                * (CASE WHEN f2 THEN 100000 ELSE 900000 END)) // 1000000)
-                * (CASE WHEN f3 THEN 100000 ELSE 900000 END)) // 1000000)
-                AS wu
-              FROM pc),
-            r1b AS (SELECT *, CASE WHEN wm + wu > 0
-                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
-                    FROM r1),
-            a1 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
-              sum(c * (1000000 - r)) AS snr,
-              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
-              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
-              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
-              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
-              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
-              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
-              FROM r1b),
-            p1 AS (SELECT
-              greatest(1, least(999999, CASE WHEN sr > 0
-                  THEN (1000000 * sr1) // sr ELSE 900000 END)) AS m1,
-              greatest(1, least(999999, CASE WHEN sr > 0
-                  THEN (1000000 * sr2) // sr ELSE 900000 END)) AS m2,
-              greatest(1, least(999999, CASE WHEN sr > 0
-                  THEN (1000000 * sr3) // sr ELSE 900000 END)) AS m3,
-              greatest(1, least(999999, CASE WHEN snr > 0
-                  THEN (1000000 * snr1) // snr ELSE 100000 END)) AS u1,
-              greatest(1, least(999999, CASE WHEN snr > 0
-                  THEN (1000000 * snr2) // snr ELSE 100000 END)) AS u2,
-              greatest(1, least(999999, CASE WHEN snr > 0
-                  THEN (1000000 * snr3) // snr ELSE 100000 END)) AS u3,
-              greatest(1, least(999999, CASE WHEN n > 0
-                  THEN sr // n ELSE 100000 END)) AS p
-              FROM a1),
-            r2 AS (SELECT pc.f1, pc.f2, pc.f3, pc.c,
-              ((((((p1.p
-                * (CASE WHEN f1 THEN p1.m1 ELSE 1000000 - p1.m1 END))
-                   // 1000000)
-                * (CASE WHEN f2 THEN p1.m2 ELSE 1000000 - p1.m2 END))
-                   // 1000000)
-                * (CASE WHEN f3 THEN p1.m3 ELSE 1000000 - p1.m3 END))
-                   // 1000000) AS wm,
-              (((((((1000000 - p1.p)
-                * (CASE WHEN f1 THEN p1.u1 ELSE 1000000 - p1.u1 END))
-                   // 1000000)
-                * (CASE WHEN f2 THEN p1.u2 ELSE 1000000 - p1.u2 END))
-                   // 1000000)
-                * (CASE WHEN f3 THEN p1.u3 ELSE 1000000 - p1.u3 END))
-                   // 1000000) AS wu
-              FROM pc, p1),
-            r2b AS (SELECT *, CASE WHEN wm + wu > 0
-                        THEN (1000000 * wm) // (wm + wu) ELSE 0 END AS r
-                    FROM r2),
-            a2 AS (SELECT sum(c) AS n, sum(c * r) AS sr,
-              sum(c * (1000000 - r)) AS snr,
-              sum(CASE WHEN f1 THEN c * r ELSE 0 END) AS sr1,
-              sum(CASE WHEN f2 THEN c * r ELSE 0 END) AS sr2,
-              sum(CASE WHEN f3 THEN c * r ELSE 0 END) AS sr3,
-              sum(CASE WHEN f1 THEN c * (1000000 - r) ELSE 0 END) AS snr1,
-              sum(CASE WHEN f2 THEN c * (1000000 - r) ELSE 0 END) AS snr2,
-              sum(CASE WHEN f3 THEN c * (1000000 - r) ELSE 0 END) AS snr3
-              FROM r2b),
-            p2 AS (SELECT
-              greatest(1, least(999999, CASE WHEN a2.sr > 0
-                  THEN (1000000 * a2.sr1) // a2.sr ELSE p1.m1 END)) AS m1,
-              greatest(1, least(999999, CASE WHEN a2.sr > 0
-                  THEN (1000000 * a2.sr2) // a2.sr ELSE p1.m2 END)) AS m2,
-              greatest(1, least(999999, CASE WHEN a2.sr > 0
-                  THEN (1000000 * a2.sr3) // a2.sr ELSE p1.m3 END)) AS m3,
-              greatest(1, least(999999, CASE WHEN a2.snr > 0
-                  THEN (1000000 * a2.snr1) // a2.snr ELSE p1.u1 END)) AS u1,
-              greatest(1, least(999999, CASE WHEN a2.snr > 0
-                  THEN (1000000 * a2.snr2) // a2.snr ELSE p1.u2 END)) AS u2,
-              greatest(1, least(999999, CASE WHEN a2.snr > 0
-                  THEN (1000000 * a2.snr3) // a2.snr ELSE p1.u3 END)) AS u3,
-              greatest(1, least(999999, CASE WHEN a2.n > 0
-                  THEN a2.sr // a2.n ELSE p1.p END)) AS p
-              FROM a2, p1)
+        "q84_em_fellegi_sunter": _EM_ORACLE_CTES + """
             SELECT 'f_lang' AS feature, CAST(m1 AS BIGINT) AS m_qmicros,
                    CAST(u1 AS BIGINT) AS u_qmicros,
                    CAST(p AS BIGINT) AS p_qmicros FROM p2
@@ -4249,6 +4290,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'f_len', CAST(m3 AS BIGINT), CAST(u3 AS BIGINT),
                    CAST(p AS BIGINT) FROM p2
+        """,
+        "q85_fs_em_scores": _EM_ORACLE_CTES + """
+            -- FS likelihood-ratio scoring under the EM-fitted params:
+            -- fold (lr * num_k) // den_k per feature, saturated at
+            -- 1e12 micros after every step (em.fs_score contract)
+            SELECT f.doc_a, f.doc_b,
+                   f.f1 AS f_lang, f.f2 AS f_source, f.f3 AS f_len,
+                   CAST(least((least((least((CAST(1000000 AS BIGINT)
+                     * (CASE WHEN f.f1 THEN p2.m1
+                             ELSE 1000000 - p2.m1 END))
+                     // (CASE WHEN f.f1 THEN p2.u1
+                              ELSE 1000000 - p2.u1 END),
+                     1000000000000)
+                     * (CASE WHEN f.f2 THEN p2.m2
+                             ELSE 1000000 - p2.m2 END))
+                     // (CASE WHEN f.f2 THEN p2.u2
+                              ELSE 1000000 - p2.u2 END),
+                     1000000000000)
+                     * (CASE WHEN f.f3 THEN p2.m3
+                             ELSE 1000000 - p2.m3 END))
+                     // (CASE WHEN f.f3 THEN p2.u3
+                              ELSE 1000000 - p2.u3 END),
+                     1000000000000) AS BIGINT) AS lr_qmicros
+            FROM feats f, p2
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

@@ -113,6 +113,56 @@ def em_step(
     return m2, u2, p2
 
 
+_LR_CAP = 1_000_000_000_000  # 1e12 micros = likelihood ratio 1e6
+
+
+def fs_score(
+    pairs: DataFrame,
+    params: DataFrame,
+    feature_cols: list[str],
+    lr_col: str = "lr_qmicros",
+) -> DataFrame:
+    """Score pairs with the FS likelihood ratio from fitted parameters.
+
+    The consumer of :func:`em_fit`: for each pair, the match/non-match
+    likelihood ratio under conditional independence,
+
+        LR = prod_k (m_k / u_k)^g_k * ((1-m_k) / (1-u_k))^(1-g_k)
+
+    folded in fixed point exactly like the fit: start at 1e6 micros,
+    then per feature ``lr = (lr * num_k) // den_k`` with num/den the
+    agreeing or disagreeing (m, u) sides, SATURATED at 1e12 micros
+    after every step (LR 1e6 — beyond any decision threshold). The cap
+    is part of the contract: it both bounds the largest intermediate at
+    1e12 * 1e6 < 2^63 (no overflow however extreme the u's) and makes
+    the fold exactly reproducible in any integer engine. Fold order =
+    ``feature_cols`` order. ``em_fit``'s [1, 1e6-1] clamp guarantees
+    den_k >= 1.
+
+    params: the (feature, m_qmicros, u_qmicros, ...) frame from
+    em_fit — K rows, collected driver-side (tiny) and inlined as
+    literals so the scoring projection is a single JVM-side select
+    over the pairs; no join, no UDF.
+
+    Returns ``pairs`` with ``lr_col`` appended (long).
+    """
+    rows = {r["feature"]: r for r in params.collect()}
+    missing = [c for c in feature_cols if c not in rows]
+    if missing:
+        raise ValueError(f"params missing features: {missing}")
+    e = f"CAST({_M} AS BIGINT)"
+    for c in feature_cols:
+        m_k = int(rows[c]["m_qmicros"])
+        u_k = int(rows[c]["u_qmicros"])
+        num = f"(CASE WHEN `{c}` THEN {m_k} ELSE {_M - m_k} END)"
+        den = f"(CASE WHEN `{c}` THEN {u_k} ELSE {_M - u_k} END)"
+        e = (
+            f"LEAST(({e} * CAST({num} AS BIGINT))"
+            f" div CAST({den} AS BIGINT), CAST({_LR_CAP} AS BIGINT))"
+        )
+    return pairs.withColumn(lr_col, F.expr(e).cast("long"))
+
+
 def em_fit(
     pairs: DataFrame,
     feature_cols: list[str],

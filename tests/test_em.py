@@ -72,3 +72,39 @@ def test_pattern_counts_bounded(spark):
     pats = pattern_counts(pairs, ["a", "b"]).collect()
     assert len(pats) <= 4
     assert sum(r["c"] for r in pats) == 1000
+
+
+def test_fs_score_hand_pinned_and_saturation(spark):
+    from sassy_spark.operators.em import fs_score
+
+    params = spark.createDataFrame(
+        [("f1", 900_000, 100_000, 50_000), ("f2", 999_999, 1, 50_000)],
+        "feature string, m_qmicros long, u_qmicros long, p_qmicros long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, True, False), (2, False, False), (3, True, True)],
+        ["pid", "f1", "f2"],
+    )
+    got = {
+        r["pid"]: r["lr_qmicros"]
+        for r in fs_score(pairs, params, ["f1", "f2"]).collect()
+    }
+    # pid 1: lr = (1e6*9e5)//1e5 = 9e6; then disagree on f2:
+    #   (9e6 * (1e6-999999)) // (1e6-1) = 9e6 // 999999 = 9
+    assert got[1] == (9_000_000 * 1) // 999_999 == 9
+    # pid 2: (1e6*1e5)//9e5 = 111111; * 1 // 999999 = 0
+    assert got[2] == 0
+    # pid 3: (1e6*9e5)//1e5 = 9e6; (9e6*999999)//1 = 9e12 -> cap 1e12
+    assert got[3] == 1_000_000_000_000
+
+
+def test_fs_score_missing_feature_raises(spark):
+    from sassy_spark.operators.em import fs_score
+
+    params = spark.createDataFrame(
+        [("f1", 900_000, 100_000, 50_000)],
+        "feature string, m_qmicros long, u_qmicros long, p_qmicros long",
+    )
+    pairs = spark.createDataFrame([(True, True)], ["f1", "f2"])
+    with pytest.raises(ValueError, match="f2"):
+        fs_score(pairs, params, ["f1", "f2"])
