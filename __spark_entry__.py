@@ -2424,6 +2424,56 @@ def _q85_fs_em_scores(spark, sf):
     )
 
 
+def _q86_threshold_stability(spark, sf):
+    """Threshold-sensitivity audit: resolve at the production threshold
+    (k=220, the memoized q22 labels) AND at a strict one (k=150 —
+    edges from the SAME single scoring pass, since costs <= 220 are
+    exact), then report how each coarse entity fragments under the
+    strict labeling (evaluation.refinement_stats — contingency-cell
+    counts, no pair expansion). Coarse clusters glued by borderline
+    151..220-cost edges surface as fragmented = true; the first-look
+    diagnostic when choosing or re-tuning k."""
+    from sassy_spark.operators import linkage
+    from sassy_spark.operators.cluster import connected_components
+    from sassy_spark.operators.evaluation import refinement_stats
+
+    coarse = _q22_connected_components(spark, sf)
+    d = _load(spark, sf, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
+    )
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.lpad(F.col("a.doc_id").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("b.doc_id").cast("string"), 8, "0").alias("url_b"),
+    )
+    scored = linkage.score_pairs(adj, pages, k=220)
+    edges150 = scored.where("cost <= 150").select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    cc150 = connected_components(edges150)
+    fine = pages.select("url").join(cc150, "url", "left").select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("url")).cast("long").alias(
+            "fine_id"
+        ),
+    )
+    out = refinement_stats(
+        fine,
+        coarse,
+        id_col="doc_id",
+        fine_col="fine_id",
+        coarse_col="cluster_id",
+    )
+    return out.select(
+        F.col("coarse_cluster_id").cast("long").alias("coarse_cluster_id"),
+        "n_members",
+        "n_fine",
+        "fragmented",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2509,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_cluster_cohesion": _q83_cluster_cohesion,
         "q84_em_fellegi_sunter": _q84_em_fellegi_sunter,
         "q85_fs_em_scores": _q85_fs_em_scores,
+        "q86_threshold_stability": _q86_threshold_stability,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4314,6 +4365,48 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1000000 - p2.u3 END),
                      1000000000000) AS BIGINT) AS lr_qmicros
             FROM feats f, p2
+        """,
+        "q86_threshold_stability": """
+            -- fragmentation of k=220 run-clusters under the k=150
+            -- labeling: contingency cells (coarse, fine), counts only
+            WITH e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            marks AS (
+              SELECT d.doc_id,
+                     CASE WHEN e.src IS NULL THEN d.doc_id END AS run_start
+              FROM documents d
+              LEFT JOIN e ON e.dst = d.doc_id),
+            cc AS (
+              SELECT doc_id,
+                     max(run_start) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cluster_id
+              FROM marks),
+            ef AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 150),
+            marksf AS (
+              SELECT d.doc_id,
+                     CASE WHEN ef.src IS NULL THEN d.doc_id END AS fstart
+              FROM documents d
+              LEFT JOIN ef ON ef.dst = d.doc_id),
+            ccf AS (
+              SELECT doc_id,
+                     max(fstart) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS fine_id
+              FROM marksf),
+            cells AS (
+              SELECT cc.cluster_id AS coarse_id, ccf.fine_id,
+                     count(*) AS c
+              FROM cc JOIN ccf USING (doc_id)
+              GROUP BY 1, 2)
+            SELECT CAST(coarse_id AS BIGINT) AS coarse_cluster_id,
+                   CAST(sum(c) AS BIGINT) AS n_members,
+                   CAST(count(*) AS BIGINT) AS n_fine,
+                   count(*) > 1 AS fragmented
+            FROM cells GROUP BY 1
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

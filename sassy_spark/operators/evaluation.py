@@ -163,6 +163,48 @@ def _joint(
     )
 
 
+def refinement_stats(
+    fine: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "url",
+    fine_col: str = "cluster_id",
+    coarse_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-coarse-cluster fragmentation under a finer labeling.
+
+    The threshold-sensitivity audit of an ER pipeline: resolve at a
+    loose threshold (coarse) and at a strict one (fine), then ask how
+    each coarse entity decomposes — a coarse cluster spanning many fine
+    sub-clusters is glued by borderline edges and is the first place a
+    threshold change (or a chaining over-merge) shows up. Works for
+    ANY two labelings (not just true refinements): n_fine counts the
+    distinct fine labels co-occurring inside the coarse cluster.
+
+    Returns (coarse_cluster_id, n_members, n_fine, fragmented) — one
+    row per coarse cluster over the co-labeled ids, fragmented =
+    (n_fine > 1).
+
+    Scale notes: built on the same (fine, coarse, count) contingency
+    cells as the metrics above — one id join, one groupBy of label
+    pairs, one groupBy of coarse labels; all counts map-side combine,
+    nothing expands pairs.
+    """
+    cells = _joint(fine, coarse, id_col, fine_col, coarse_col)
+    return (
+        cells.groupBy("_t")
+        .agg(
+            F.sum("_c").cast("long").alias("n_members"),
+            F.count("*").cast("long").alias("n_fine"),
+        )
+        .select(
+            F.col("_t").alias("coarse_cluster_id"),
+            "n_members",
+            "n_fine",
+            (F.col("n_fine") > 1).alias("fragmented"),
+        )
+    )
+
+
 def cluster_metrics(
     pred: DataFrame,
     truth: DataFrame,

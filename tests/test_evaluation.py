@@ -121,3 +121,23 @@ def test_adjusted_rand_negative_truncates_toward_zero(spark):
     )
     (r,) = adjusted_rand(pred, truth).collect()
     assert r["ari_qmicros"] == -500_000
+
+
+def test_refinement_stats(spark):
+    from sassy_spark.operators.evaluation import refinement_stats
+
+    fine = spark.createDataFrame(
+        [("a", "f1"), ("b", "f1"), ("c", "f2"), ("d", "f3"), ("e", "f3")],
+        ["url", "cluster_id"],
+    )
+    coarse = spark.createDataFrame(
+        [("a", "C1"), ("b", "C1"), ("c", "C1"), ("d", "C2"), ("e", "C2")],
+        ["url", "cluster_id"],
+    )
+    got = {
+        r["coarse_cluster_id"]: (
+            r["n_members"], r["n_fine"], r["fragmented"]
+        )
+        for r in refinement_stats(fine, coarse).collect()
+    }
+    assert got == {"C1": (3, 2, True), "C2": (2, 1, False)}
