@@ -10,10 +10,13 @@ next to `normalized_cost`.
 
 Scale notes (100 TB audit):
 - each similarity is a SCALAR pandas UDF over two already-joined short
-  string columns — no shuffle of its own; the only exchanges are the
-  two field-attachment joins, and the fields side is narrow (url + a
-  <=64-char slice), so Catalyst broadcasts it at any realistic
-  dimension size and sort-merges correctly beyond that;
+  string columns; the only exchanges are ONE narrow pre-score
+  repartition of the pairs (1 task/core — blocked joins upstream can
+  leave every candidate pair in one partition and single-thread the
+  kernel; see _score_pairs_on_field) plus the two field-attachment
+  joins, whose fields side is narrow (url + a <=64-char slice), so
+  Catalyst broadcasts it at any realistic dimension size and
+  sort-merges correctly beyond that;
 - the kernels are batch-vectorized numpy over byte matrices
   (`kernel/jaro.py`, `kernel/damerau.py`); the UDFs chunk each Arrow
   batch so the working-set matrices stay cache-resident regardless of
@@ -85,11 +88,34 @@ def _score_pairs_on_field(
     out_col: str,
     series_fn: Callable,
     return_ddl: str,
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a short field to both sides of each pair (LEFT joins — a
     pair whose url is missing from fields is KEPT and scores against the
     empty string, same as a present-but-NULL field) and append the
-    kernel's score column."""
+    kernel's score column.
+
+    The joined frame is hash-repartitioned to ``score_partitions``
+    (default: 1 task/core) AFTER the field joins, immediately before
+    the kernel UDF: a blocked equi-join upstream routinely leaves ALL
+    candidate pairs in a handful of partitions (measured: q68's 599k
+    nation-blocked pairs in ONE partition — the kernel ran
+    single-threaded, 5.8s instead of ~1s), and even a pre-join fan-out
+    dies whenever the fields side is too big to broadcast (the
+    sort-merge ENSURE_REQUIREMENTS exchanges re-key it and AQE then
+    coalesces the narrow post-join output BY BYTES — wrong for a
+    CPU-bound kernel stage). Unlike linkage.score_pairs (2 KB text
+    payloads, where the exchange must happen pre-join), these rows
+    carry only short fields, so one post-join exchange is the cheap,
+    plan-shape-independent guarantee. REPARTITION_BY_NUM is exempt
+    from AQE coalescing, so the task count holds.
+    ``score_partitions=0`` inherits the upstream partitioning (no
+    exchange).
+    """
+    if score_partitions is None:
+        score_partitions = (
+            pairs.sparkSession.sparkContext.defaultParallelism
+        )
     f = fields.select(F.col(url), F.col(field_col).alias("_f"))
     df = pairs.join(
         f.select(F.col(url).alias("url_a"), F.col("_f").alias("_fa")),
@@ -100,6 +126,10 @@ def _score_pairs_on_field(
         "url_b",
         "left",
     )
+    if score_partitions:
+        df = df.repartition(
+            score_partitions, F.col("url_a"), F.col("url_b")
+        )
     # the pandas_udf is created lazily: decorating at module level would
     # parse the return-type DDL, which needs an active SparkContext and
     # breaks plain `import sassy_spark.operators.strsim` before a
@@ -116,6 +146,7 @@ def jaro_winkler_pairs(
     url: str = "url",
     field_col: str = "field",
     out_col: str = "jw",
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Score candidate pairs with Jaro-Winkler on a short field.
 
@@ -129,7 +160,8 @@ def jaro_winkler_pairs(
     non-empty).
     """
     return _score_pairs_on_field(
-        pairs, fields, url, field_col, out_col, _jw_series, "double"
+        pairs, fields, url, field_col, out_col, _jw_series, "double",
+        score_partitions=score_partitions,
     )
 
 
@@ -139,6 +171,7 @@ def damerau_pairs(
     url: str = "url",
     field_col: str = "field",
     out_col: str = "dl",
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Unrestricted Damerau-Levenshtein distance on a short field per
     candidate pair (kernel/damerau.py — transposition-tolerant typo
@@ -146,7 +179,8 @@ def damerau_pairs(
     jaro_winkler_pairs; missing or NULL fields score as the empty string
     (distance = other side's byte length)."""
     return _score_pairs_on_field(
-        pairs, fields, url, field_col, out_col, _dl_series, "long"
+        pairs, fields, url, field_col, out_col, _dl_series, "long",
+        score_partitions=score_partitions,
     )
 
 
@@ -241,6 +275,7 @@ def monge_elkan_pairs(
     url: str = "url",
     field_col: str = "field",
     out_col: str = "me_qmicros",
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Quantized Monge-Elkan hybrid similarity per candidate pair.
 
@@ -258,5 +293,6 @@ def monge_elkan_pairs(
     144 JW evaluations regardless of input length.
     """
     return _score_pairs_on_field(
-        pairs, fields, url, field_col, out_col, _me_series, "long"
+        pairs, fields, url, field_col, out_col, _me_series, "long",
+        score_partitions=score_partitions,
     )

@@ -325,3 +325,34 @@ def test_monge_elkan_operator_matches_duckdb(spark):
             [by_url[ua], by_url[ub]],
         ).fetchone()[0]
         assert val == exp, (ua, ub, val, exp)
+
+
+def test_score_pairs_fan_out_from_single_partition(spark):
+    # a blocked equi-join upstream can leave EVERY candidate pair in
+    # one partition; the operator must fan out before the kernel so
+    # scoring is never single-threaded (measured 5.8s -> sub-second on
+    # q68's 599k one-partition pairs)
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    n = 512
+    pairs = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(n)], ["url_a", "url_b"]
+    ).coalesce(1)
+    fields = spark.createDataFrame(
+        [(f"a{i}", f"name {i}") for i in range(n)]
+        + [(f"b{i}", f"name {i % 7}") for i in range(n)],
+        ["url", "field"],
+    )
+    out = jaro_winkler_pairs(pairs, fields)
+    n_parts = (
+        out.select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1, n_parts
+    assert out.count() == n
+    # explicit 0 inherits upstream partitioning (no exchange)
+    out0 = jaro_winkler_pairs(pairs, fields, score_partitions=0)
+    assert out0.count() == n
