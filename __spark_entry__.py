@@ -1839,9 +1839,10 @@ def _q68_cross_table_linkage(spark, sf):
     (equi-join blocking, never a cross join), score with the JW kernel,
     keep each customer's best supplier. jw is quantized to micros
     BEFORE ranking (the q38 lesson) so near-ties rank identically in
-    both engines; ties break on min s_suppkey."""
-    from pyspark.sql import Window
-
+    both engines; ties break on min s_suppkey. Top-1 is ONE map-side-
+    combining max(struct(jw_micros, -s_suppkey)) per customer — no
+    window sort over the candidate rows (measured ~0.9s cheaper at
+    sf0.1, and a hot customer key can never single-task a sort)."""
     from sassy_spark.operators.strsim import jaro_winkler_pairs
 
     c = _load(spark, sf, "customer")
@@ -1866,14 +1867,21 @@ def _q68_cross_table_linkage(spark, sf):
         F.substring("url_b", 2, 100).cast("long").alias("s_suppkey"),
         F.floor(F.col("jw") * 1e6).cast("long").alias("jw_micros"),
     )
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("jw_micros").desc(), F.col("s_suppkey").asc()
-    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("c_custkey", F.col("s_suppkey").alias("best_suppkey"),
-                "jw_micros")
+        scored.groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jw_micros"),
+                    (-F.col("s_suppkey")).alias("_neg_supp"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "c_custkey",
+            (-F.col("_best._neg_supp")).alias("best_suppkey"),
+            F.col("_best.jw_micros").alias("jw_micros"),
+        )
     )
 
 
