@@ -2482,6 +2482,66 @@ def _q86_threshold_stability(spark, sf):
     )
 
 
+def _q87_scheme_comparison(spark, sf):
+    """Comparative blocking-scheme evaluation — the decision table a
+    practitioner reads before picking stage-1 keys: reduction ratio
+    (how much of C(N,2) each scheme prunes) and pairs completeness
+    (what fraction of REAL match pairs — the q22 edge rule, lev<=220
+    on adjacent docs — the scheme co-blocks) for three candidate
+    schemes (source, lang, 100-char length bucket). Generalizes q65's
+    single-scheme stats; blocking.scheme_stats never expands block
+    pairs — coverage joins each truth pair to its membership lists
+    (fan-out = blocks per record), sizes aggregate map-side."""
+    from sassy_spark.operators import linkage
+    from sassy_spark.operators.blocking import scheme_stats
+
+    d = _load(spark, sf, "documents")
+    blocks = (
+        d.select(
+            "doc_id",
+            F.lit("src").alias("scheme"),
+            F.col("source").alias("block"),
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("lang").alias("scheme"),
+                F.col("lang").alias("block"),
+            )
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("len").alias("scheme"),
+                F.floor(F.col("n_chars") / 100).cast("string").alias(
+                    "block"
+                ),
+            )
+        )
+    )
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
+    )
+    adj = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.lpad(F.col("a.doc_id").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("b.doc_id").cast("string"), 8, "0").alias("url_b"),
+    )
+    truth = (
+        linkage.score_pairs(adj, pages, k=220)
+        .where("is_match")
+        .select(
+            F.col("url_a").cast("long").alias("id_a"),
+            F.col("url_b").cast("long").alias("id_b"),
+        )
+    )
+    n_records = d.count()
+    return scheme_stats(
+        blocks, truth, n_records, id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2568,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_em_fellegi_sunter": _q84_em_fellegi_sunter,
         "q85_fs_em_scores": _q85_fs_em_scores,
         "q86_threshold_stability": _q86_threshold_stability,
+        "q87_scheme_comparison": _q87_scheme_comparison,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4415,6 +4476,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_fine,
                    count(*) > 1 AS fragmented
             FROM cells GROUP BY 1
+        """,
+        "q87_scheme_comparison": """
+            -- reduction ratio + pairs completeness per blocking
+            -- scheme, truth = the q22 edge rule (lev <= 220 adjacent)
+            WITH blocks AS (
+              SELECT doc_id, 'src' AS scheme, source AS block
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'lang', lang FROM documents
+              UNION ALL
+              SELECT doc_id, 'len', CAST(n_chars // 100 AS VARCHAR)
+              FROM documents),
+            truth AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 220),
+            sizes AS (SELECT scheme, block, count(*) AS s
+                      FROM blocks GROUP BY 1, 2),
+            per AS (SELECT scheme, count(*) AS n_blocks,
+                           max(s) AS max_block_size,
+                           sum((s * (s - 1)) // 2) AS comparisons
+                    FROM sizes GROUP BY 1),
+            cov AS (
+              SELECT scheme, count(*) AS covered FROM (
+                SELECT DISTINCT ba.scheme, t.id_a, t.id_b
+                FROM truth t
+                JOIN blocks ba ON ba.doc_id = t.id_a
+                JOIN blocks bb ON bb.doc_id = t.id_b
+                 AND bb.scheme = ba.scheme AND bb.block = ba.block) x
+              GROUP BY 1),
+            tot AS (SELECT count(*) AS n_truth FROM truth),
+            n AS (SELECT count(*) AS nr FROM documents)
+            SELECT per.scheme,
+                   CAST(per.n_blocks AS BIGINT) AS n_blocks,
+                   CAST(per.max_block_size AS BIGINT) AS max_block_size,
+                   CAST(per.comparisons AS BIGINT) AS comparisons,
+                   CAST(coalesce(cov.covered, 0) AS BIGINT)
+                       AS covered_truth,
+                   CAST(tot.n_truth AS BIGINT) AS total_truth,
+                   CAST(CASE WHEN tot.n_truth > 0
+                        THEN (1000000 * coalesce(cov.covered, 0))
+                             // tot.n_truth
+                        ELSE 0 END AS BIGINT) AS pc_qmicros,
+                   CAST(1000000 - (1000000 * per.comparisons)
+                        // ((n.nr * (n.nr - 1)) // 2) AS BIGINT)
+                       AS rr_qmicros
+            FROM per LEFT JOIN cov USING (scheme), tot, n
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

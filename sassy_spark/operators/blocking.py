@@ -282,3 +282,116 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def scheme_stats(
+    doc_blocks: DataFrame,
+    truth_pairs: DataFrame,
+    n_records: int,
+    id_col: str = "id",
+    scheme_col: str = "scheme",
+    block_col: str = "block",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Comparative blocking-quality statistics per scheme.
+
+    The standard way to CHOOSE a blocking key (Christen's survey
+    terminology): for each candidate scheme, the two numbers that
+    matter are
+
+    - **reduction ratio** RR = 1 - comparisons / C(N, 2): how much of
+      the quadratic pair space the scheme prunes. ``comparisons`` is
+      sum over the scheme's blocks of C(block_size, 2) — counted WITH
+      multiplicity if a record sits in several blocks of one scheme
+      (multi-block schemes can drive RR negative; that is the signal
+      they over-generate).
+    - **pairs completeness** PC = covered / |truth|: the fraction of
+      known matching pairs the scheme co-blocks at all — blocking
+      RECALL; a fast scheme that separates true matches is worthless.
+
+    doc_blocks: (id, scheme, block) — many rows per record, one per
+    scheme membership. truth_pairs: (id_a, id_b) labeled/derived match
+    pairs. ``n_records`` is the corpus size for the RR denominator
+    (pass it in; the operator must not guess the corpus from the
+    blocks table, which may already be filtered).
+
+    Returns one row per scheme: (scheme, n_blocks, max_block_size,
+    comparisons, covered_truth, total_truth, pc_qmicros, rr_qmicros)
+    — the ratios floor-quantized to micros with integer arithmetic
+    (rr_qmicros = 1e6 - (1e6*comparisons) div C(N,2), exact on both
+    engines).
+
+    Scale notes (100 TB audit): sizes and comparisons are map-side-
+    combining groupBys of (scheme, block); coverage joins each truth
+    pair to its two membership lists and dedups (scheme, pair) — the
+    fan-out is bounded by blocks-per-record per side, NEVER block
+    size, so a mega-block costs nothing here (it just loses RR);
+    everything downstream of the joins is one row per scheme.
+    """
+    db = doc_blocks.select(
+        F.col(id_col).alias("_id"),
+        F.col(scheme_col).alias("_sch"),
+        F.col(block_col).alias("_blk"),
+    ).dropDuplicates(["_id", "_sch", "_blk"])
+    sizes = db.groupBy("_sch", "_blk").agg(F.count("*").alias("_s"))
+    per = sizes.groupBy("_sch").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.max("_s").cast("long").alias("max_block_size"),
+        F.sum(F.expr("(_s * (_s - 1)) div 2")).cast("long").alias(
+            "comparisons"
+        ),
+    )
+    t = truth_pairs.select(
+        F.col(id_a).alias("_ta"), F.col(id_b).alias("_tb")
+    )
+    cov = (
+        t.join(
+            db.select(
+                F.col("_id").alias("_ta"), "_sch", "_blk"
+            ),
+            "_ta",
+        )
+        .join(
+            db.select(
+                F.col("_id").alias("_tb"),
+                F.col("_sch").alias("_sch2"),
+                F.col("_blk").alias("_blk2"),
+            ),
+            "_tb",
+        )
+        .where(
+            (F.col("_sch2") == F.col("_sch"))
+            & (F.col("_blk2") == F.col("_blk"))
+        )
+        .select("_sch", "_ta", "_tb")
+        .distinct()
+        .groupBy("_sch")
+        .agg(F.count("*").cast("long").alias("covered_truth"))
+        .withColumnRenamed("_sch", "_sch_cov")
+    )
+    total = t.agg(F.count("*").cast("long").alias("total_truth"))
+    total_pairs = int(n_records) * (int(n_records) - 1) // 2
+    z = F.lit(0).cast("long")
+    return (
+        per.join(cov, per["_sch"] == cov["_sch_cov"], "left")
+        .drop("_sch_cov")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_sch").alias("scheme"),
+            "n_blocks",
+            "max_block_size",
+            "comparisons",
+            F.coalesce("covered_truth", z).alias("covered_truth"),
+            "total_truth",
+            F.when(
+                F.col("total_truth") > 0,
+                F.expr("(1000000 * coalesce(covered_truth, 0))"
+                       " div total_truth"),
+            ).otherwise(z).alias("pc_qmicros"),
+            (
+                F.lit(1_000_000).cast("long")
+                - F.expr(f"(1000000 * comparisons) div {total_pairs}")
+            ).cast("long").alias("rr_qmicros"),
+        )
+    )

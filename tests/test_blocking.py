@@ -200,3 +200,37 @@ def test_prefix_filter_duplicate_tokens_and_identical_sets(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_scheme_stats_hand_pinned(spark):
+    from sassy_spark.operators.blocking import scheme_stats
+
+    blocks = spark.createDataFrame(
+        # A: {1,2,3} {4,5,6}; B: {1,4} + singletons; C: all singletons
+        [(i, "A", "a1") for i in (1, 2, 3)]
+        + [(i, "A", "a2") for i in (4, 5, 6)]
+        + [(1, "B", "b1"), (4, "B", "b1")]
+        + [(i, "B", f"s{i}") for i in (2, 3, 5, 6)]
+        + [(i, "C", f"c{i}") for i in range(1, 7)],
+        ["id", "scheme", "block"],
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 6), (1, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["scheme"]: r.asDict()
+        for r in scheme_stats(blocks, truth, n_records=6).collect()
+    }
+    # C(6,2) = 15 total pairs
+    assert got["A"]["comparisons"] == 6
+    assert got["A"]["covered_truth"] == 2
+    assert got["A"]["pc_qmicros"] == (1_000_000 * 2) // 3
+    assert got["A"]["rr_qmicros"] == 1_000_000 - (6_000_000 // 15)
+    assert got["B"]["n_blocks"] == 5
+    assert got["B"]["comparisons"] == 1
+    assert got["B"]["covered_truth"] == 1
+    assert got["B"]["pc_qmicros"] == 333_333
+    assert got["C"]["comparisons"] == 0
+    assert got["C"]["covered_truth"] == 0
+    assert got["C"]["pc_qmicros"] == 0
+    assert got["C"]["rr_qmicros"] == 1_000_000
