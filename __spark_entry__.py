@@ -2542,6 +2542,72 @@ def _q87_scheme_comparison(spark, sf):
     )
 
 
+def _q88_ann_recall(spark, sf):
+    """ANN quality evaluation: recall@10 against brute-force ground
+    truth (q19) at TWO LSH operating points — the selective production
+    gate (8 planes, 1-bit multiprobe — q38's configuration) and a
+    recall-oriented one (4 planes, 2-bit multiprobe; bigger buckets,
+    more probes, more candidates scored) — the recall/cost trade-off
+    table an ANN deployment is tuned from. Per (config, query):
+    n_truth, n_hit, floor-quantized recall. Each config writes its own
+    candidate handoff; the oracle recomputes brute force over all
+    vectors AND both approx lists (re-ranked from the handoffs, q38
+    semantics) and intersects identically."""
+    from sassy_spark.operators.similarity import lsh_topk
+
+    bf = _q19_cosine_topk(spark, sf).select("query_id", "vec_id")
+    e = _load(spark, sf, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries_df = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def approx_for(config, n_planes, multiprobe):
+        return lsh_topk(
+            corpus,
+            queries_df,
+            k=10,
+            n_planes=n_planes,
+            multiprobe=multiprobe,
+            seed=42,
+            candidates_out=f"{HANDOFF_DIR}/q88_candidates_{config}",
+            round_to=4,
+        ).where(F.col("query_id") != F.col("vec_id")).select(
+            F.lit(config).alias("config"),
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("_hit"),
+        )
+
+    approx = approx_for("p8m1", 8, 1).unionByName(approx_for("p4m2", 4, 2))
+    configs = spark.createDataFrame(
+        [("p8m1",), ("p4m2",)], ["config"]
+    )
+    per = (
+        bf.crossJoin(F.broadcast(configs))
+        .join(approx, ["config", "query_id", "vec_id"], "left")
+        .groupBy("config", "query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_hit"
+            ),
+        )
+    )
+    return per.select(
+        "config",
+        "query_id",
+        "n_truth",
+        "n_hit",
+        F.expr("(1000000 * n_hit) div n_truth").alias("recall_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2629,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_fs_em_scores": _q85_fs_em_scores,
         "q86_threshold_stability": _q86_threshold_stability,
         "q87_scheme_comparison": _q87_scheme_comparison,
+        "q88_ann_recall": _q88_ann_recall,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4523,6 +4590,58 @@ def oracle_sql() -> dict[str, str]:
                         // ((n.nr * (n.nr - 1)) // 2) AS BIGINT)
                        AS rr_qmicros
             FROM per LEFT JOIN cov USING (scheme), tot, n
+        """,
+        "q88_ann_recall": f"""
+            -- recall@10 of the LSH list (re-ranked from the q88
+            -- handoff, q38 semantics) vs brute-force ground truth
+            -- (q19 semantics), floor-quantized
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            bscored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(
+                        CAST(q.qv AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q CROSS JOIN embeddings e),
+            branked AS (
+              SELECT query_id, vec_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM bscored),
+            bf AS (SELECT query_id, vec_id FROM branked
+                   WHERE rank <= 10 AND query_id <> vec_id),
+            cand AS (
+              SELECT 'p8m1' AS config, query_id, vec_id
+              FROM read_parquet(
+                  '{HANDOFF_DIR}/q88_candidates_p8m1/*.parquet')
+              UNION ALL
+              SELECT 'p4m2', query_id, vec_id
+              FROM read_parquet(
+                  '{HANDOFF_DIR}/q88_candidates_p4m2/*.parquet')),
+            e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            ascored AS (
+              SELECT c.config, c.query_id, c.vec_id,
+                     round(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+              FROM cand c
+              JOIN e2 eq ON eq.vec_id = c.query_id
+              JOIN e2 ec ON ec.vec_id = c.vec_id),
+            aranked AS (
+              SELECT config, query_id, vec_id, row_number() OVER (
+                 PARTITION BY config, query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+              FROM ascored),
+            ap AS (SELECT config, query_id, vec_id, 1 AS hit FROM aranked
+                   WHERE rank <= 10 AND query_id <> vec_id),
+            cfg AS (SELECT 'p8m1' AS config UNION ALL SELECT 'p4m2'),
+            bfc AS (SELECT cfg.config, bf.query_id, bf.vec_id
+                    FROM bf CROSS JOIN cfg)
+            SELECT bfc.config, bfc.query_id,
+                   CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(sum(coalesce(ap.hit, 0)) AS BIGINT) AS n_hit,
+                   CAST((1000000 * sum(coalesce(ap.hit, 0)))
+                        // count(*) AS BIGINT) AS recall_qmicros
+            FROM bfc LEFT JOIN ap USING (config, query_id, vec_id)
+            GROUP BY bfc.config, bfc.query_id
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the
