@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "q60_jaro_winkler_adjacent",
     "q66_asof_join",
     "q68_cross_table_linkage",
+    # late round-5: unsupervised EM fit (pattern-count reduction) and
+    # comparative blocking-scheme stats — again new lines only
+    "q84_em_fellegi_sunter",
+    "q87_scheme_comparison",
 ]
 
 
