@@ -1833,16 +1833,11 @@ def _q67_label_propagation(spark, sf):
     )
 
 
-def _q68_cross_table_linkage(spark, sf):
-    """Cross-table entity linkage — the textbook ER scenario: match
-    customer names against supplier names within a nation block
-    (equi-join blocking, never a cross join), score with the JW kernel,
-    keep each customer's best supplier. jw is quantized to micros
-    BEFORE ranking (the q38 lesson) so near-ties rank identically in
-    both engines; ties break on min s_suppkey. Top-1 is ONE map-side-
-    combining max(struct(jw_micros, -s_suppkey)) per customer — no
-    window sort over the candidate rows (measured ~0.9s cheaper at
-    sf0.1, and a hot customer key can never single-task a sort)."""
+def _crosstable_jw_scored(spark, sf):
+    """Shared by q68/q89: nation-blocked customer-x-supplier name pairs
+    scored with the JW kernel, quantized to micros BEFORE any ranking
+    (the q38 lesson: near-ties must order identically in both engines).
+    Returns (c_custkey, s_suppkey, jw_micros)."""
     from sassy_spark.operators.strsim import jaro_winkler_pairs
 
     c = _load(spark, sf, "customer")
@@ -1862,11 +1857,24 @@ def _q68_cross_table_linkage(spark, sf):
             F.col("s_name").alias("field"),
         )
     )
-    scored = jaro_winkler_pairs(pairs, fields).select(
+    return jaro_winkler_pairs(pairs, fields).select(
         F.substring("url_a", 2, 100).cast("long").alias("c_custkey"),
         F.substring("url_b", 2, 100).cast("long").alias("s_suppkey"),
         F.floor(F.col("jw") * 1e6).cast("long").alias("jw_micros"),
     )
+
+
+def _q68_cross_table_linkage(spark, sf):
+    """Cross-table entity linkage — the textbook ER scenario: match
+    customer names against supplier names within a nation block
+    (equi-join blocking, never a cross join), score with the JW kernel,
+    keep each customer's best supplier. jw is quantized to micros
+    BEFORE ranking (the q38 lesson) so near-ties rank identically in
+    both engines; ties break on min s_suppkey. Top-1 is ONE map-side-
+    combining max(struct(jw_micros, -s_suppkey)) per customer — no
+    window sort over the candidate rows (measured ~0.9s cheaper at
+    sf0.1, and a hot customer key can never single-task a sort)."""
+    scored = _crosstable_jw_scored(spark, sf)
     return (
         scored.groupBy("c_custkey")
         .agg(
@@ -2608,6 +2616,32 @@ def _q88_ann_recall(spark, sf):
     )
 
 
+def _q89_mutual_best_linkage(spark, sf):
+    """One-to-one cross-table linkage: the reciprocal-best filter over
+    the q68 scored pairs — keep (customer, supplier) only when each is
+    the other's highest-JW candidate (ties toward the smaller partner
+    key). The cheap deterministic approximation to optimal bipartite
+    assignment: guarantees at-most-one link per record on BOTH sides
+    and leaves disagreeing pairs for clerical review instead of
+    force-assigning them. linkage.reciprocal_best_pairs is two
+    map-side-combining min(struct) aggregations + two equi-joins —
+    no windows."""
+    from sassy_spark.operators.linkage import reciprocal_best_pairs
+
+    scored = _crosstable_jw_scored(spark, sf)
+    out = reciprocal_best_pairs(
+        scored,
+        a_col="c_custkey",
+        b_col="s_suppkey",
+        score_col="jw_micros",
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("jw_micros").cast("long").alias("jw_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2696,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_threshold_stability": _q86_threshold_stability,
         "q87_scheme_comparison": _q87_scheme_comparison,
         "q88_ann_recall": _q88_ann_recall,
+        "q89_mutual_best_linkage": _q89_mutual_best_linkage,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4642,6 +4677,30 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) AS BIGINT) AS recall_qmicros
             FROM bfc LEFT JOIN ap USING (config, query_id, vec_id)
             GROUP BY bfc.config, bfc.query_id
+        """,
+        "q89_mutual_best_linkage": """
+            -- reciprocal best match over the q68 scored pairs: keep
+            -- (c, s) iff s is c's best (ties: min s_suppkey) AND c is
+            -- s's best (ties: min c_custkey)
+            WITH scored AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     CAST(floor(jaro_winkler_similarity(c.c_name, s.s_name)
+                                * 1e6) AS BIGINT) AS jw_micros
+              FROM customer c JOIN supplier s
+                ON c.c_nationkey = s.s_nationkey),
+            ra AS (SELECT *, row_number() OVER (
+                      PARTITION BY c_custkey
+                      ORDER BY jw_micros DESC, s_suppkey) AS rk
+                   FROM scored),
+            rb AS (SELECT *, row_number() OVER (
+                      PARTITION BY s_suppkey
+                      ORDER BY jw_micros DESC, c_custkey) AS rk
+                   FROM scored)
+            SELECT ra.c_custkey, ra.s_suppkey, ra.jw_micros
+            FROM ra JOIN rb
+              ON ra.c_custkey = rb.c_custkey
+             AND ra.s_suppkey = rb.s_suppkey
+            WHERE ra.rk = 1 AND rb.rk = 1
         """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the

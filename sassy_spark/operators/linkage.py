@@ -731,3 +731,66 @@ def link(
         text_col=text_col,
         score_partitions=score_partitions,
     )
+
+
+def reciprocal_best_pairs(
+    scored: DataFrame,
+    a_col: str = "url_a",
+    b_col: str = "url_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """One-to-one linkage by mutual best match (reciprocal argmax).
+
+    After pairwise scoring, many ER deployments need an ASSIGNMENT,
+    not a many-to-many match set: each record links to at most one
+    counterpart. The standard cheap approximation to the optimal
+    bipartite assignment is the reciprocal-best filter (the "mutual
+    best hit" rule): keep (a, b) iff b is a's highest-scoring
+    candidate AND a is b's. Ties break deterministically toward the
+    smaller counterpart id, so the result is unique and
+    oracle-reproducible. Guarantees one-to-one output (each a and
+    each b appears at most once) while keeping only high-confidence
+    links — pairs whose best matches disagree are left for clerical
+    review rather than force-assigned.
+
+    scored: (a, b, score) with a NUMERIC score (quantize floats to
+    micros upstream — near-ties must rank identically in any engine).
+    Returns the mutual pairs with their score.
+
+    Scale notes (100 TB audit): two map-side-combining min(struct)
+    aggregations (one per side — ``min(struct(-score, partner))``
+    encodes [max score, then min partner id] lexicographically, and
+    works for string partner ids where a negate trick would not),
+    then two broadcast-or-shuffle equi-joins back; no windows, so a
+    hot record with millions of candidates is one combining group.
+    """
+    s = scored.select(
+        F.col(a_col).alias("_a"),
+        F.col(b_col).alias("_b"),
+        F.col(score_col).cast("long").alias("_sc"),
+    )
+    best_a = s.groupBy("_a").agg(
+        F.min(F.struct((-F.col("_sc")).alias("_neg"), F.col("_b"))).alias(
+            "_m"
+        )
+    ).select(
+        "_a", F.col("_m._b").alias("_best_b")
+    )
+    best_b = s.groupBy("_b").agg(
+        F.min(F.struct((-F.col("_sc")).alias("_neg"), F.col("_a"))).alias(
+            "_m"
+        )
+    ).select(
+        "_b", F.col("_m._a").alias("_best_a")
+    )
+    return (
+        s.join(best_a, "_a")
+        .where(F.col("_b") == F.col("_best_b"))
+        .join(best_b, "_b")
+        .where(F.col("_a") == F.col("_best_a"))
+        .select(
+            F.col("_a").alias(a_col),
+            F.col("_b").alias(b_col),
+            F.col("_sc").alias(score_col),
+        )
+    )

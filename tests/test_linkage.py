@@ -348,3 +348,28 @@ def test_candidate_pairs_fused_equals_join(spark):
         # canonical order + no self-pairs
         bad = got_f.where(F.col("url_a") >= F.col("url_b")).count()
         assert bad == 0
+
+
+def test_reciprocal_best_pairs(spark):
+    from sassy_spark.operators.linkage import reciprocal_best_pairs
+
+    scored = spark.createDataFrame(
+        [
+            ("a1", "b1", 90), ("a1", "b2", 80),
+            ("a2", "b1", 85), ("a2", "b2", 85),  # a2 ties -> min b1
+            ("a3", "b3", 70),
+        ],
+        ["url_a", "url_b", "score"],
+    )
+    got = {
+        (r["url_a"], r["url_b"], r["score"])
+        for r in reciprocal_best_pairs(scored).collect()
+    }
+    # a2's best is b1 (tie toward smaller id) but b1's best is a1, so
+    # a2 stays unassigned — never force-linked to its second choice
+    assert got == {("a1", "b1", 90), ("a3", "b3", 70)}
+    # one-to-one: each side appears at most once
+    a_side = [x for x, _, _ in got]
+    b_side = [y for _, y, _ in got]
+    assert len(a_side) == len(set(a_side))
+    assert len(b_side) == len(set(b_side))
