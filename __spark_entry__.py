@@ -2642,6 +2642,56 @@ def _q89_mutual_best_linkage(spark, sf):
     )
 
 
+def _q90_em_multilevel(spark, sf):
+    """Multi-level (Winkler-style) unsupervised FS estimation — the
+    production form of q84: each feature is a 3-level agreement gamma
+    (disagree / close / agree) instead of a binary flag, and EM fits a
+    probability per (feature, level, class). Features on adjacent
+    pairs: JW-micros of the 64-char prefix banded at the q64
+    thresholds (>=0.9 / >=0.7), and |len diff| banded at <=5 / <=30.
+    Explicit ramp inits ([0.1, 0.2, 0.7] for m, reversed for u) are
+    literals shared with the oracle — inits are part of the
+    fixed-point contract. em.em_fit_levels reduces the corpus to
+    <= 3^K pattern counts in one combining groupBy."""
+    from sassy_spark.operators.em import em_fit_levels
+    from sassy_spark.operators.strsim import jaro_winkler_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+        F.abs(F.col("a.n_chars") - F.col("b.n_chars")).alias("_ld"),
+    )
+    fields = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 64).alias("field"),
+    )
+    scored = jaro_winkler_pairs(pairs, fields).withColumn(
+        "_jwm", F.floor(F.col("jw") * 1e6).cast("long")
+    )
+    lev = scored.select(
+        F.when(F.col("_jwm") >= 900000, 2)
+        .when(F.col("_jwm") >= 700000, 1)
+        .otherwise(0)
+        .alias("g_jw"),
+        F.when(F.col("_ld") <= 5, 2)
+        .when(F.col("_ld") <= 30, 1)
+        .otherwise(0)
+        .alias("g_len"),
+    )
+    return em_fit_levels(
+        lev,
+        ["g_jw", "g_len"],
+        n_levels=3,
+        n_iter=2,
+        m_init=[100_000, 200_000, 700_000],
+        u_init=[700_000, 200_000, 100_000],
+        p_init=100_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2731,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_scheme_comparison": _q87_scheme_comparison,
         "q88_ann_recall": _q88_ann_recall,
         "q89_mutual_best_linkage": _q89_mutual_best_linkage,
+        "q90_em_multilevel": _q90_em_multilevel,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -2837,6 +2888,116 @@ _EM_ORACLE_CTES = """
                   THEN a2.sr // a2.n ELSE p1.p END)) AS p
               FROM a2, p1)
 """
+
+
+def _em_levels_oracle_sql() -> str:
+    """Generated SQL mirror of em.em_fit_levels for q90's exact config
+    (2 features x 3 levels, 2 iterations, ramp inits [0.1,0.2,0.7]).
+    The fixed point is the same arithmetic as _EM_ORACLE_CTES but with
+    per-(feature, level) counts instead of per-feature booleans — the
+    SQL is fully regular, so it is generated rather than hand-unrolled
+    (18 sr/snr aggregates and 12 clamped re-estimates per iteration).
+    """
+    feats = ["g1", "g2"]
+    names = ["g_jw", "g_len"]
+    levels = 3
+    m0 = [100_000, 200_000, 700_000]
+    u0 = [700_000, 200_000, 100_000]
+    p0 = 100_000
+
+    def fold(start, param):
+        # left-to-right (acc * param[k][g_k]) // 1e6, matching
+        # em_step_levels' floor-after-every-multiply contract
+        expr = f"CAST({start} AS BIGINT)"
+        for k, f in enumerate(feats):
+            case = (
+                "CASE "
+                + " ".join(
+                    f"WHEN {f} = {l} THEN {param(k, l)}"
+                    for l in range(levels - 1)
+                )
+                + f" ELSE {param(k, levels - 1)} END"
+            )
+            expr = f"(({expr} * ({case})) // 1000000)"
+        return expr
+
+    def agg_cte(src):
+        cols = ["sum(c) AS n", "sum(c * r) AS sr",
+                "sum(c * (1000000 - r)) AS snr"]
+        for k, f in enumerate(feats):
+            for l in range(levels):
+                cols.append(
+                    f"sum(CASE WHEN {f} = {l} THEN c * r ELSE 0 END)"
+                    f" AS sr_{k}_{l}"
+                )
+                cols.append(
+                    f"sum(CASE WHEN {f} = {l} THEN c * (1000000 - r)"
+                    f" ELSE 0 END) AS snr_{k}_{l}"
+                )
+        return f"SELECT {', '.join(cols)} FROM {src}"
+
+    def params_cte(agg, fb_m, fb_u, fb_p, extra_from=""):
+        cols = []
+        for k in range(len(feats)):
+            for l in range(levels):
+                cols.append(
+                    f"greatest(1, least(999999, CASE WHEN {agg}.sr > 0"
+                    f" THEN (1000000 * {agg}.sr_{k}_{l}) // {agg}.sr"
+                    f" ELSE {fb_m(k, l)} END)) AS m_{k}_{l}"
+                )
+                cols.append(
+                    f"greatest(1, least(999999, CASE WHEN {agg}.snr > 0"
+                    f" THEN (1000000 * {agg}.snr_{k}_{l}) // {agg}.snr"
+                    f" ELSE {fb_u(k, l)} END)) AS u_{k}_{l}"
+                )
+        cols.append(
+            f"greatest(1, least(999999, CASE WHEN {agg}.n > 0"
+            f" THEN {agg}.sr // {agg}.n ELSE {fb_p} END)) AS p"
+        )
+        return f"SELECT {', '.join(cols)} FROM {agg}{extra_from}"
+
+    wm1 = fold(p0, lambda k, l: m0[l])
+    wu1 = fold(1_000_000 - p0, lambda k, l: u0[l])
+    wm2 = fold("p1.p", lambda k, l: f"p1.m_{k}_{l}")
+    wu2 = fold("(1000000 - p1.p)", lambda k, l: f"p1.u_{k}_{l}")
+    r_expr = ("CASE WHEN wm + wu > 0 THEN (1000000 * wm) // (wm + wu)"
+              " ELSE 0 END AS r")
+    finals = []
+    for k, name in enumerate(names):
+        for l in range(levels):
+            finals.append(
+                f"SELECT '{name}' AS feature, {l} AS level,"
+                f" CAST(m_{k}_{l} AS BIGINT) AS m_qmicros,"
+                f" CAST(u_{k}_{l} AS BIGINT) AS u_qmicros,"
+                f" CAST(p AS BIGINT) AS p_qmicros FROM p2"
+            )
+    return f"""
+        WITH lev AS (
+          SELECT CASE WHEN jwm >= 900000 THEN 2
+                      WHEN jwm >= 700000 THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN ld <= 5 THEN 2
+                      WHEN ld <= 30 THEN 1 ELSE 0 END AS g2
+          FROM (SELECT CAST(floor(jaro_winkler_similarity(
+                           substr(a.text, 1, 64), substr(b.text, 1, 64)
+                       ) * 1e6) AS BIGINT) AS jwm,
+                       abs(a.n_chars - b.n_chars) AS ld
+                FROM documents a JOIN documents b
+                  ON a.doc_id + 1 = b.doc_id)),
+        pc AS (SELECT g1, g2, count(*) AS c FROM lev GROUP BY 1, 2),
+        r1 AS (SELECT g1, g2, c, {wm1} AS wm, {wu1} AS wu FROM pc),
+        r1b AS (SELECT *, {r_expr} FROM r1),
+        a1 AS ({agg_cte('r1b')}),
+        p1 AS ({params_cte('a1', lambda k, l: m0[l],
+                           lambda k, l: u0[l], p0)}),
+        r2 AS (SELECT pc.g1, pc.g2, pc.c, {wm2} AS wm, {wu2} AS wu
+               FROM pc, p1),
+        r2b AS (SELECT *, {r_expr} FROM r2),
+        a2 AS ({agg_cte('r2b')}),
+        p2 AS ({params_cte('a2', lambda k, l: f'p1.m_{k}_{l}',
+                           lambda k, l: f'p1.u_{k}_{l}', 'p1.p',
+                           ', p1')})
+        {' UNION ALL '.join(finals)}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4702,6 +4863,8 @@ def oracle_sql() -> dict[str, str]:
              AND ra.s_suppkey = rb.s_suppkey
             WHERE ra.rk = 1 AND rb.rk = 1
         """,
+        # generated mirror of em.em_fit_levels (see builder docstring)
+        "q90_em_multilevel": _em_levels_oracle_sql(),
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the
             -- q67 closed form) vs full CC (truth, the q22 closed form),

@@ -193,3 +193,115 @@ def em_fit(
     return spark.createDataFrame(
         out, "feature string, m_qmicros long, u_qmicros long, p_qmicros long"
     )
+
+
+def em_step_levels(
+    patterns: list[tuple[tuple[int, ...], int]],
+    m: list[list[int]],
+    u: list[list[int]],
+    p: int,
+) -> tuple[list[list[int]], list[list[int]], int]:
+    """One fixed-point EM iteration over MULTI-LEVEL pattern counts.
+
+    The production Fellegi-Sunter form (Winkler): each comparison
+    feature takes one of L ordered agreement levels (disagree /
+    close / agree ...), and the model keeps a probability per
+    (feature, level) for each class: m[k][l] = P(gamma_k = l | match),
+    u[k][l] = P(gamma_k = l | non-match). The binary :func:`em_step`
+    is the L=2 special case. Same fixed-point contract: micros,
+    floor after every multiply, [1, 1e6-1] clamp; per-class level
+    probabilities are re-estimated from responsibility-weighted level
+    counts, so no explicit normalization step exists to drift.
+    """
+    k_n = len(m)
+    sr = 0
+    snr = 0
+    n = 0
+    srk = [[0] * len(m[k]) for k in range(k_n)]
+    snrk = [[0] * len(u[k]) for k in range(k_n)]
+    for g, c in patterns:
+        wm = p
+        wu = _M - p
+        for k in range(k_n):
+            wm = (wm * m[k][g[k]]) // _M
+            wu = (wu * u[k][g[k]]) // _M
+        r = (_M * wm) // (wm + wu) if (wm + wu) > 0 else 0
+        n += c
+        sr += c * r
+        snr += c * (_M - r)
+        for k in range(k_n):
+            srk[k][g[k]] += c * r
+            snrk[k][g[k]] += c * (_M - r)
+    m2 = [
+        [
+            _clamp((_M * srk[k][l]) // sr) if sr > 0 else m[k][l]
+            for l in range(len(m[k]))
+        ]
+        for k in range(k_n)
+    ]
+    u2 = [
+        [
+            _clamp((_M * snrk[k][l]) // snr) if snr > 0 else u[k][l]
+            for l in range(len(u[k]))
+        ]
+        for k in range(k_n)
+    ]
+    p2 = _clamp(sr // n) if n > 0 else p
+    return m2, u2, p2
+
+
+def em_fit_levels(
+    pairs: DataFrame,
+    level_cols: list[str],
+    n_levels: int,
+    n_iter: int = 2,
+    m_init: list[int] | None = None,
+    u_init: list[int] | None = None,
+    p_init: int = 100_000,
+) -> DataFrame:
+    """Fit multi-level FS parameters by EM; one row per (feature, level).
+
+    ``level_cols`` hold small ints in [0, n_levels) (level 0 =
+    strongest disagreement by convention). Initial per-level
+    probabilities default to a linear ramp (ascending for m,
+    descending for u) — pass explicit ``m_init`` / ``u_init`` micros
+    when an oracle must replicate the run (the inits are part of the
+    fixed-point contract). Columns: feature, level, m_qmicros,
+    u_qmicros, p_qmicros (p repeated).
+
+    Scale: identical to :func:`em_fit` — ONE map-side-combining
+    groupBy reduces any corpus to <= n_levels^K pattern counts; the
+    loop is driver-side integer ops on those counts.
+    """
+    if m_init is None:
+        denom = n_levels * (n_levels + 1) // 2
+        m_init = [(_M * (l + 1)) // denom for l in range(n_levels)]
+    if u_init is None:
+        denom = n_levels * (n_levels + 1) // 2
+        u_init = [
+            (_M * (n_levels - l)) // denom for l in range(n_levels)
+        ]
+    keys = [F.col(c).cast("int").alias(c) for c in level_cols]
+    rows = pairs.groupBy(*keys).agg(F.count("*").alias("c")).collect()
+    patterns = [
+        (tuple(int(r[c]) for c in level_cols), int(r["c"])) for r in rows
+    ]
+    for g, _ in patterns:
+        if any(l < 0 or l >= n_levels for l in g):
+            raise ValueError(f"level out of range in pattern {g}")
+    m = [list(m_init) for _ in level_cols]
+    u = [list(u_init) for _ in level_cols]
+    p = int(p_init)
+    for _ in range(int(n_iter)):
+        m, u, p = em_step_levels(patterns, m, u, p)
+    spark = pairs.sparkSession
+    out = [
+        (level_cols[k], l, m[k][l], u[k][l], p)
+        for k in range(len(level_cols))
+        for l in range(n_levels)
+    ]
+    return spark.createDataFrame(
+        out,
+        "feature string, level int, m_qmicros long, u_qmicros long,"
+        " p_qmicros long",
+    )

@@ -98,6 +98,84 @@ def test_fs_score_hand_pinned_and_saturation(spark):
     assert got[3] == 1_000_000_000_000
 
 
+def test_em_step_levels_binary_equivalence():
+    from sassy_spark.operators.em import em_step_levels
+
+    # L=2 with the complement-pair inits IS em_step: the iteration-1
+    # responsibilities coincide, so the level-1 estimates must equal
+    # the binary m/u/p exactly (level-0 may differ from 1e6-m by the
+    # independent floor — by design, no normalization step exists).
+    m, u, p = em_step(
+        [((True,), 6), ((False,), 4)], [900_000], [100_000], 100_000
+    )
+    patterns = [((1,), 6), ((0,), 4)]
+    m2, u2, p2 = em_step_levels(
+        patterns, [[100_000, 900_000]], [[900_000, 100_000]], 100_000
+    )
+    assert m2[0][1] == m[0]
+    assert u2[0][1] == u[0]
+    assert p2 == p
+    # empty pattern list: parameters unchanged
+    assert em_step_levels([], [[5, 6]], [[7, 8]], 9) == (
+        [[5, 6]], [[7, 8]], 9
+    )
+
+
+def test_em_fit_levels_planted_separation(spark):
+    from sassy_spark.operators.em import em_fit_levels
+
+    # matches sit at level 2 on both features, non-matches at level 0
+    # with a sprinkle of level 1 — EM must put m-mass on high levels
+    # and u-mass on low ones, prior near 0.2, with NO labels.
+    rows = (
+        [(2, 2)] * 180
+        + [(1, 2)] * 20
+        + [(0, 0)] * 700
+        + [(0, 1)] * 100
+    )
+    pairs = spark.createDataFrame(rows, ["g1", "g2"])
+    got = {
+        (r["feature"], r["level"]): r.asDict()
+        for r in em_fit_levels(
+            pairs, ["g1", "g2"], n_levels=3, n_iter=5
+        ).collect()
+    }
+    assert len(got) == 6
+    for k in ("g1", "g2"):
+        assert got[(k, 2)]["m_qmicros"] > 700_000, got[(k, 2)]
+        assert got[(k, 2)]["u_qmicros"] < 100_000, got[(k, 2)]
+        assert got[(k, 0)]["m_qmicros"] < 150_000, got[(k, 0)]
+        assert got[(k, 0)]["u_qmicros"] > 700_000, got[(k, 0)]
+    p = got[("g1", 0)]["p_qmicros"]
+    assert 150_000 < p < 300_000, p
+    assert len({v["p_qmicros"] for v in got.values()}) == 1
+
+
+def test_em_fit_levels_validates_and_inits(spark):
+    from sassy_spark.operators.em import em_fit_levels
+
+    pairs = spark.createDataFrame([(0,), (3,)], ["g1"])
+    with pytest.raises(ValueError, match="level out of range"):
+        em_fit_levels(pairs, ["g1"], n_levels=3)
+    ok = spark.createDataFrame([(0,), (2,)], ["g1"])
+    # zero iterations: the explicit inits come back verbatim
+    got = {
+        r["level"]: r.asDict()
+        for r in em_fit_levels(
+            ok, ["g1"], n_levels=3, n_iter=0,
+            m_init=[100_000, 200_000, 700_000],
+            u_init=[700_000, 200_000, 100_000],
+        ).collect()
+    }
+    assert [got[l]["m_qmicros"] for l in range(3)] == [
+        100_000, 200_000, 700_000
+    ]
+    assert [got[l]["u_qmicros"] for l in range(3)] == [
+        700_000, 200_000, 100_000
+    ]
+    assert got[0]["p_qmicros"] == 100_000
+
+
 def test_fs_score_missing_feature_raises(spark):
     from sassy_spark.operators.em import fs_score
 
