@@ -2692,6 +2692,51 @@ def _q90_em_multilevel(spark, sf):
     )
 
 
+def _q91_frequency_adjusted_fs(spark, sf):
+    """Frequency-adjusted FS agreement weights — the fastLink/Winkler
+    term-frequency refinement the global-u scorer (q85) lacks: agreeing
+    on a RARE field value is worth far more than agreeing on a common
+    one. Field = 12-char text prefix (near-unique, so near-dup runs
+    share rare values); u_v = c_v(c_v-1)/(N(N-1)) floor-micros clamped
+    >= 1, agree lr = min((1e6*m) div u_v, 1e12), disagree lr from the
+    exact global u (one bounded driver-side aggregate folded in as a
+    literal). em.value_frequency_u is ONE combining groupBy; scoring
+    is two id equi-joins + one value equi-join — no UDF, no window."""
+    from sassy_spark.operators.em import frequency_adjusted_weights
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+    recs = d.select(
+        F.col("doc_id").alias("url"),
+        F.substring("text", 1, 12).alias("prefix12"),
+    )
+    out = frequency_adjusted_weights(
+        pairs,
+        recs,
+        "prefix12",
+        m_qmicros=950_000,
+        url="url",
+        pair_a="doc_a",
+        pair_b="doc_b",
+    )
+    # u_qmicros is NULL for disagreeing pairs by operator contract;
+    # export 0 as the sentinel so both engines hash non-null BIGINTs
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "agrees",
+        F.coalesce(F.col("u_qmicros"), F.lit(0))
+        .cast("long")
+        .alias("u_qmicros"),
+        F.col("lr_qmicros").cast("long").alias("lr_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2782,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_ann_recall": _q88_ann_recall,
         "q89_mutual_best_linkage": _q89_mutual_best_linkage,
         "q90_em_multilevel": _q90_em_multilevel,
+        "q91_frequency_adjusted_fs": _q91_frequency_adjusted_fs,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -4865,6 +4911,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated mirror of em.em_fit_levels (see builder docstring)
         "q90_em_multilevel": _em_levels_oracle_sql(),
+        "q91_frequency_adjusted_fs": """
+            -- value-specific u (term-frequency adjustment): mirrors
+            -- em.value_frequency_u / frequency_adjusted_weights exactly
+            -- (floor-micros, clamp u_v >= 1, cap lr at 1e12, disagree
+            -- lr from the exact global agreement-u)
+            WITH recs AS (
+              SELECT doc_id AS u, substr(text, 1, 12) AS v
+              FROM documents),
+            cnt AS (SELECT v AS value, count(*) AS c FROM recs
+                    WHERE v IS NOT NULL GROUP BY v),
+            tot AS (SELECT sum(c) AS n FROM cnt),
+            uv AS (SELECT value, c,
+                     greatest(1, (CAST(1000000 AS BIGINT) * c * (c - 1))
+                                 // (n * (n - 1))) AS u_qmicros
+                   FROM cnt, tot),
+            gl AS (SELECT CASE WHEN n > 1 THEN
+                       least((CAST(1000000 AS BIGINT)
+                              * sum(c * (c - 1))) // (n * (n - 1)),
+                             999999)
+                       ELSE 1 END AS u_glob
+                     FROM cnt, tot GROUP BY n),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          ra.v AS va, rb.v AS vb
+                   FROM documents a
+                   JOIN documents b ON a.doc_id + 1 = b.doc_id
+                   LEFT JOIN recs ra ON ra.u = a.doc_id
+                   LEFT JOIN recs rb ON rb.u = b.doc_id)
+            SELECT doc_a, doc_b,
+              (va IS NOT NULL AND vb IS NOT NULL AND va = vb) AS agrees,
+              CAST(CASE WHEN va = vb THEN uv.u_qmicros ELSE 0 END
+                   AS BIGINT) AS u_qmicros,
+              CAST(CASE WHEN va = vb THEN
+                least((CAST(1000000 AS BIGINT) * 950000) // uv.u_qmicros,
+                      1000000000000)
+              ELSE least((CAST(1000000 AS BIGINT) * (1000000 - 950000))
+                         // (1000000 - u_glob), 1000000000000)
+              END AS BIGINT) AS lr_qmicros
+            FROM pr LEFT JOIN uv ON uv.value = pr.va CROSS JOIN gl
+        """,
         "q77_cluster_metrics": """
             -- pairwise + B-cubed metrics of 3-hop LP labels (pred, the
             -- q67 closed form) vs full CC (truth, the q22 closed form),

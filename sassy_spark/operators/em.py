@@ -305,3 +305,136 @@ def em_fit_levels(
         "feature string, level int, m_qmicros long, u_qmicros long,"
         " p_qmicros long",
     )
+
+
+def value_frequency_u(
+    records: DataFrame, field_col: str
+) -> DataFrame:
+    """Value-specific u-probabilities (Winkler frequency adjustment,
+    the fastLink ``term frequency`` option): for each distinct value v
+    of ``field_col``,
+
+        u_v = P(random pair agrees AND shares v)
+            = c_v * (c_v - 1) / (N * (N - 1))
+
+    in floor-micros, clamped to >= 1 (a unique value has u_v = 0
+    analytically; the clamp keeps the likelihood ratio finite, same
+    boundary guard as EM). Agreeing on a RARE value is much stronger
+    match evidence than agreeing on a common one — the global-u FS
+    scorer (fs_score) treats "both named Smith" and "both named
+    Xylophanes" identically; this operator does not.
+
+    Returns (value, c, u_qmicros); NULL field values are excluded
+    (NULL agrees with nothing). Scale: ONE map-side-combining groupBy
+    on the field; N comes from summing the counts frame itself — no
+    second pass over the records. Int64 domain: 1e6 * c_v * (c_v - 1)
+    needs c_v <= ~3e6 per value and N <= ~3e9 overall; beyond that,
+    swap the micros product to decimal(38,0) (same escape hatch as
+    evaluation.adjusted_rand).
+    """
+    counts = (
+        records.where(F.col(field_col).isNotNull())
+        .groupBy(F.col(field_col).alias("value"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "c",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * c * (c - 1))"
+                " div (n * (n - 1))"
+            ),
+        )
+        .cast("long")
+        .alias("u_qmicros"),
+    )
+
+
+def frequency_adjusted_weights(
+    pairs: DataFrame,
+    records: DataFrame,
+    field_col: str,
+    m_qmicros: int,
+    url: str = "url",
+    pair_a: str = "url_a",
+    pair_b: str = "url_b",
+) -> DataFrame:
+    """Score pairs with frequency-adjusted FS agreement weights.
+
+    For a pair agreeing on field value v:
+        lr = min((1e6 * m) // u_v, 1e12)        (rare v -> huge lr)
+    for a disagreeing (or NULL-valued) pair:
+        lr = (1e6 * (1e6 - m)) // (1e6 - u_glob)
+    where u_glob = sum_v u_v-mass = (1e6 * sum_v c_v*(c_v-1))
+    // (N*(N-1)) — the probability a random pair agrees at all, the
+    exact global u the unadjusted scorer would use (clamped to
+    <= 1e6 - 1 so the disagreement denominator stays positive).
+
+    Same saturation contract as fs_score (cap 1e12 after the divide).
+    u_glob folds in as a LITERAL: the aggregate is one row, collected
+    driver-side (bounded), so the scoring projection stays a pure
+    JVM-side select + one equi-join on the value (broadcast when the
+    value dictionary is small). Returns pairs + (agrees boolean,
+    u_qmicros, lr_qmicros); u_qmicros is NULL for disagreeing pairs.
+    """
+    u_df = value_frequency_u(records, field_col)
+    row = u_df.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("sa"),
+        F.sum("c").alias("n"),
+    ).collect()[0]
+    sa, n = int(row["sa"] or 0), int(row["n"] or 0)
+    u_glob = (
+        min((_M * sa) // (n * (n - 1)), _M - 1) if n > 1 else 1
+    )
+    dis_lr = min((_M * (_M - m_qmicros)) // (_M - u_glob), 10**12)
+    fields = records.select(
+        F.col(url).alias("_u"), F.col(field_col).alias("_v")
+    )
+    sides = (
+        pairs.join(
+            fields.withColumnRenamed("_u", pair_a).withColumnRenamed(
+                "_v", "_va"
+            ),
+            pair_a,
+            "left",
+        ).join(
+            fields.withColumnRenamed("_u", pair_b).withColumnRenamed(
+                "_v", "_vb"
+            ),
+            pair_b,
+            "left",
+        )
+    )
+    agrees = (
+        F.col("_va").isNotNull()
+        & F.col("_vb").isNotNull()
+        & (F.col("_va") == F.col("_vb"))
+    )
+    joined = sides.withColumn("agrees", agrees).join(
+        u_df.select(F.col("value").alias("_va"), "u_qmicros"),
+        "_va",
+        "left",
+    )
+    return joined.select(
+        *[F.col(c) for c in pairs.columns],
+        "agrees",
+        F.when(F.col("agrees"), F.col("u_qmicros"))
+        .cast("long")
+        .alias("u_qmicros"),
+        F.when(
+            F.col("agrees"),
+            F.least(
+                F.expr(
+                    f"(CAST(1000000 AS BIGINT)"
+                    f" * CAST({int(m_qmicros)} AS BIGINT))"
+                    f" div u_qmicros"
+                ),
+                F.lit(10**12).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(int(dis_lr)).cast("long"))
+        .alias("lr_qmicros"),
+    )

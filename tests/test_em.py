@@ -176,6 +176,77 @@ def test_em_fit_levels_validates_and_inits(spark):
     assert got[0]["p_qmicros"] == 100_000
 
 
+def test_value_frequency_u_hand_pinned(spark):
+    from sassy_spark.operators.em import value_frequency_u
+
+    # 5 non-null records: smith x3, jones x1, NULL x1 -> N=4
+    recs = spark.createDataFrame(
+        [("a", "smith"), ("b", "smith"), ("c", "smith"),
+         ("d", "jones"), ("e", None)],
+        ["url", "name"],
+    )
+    got = {
+        r["value"]: (r["c"], r["u_qmicros"])
+        for r in value_frequency_u(recs, "name").collect()
+    }
+    # u(smith) = 1e6*3*2 // (4*3) = 500000; u(jones) clamps 0 -> 1
+    assert got == {"smith": (3, 500_000), "jones": (1, 1)}
+
+
+def test_frequency_adjusted_weights_hand_pinned(spark):
+    from sassy_spark.operators.em import frequency_adjusted_weights
+
+    recs = spark.createDataFrame(
+        [("a", "smith"), ("b", "smith"), ("c", "smith"),
+         ("d", "jones"), ("e", None)],
+        ["url", "name"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("d", "e")], ["url_a", "url_b"]
+    )
+    out = {
+        (r["url_a"], r["url_b"]): r.asDict()
+        for r in frequency_adjusted_weights(
+            pairs, recs, "name", m_qmicros=900_000
+        ).collect()
+    }
+    # u_glob = 1e6*(3*2 + 0) // (4*3) = 500000
+    # disagree lr = (1e6 * 1e5) // (1e6 - 500000) = 200000
+    ab = out[("a", "b")]
+    assert ab["agrees"] is True
+    assert ab["u_qmicros"] == 500_000
+    assert ab["lr_qmicros"] == (1_000_000 * 900_000) // 500_000
+    ad = out[("a", "d")]
+    assert ad["agrees"] is False
+    assert ad["u_qmicros"] is None
+    assert ad["lr_qmicros"] == 200_000
+    de = out[("d", "e")]  # NULL side never agrees
+    assert de["agrees"] is False and de["lr_qmicros"] == 200_000
+
+
+def test_frequency_adjusted_weights_rare_value_clamp(spark):
+    from sassy_spark.operators.em import frequency_adjusted_weights
+
+    # a rare-value agreement rides the u >= 1 clamp: lr = (1e6*m)//1
+    # (the 1e12 cap is unreachable for a single feature since
+    # 1e6 * m < 1e12 for any clamped m — it mirrors fs_score's fold
+    # contract, which CAN hit it across features)
+    recs = spark.createDataFrame(
+        [("a", "rare"), ("b", "rare")] + [
+            (f"x{i}", f"v{i}") for i in range(2000)
+        ],
+        ["url", "name"],
+    )
+    pairs = spark.createDataFrame([("a", "b")], ["url_a", "url_b"])
+    (r,) = frequency_adjusted_weights(
+        pairs, recs, "name", m_qmicros=900_000
+    ).collect()
+    # u(rare) = 1e6*2*1 // (2002*2001) = 0 -> clamp 1
+    assert r["agrees"] is True
+    assert r["u_qmicros"] == 1
+    assert r["lr_qmicros"] == 900_000_000_000
+
+
 def test_fs_score_missing_feature_raises(spark):
     from sassy_spark.operators.em import fs_score
 
