@@ -2737,6 +2737,31 @@ def _q91_frequency_adjusted_fs(spark, sf):
     )
 
 
+def _q92_fs_three_way_decision(spark, sf):
+    """The Fellegi-Sunter three-way decision rule — the final stage of
+    the probabilistic framework the scorers feed: lr >= upper => link,
+    lr >= lower => possible link (clerical review queue), else
+    non-link. Reports the decision x LR-decade contingency (decade =
+    digits(lr_micros) - 1, an EXACT integer log10 bucket on both
+    engines — no float log). Thresholds are micros literals chosen so
+    all three bands are populated at sf0.01; the review-queue count is
+    the number a real deployment staffs clerks against."""
+    scored = _q85_fs_em_scores(spark, sf)
+    return (
+        scored.select(
+            F.when(F.col("lr_qmicros") >= 10_000_000, "link")
+            .when(F.col("lr_qmicros") >= 100_000, "possible")
+            .otherwise("nonlink")
+            .alias("decision"),
+            (
+                F.length(F.col("lr_qmicros").cast("string")) - 1
+            ).alias("lr_decade"),
+        )
+        .groupBy("decision", "lr_decade")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2828,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_mutual_best_linkage": _q89_mutual_best_linkage,
         "q90_em_multilevel": _q90_em_multilevel,
         "q91_frequency_adjusted_fs": _q91_frequency_adjusted_fs,
+        "q92_fs_three_way_decision": _q92_fs_three_way_decision,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -3056,7 +3082,7 @@ def oracle_sql() -> dict[str, str]:
     from sassy_spark.operators.sampling import split_cutpoints
 
     _SPLIT_CUTS = split_cutpoints({"train": 0.8, "val": 0.1, "test": 0.1})
-    return {
+    out = {
         "q01_pushdown_filter_project": """
             SELECT l_orderkey, l_partkey,
                    CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -5082,3 +5108,16 @@ def oracle_sql() -> dict[str, str]:
                            AND inter.id_b = prs.id_b
         """,
     }
+    # q92 wraps q85's scored pairs verbatim so the LR arithmetic can
+    # never drift between the two oracles; decade = digits - 1 is an
+    # exact integer log10 bucket on both engines
+    out["q92_fs_three_way_decision"] = (
+        "SELECT CASE WHEN lr_qmicros >= 10000000 THEN 'link'"
+        " WHEN lr_qmicros >= 100000 THEN 'possible'"
+        " ELSE 'nonlink' END AS decision,"
+        " CAST(length(CAST(lr_qmicros AS VARCHAR)) - 1 AS INTEGER)"
+        " AS lr_decade, count(*) AS n_pairs FROM ("
+        + out["q85_fs_em_scores"]
+        + ") GROUP BY 1, 2"
+    )
+    return out
