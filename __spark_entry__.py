@@ -2762,6 +2762,44 @@ def _q92_fs_three_way_decision(spark, sf):
     )
 
 
+def _q93_pprl_clk_dice(spark, sf):
+    """Privacy-preserving linkage (Schnell-style CLK): encode a
+    sanitized 40-char text prefix as a 256-bit/k=4 Bloom position set
+    per record (bigram double-hashing, pure integer arithmetic — see
+    operators/pprl.py for the engine-exact position formula) and score
+    adjacent pairs with the Dice coefficient over the ENCODINGS only —
+    the cross-organization mode where raw values never meet. Encode is
+    one Catalyst projection (transform/flatten, no UDF); Dice is two id
+    equi-joins + array_intersect on bounded arrays."""
+    from sassy_spark.operators.pprl import clk_encode, dice_pairs
+
+    d = _load(spark, sf, "documents")
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            1,
+            40,
+        ).alias("field"),
+    )
+    enc = clk_encode(recs, "field")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    out = dice_pairs(pairs, enc)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("inter_card").cast("long").alias("inter_card"),
+        F.col("card_a").cast("long").alias("card_a"),
+        F.col("card_b").cast("long").alias("card_b"),
+        F.col("dice_qmicros").cast("long").alias("dice_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2854,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_em_multilevel": _q90_em_multilevel,
         "q91_frequency_adjusted_fs": _q91_frequency_adjusted_fs,
         "q92_fs_three_way_decision": _q92_fs_three_way_decision,
+        "q93_pprl_clk_dice": _q93_pprl_clk_dice,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5108,6 +5147,47 @@ def oracle_sql() -> dict[str, str]:
                            AND inter.id_b = prs.id_b
         """,
     }
+    out["q93_pprl_clk_dice"] = """
+        -- CLK Bloom position sets + Dice, recomputed from scratch:
+        -- same bigram double-hash ((h1 + j*h2) % 256 with
+        -- h2 = h1*2654435761 % 2^32), same sorted-distinct set, same
+        -- (2e6*inter) // (|A|+|B|) quantization as operators/pprl.py
+        WITH recs AS (
+          SELECT doc_id,
+                 coalesce(substr(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), 1, 40), '') AS f
+          FROM documents),
+        enc AS (
+          SELECT doc_id,
+            CASE WHEN length(f) < 2 THEN CAST([] AS INTEGER[])
+            ELSE list_sort(list_distinct(flatten(
+              list_transform(range(1, length(f)), i ->
+                list_transform(range(0, 4), j ->
+                  CAST(((ascii(substr(f, i, 1)) * 256
+                         + ascii(substr(f, i + 1, 1)))
+                    + j * ((ascii(substr(f, i, 1)) * 256
+                            + ascii(substr(f, i + 1, 1)))
+                           * 2654435761 % 4294967296)
+                  ) % 256 AS INTEGER))))))
+            END AS clk
+          FROM recs),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM documents a JOIN documents b
+                 ON a.doc_id + 1 = b.doc_id)
+        SELECT pr.doc_a, pr.doc_b,
+          CAST(len(list_intersect(ea.clk, eb.clk)) AS BIGINT)
+              AS inter_card,
+          CAST(len(ea.clk) AS BIGINT) AS card_a,
+          CAST(len(eb.clk) AS BIGINT) AS card_b,
+          CAST(CASE WHEN len(ea.clk) + len(eb.clk) > 0 THEN
+            (CAST(2000000 AS BIGINT)
+             * len(list_intersect(ea.clk, eb.clk)))
+            // (len(ea.clk) + len(eb.clk))
+          ELSE 0 END AS BIGINT) AS dice_qmicros
+        FROM pr
+        JOIN enc ea ON ea.doc_id = pr.doc_a
+        JOIN enc eb ON eb.doc_id = pr.doc_b
+    """
     # q92 wraps q85's scored pairs verbatim so the LR arithmetic can
     # never drift between the two oracles; decade = digits - 1 is an
     # exact integer log10 bucket on both engines
