@@ -2800,6 +2800,49 @@ def _q93_pprl_clk_dice(spark, sf):
     )
 
 
+def _q94_pprl_packed_dice(spark, sf):
+    """Bit-packed PPRL: the same CLK pipeline as q93, but the position
+    set is packed into 8 bigint words (32 bits each, plain integer sum
+    of 2^bit — distinct positions make OR unnecessary) and Dice runs
+    as bit_count(a & b) per word. Contract-identical output to q93, so
+    the DuckDB oracle recomputes the POSITION-SET form from scratch —
+    a cross-representation check that the packed fast path can never
+    drift from the set semantics. This is the shuffle shape that
+    survives 10^12 records: 8 longs per record, fixed-width popcount
+    intersection."""
+    from sassy_spark.operators.pprl import (
+        clk_encode,
+        clk_pack,
+        dice_pairs_packed,
+    )
+
+    d = _load(spark, sf, "documents")
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            1,
+            40,
+        ).alias("field"),
+    )
+    packed = clk_pack(clk_encode(recs, "field"))
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    out = dice_pairs_packed(pairs, packed)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("inter_card").cast("long").alias("inter_card"),
+        F.col("card_a").cast("long").alias("card_a"),
+        F.col("card_b").cast("long").alias("card_b"),
+        F.col("dice_qmicros").cast("long").alias("dice_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2893,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_frequency_adjusted_fs": _q91_frequency_adjusted_fs,
         "q92_fs_three_way_decision": _q92_fs_three_way_decision,
         "q93_pprl_clk_dice": _q93_pprl_clk_dice,
+        "q94_pprl_packed_dice": _q94_pprl_packed_dice,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5188,6 +5232,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN enc ea ON ea.doc_id = pr.doc_a
         JOIN enc eb ON eb.doc_id = pr.doc_b
     """
+    # q94 is the bit-packed fast path with CONTRACT-IDENTICAL output:
+    # the oracle deliberately recomputes the position-set form, so a
+    # packed/unpacked divergence fails the hash check.
+    out["q94_pprl_packed_dice"] = out["q93_pprl_clk_dice"]
     # q92 wraps q85's scored pairs verbatim so the LR arithmetic can
     # never drift between the two oracles; decade = digits - 1 is an
     # exact integer log10 bucket on both engines

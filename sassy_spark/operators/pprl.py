@@ -85,6 +85,103 @@ def clk_encode(
     ).withColumn(f"{out_col}_card", F.size(out_col))
 
 
+def clk_pack(
+    encodings: DataFrame,
+    clk_col: str = "clk",
+    n_bits: int = 256,
+    word_bits: int = 32,
+    out_col: str = "clk_words",
+) -> DataFrame:
+    """Pack a CLK position set into ``n_bits / word_bits`` bigint words.
+
+    This is the documented scale path: the shuffle payload drops from
+    <= n_bits ints to n_bits/word_bits longs per record and the Dice
+    intersection becomes bit_count(a & b) — O(words), not O(set size).
+    Because the position set is DISTINCT, word w is the plain integer
+    SUM of 2^(p mod word_bits) over positions p with p div word_bits
+    = w — no bitwise OR, so any engine's integer arithmetic packs the
+    identical value. word_bits = 32 keeps every word positive in a
+    signed 64-bit lane (no sign-bit dialect risk). Pure Catalyst
+    projection; drops the position-set column.
+    """
+    n_words = n_bits // word_bits
+    words = (
+        f"transform(sequence(0, {n_words - 1}), w -> "
+        f"aggregate(filter({clk_col}, p -> p div {word_bits} = w), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, p) -> acc + shiftleft(CAST(1 AS BIGINT), "
+        f"p % {word_bits})))"
+    )
+    return encodings.select(
+        *[c for c in encodings.columns if c != clk_col],
+        F.expr(words).alias(out_col),
+    )
+
+
+def dice_pairs_packed(
+    pairs: DataFrame,
+    packed: DataFrame,
+    url: str = "url",
+    words_col: str = "clk_words",
+    pair_a: str = "url_a",
+    pair_b: str = "url_b",
+    out_col: str = "dice_qmicros",
+) -> DataFrame:
+    """Dice over PACKED encodings: bit_count(a & b) summed per word.
+
+    Contract-identical to :func:`dice_pairs` (same floor-micros
+    quantization, same output columns) — pinned by test_pprl — but the
+    join shuffles n_bits/64-ish longs per side and the intersection is
+    a fixed-width popcount loop, the form that survives 10^12 records.
+    Cardinalities are recomputed from the words (popcount), so the
+    packed frame is self-contained.
+    """
+    card = (
+        f"aggregate(transform({{0}}, w -> bit_count(w)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    inter = (
+        "aggregate(zip_with(_w_a, _w_b, (x, y) -> bit_count(x & y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    enc = packed.select(
+        F.col(url).alias("_u"), F.col(words_col).alias("_w")
+    )
+    joined = (
+        pairs.join(
+            enc.select(
+                F.col("_u").alias(pair_a), F.col("_w").alias("_w_a")
+            ),
+            pair_a,
+        )
+        .join(
+            enc.select(
+                F.col("_u").alias(pair_b), F.col("_w").alias("_w_b")
+            ),
+            pair_b,
+        )
+        .withColumn("inter_card", F.expr(inter))
+        .withColumn("card_a", F.expr(card.format("_w_a")))
+        .withColumn("card_b", F.expr(card.format("_w_b")))
+    )
+    return joined.select(
+        *[F.col(c) for c in pairs.columns],
+        "inter_card",
+        "card_a",
+        "card_b",
+        F.when(
+            F.col("card_a") + F.col("card_b") > 0,
+            F.expr(
+                "(CAST(2000000 AS BIGINT) * inter_card)"
+                " div (card_a + card_b)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias(out_col),
+    )
+
+
 def dice_pairs(
     pairs: DataFrame,
     encodings: DataFrame,

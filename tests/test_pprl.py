@@ -1,8 +1,14 @@
 """PPRL CLK encodings + Dice: hand-pinned positions, edge cases, plan."""
 
 import pytest
+from pyspark.sql import functions as F
 
-from sassy_spark.operators.pprl import clk_encode, dice_pairs
+from sassy_spark.operators.pprl import (
+    clk_encode,
+    clk_pack,
+    dice_pairs,
+    dice_pairs_packed,
+)
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -67,6 +73,47 @@ def test_dice_pairs_values(spark):
     )
     # both-empty pair guards the divide
     assert got[("d", "d")]["dice_qmicros"] == 0
+
+
+def test_clk_pack_words_hand_pinned(spark):
+    # positions {0, 31, 32, 255} -> word0 = 1 + 2^31, word1 = 1,
+    # word7 = 2^31, rest 0; every word stays positive (32-bit lanes
+    # inside signed 64-bit words)
+    df = spark.createDataFrame([("u", "xx")], "url string, f string")
+    enc = clk_encode(df, "f").withColumn(
+        "clk", F.expr("array(0, 31, 32, 255)")
+    )
+    words = clk_pack(enc).first()["clk_words"]
+    assert words == [1 + 2**31, 1, 0, 0, 0, 0, 0, 2**31]
+    assert all(w >= 0 for w in words)
+
+
+def test_packed_dice_equals_unpacked(spark):
+    # contract identity on real-ish varied strings, incl empty/NULL
+    rows = [
+        ("a", "the quick brown fox"),
+        ("b", "the quick brown fax"),
+        ("c", "zzzz 1234 qqqq"),
+        ("d", ""),
+        ("e", None),
+        ("f", "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "url string, f string")
+    enc = clk_encode(df, "f")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in "abcdef" for b in "abcdef" if a < b],
+        "url_a string, url_b string",
+    )
+    cols = ["url_a", "url_b", "inter_card", "card_a", "card_b",
+            "dice_qmicros"]
+    unpacked = sorted(
+        tuple(r[c] for c in cols) for r in dice_pairs(pairs, enc).collect()
+    )
+    packed = sorted(
+        tuple(r[c] for c in cols)
+        for r in dice_pairs_packed(pairs, clk_pack(enc)).collect()
+    )
+    assert packed == unpacked and len(packed) == 15
 
 
 def test_clk_encode_is_pure_catalyst(spark):
