@@ -2843,6 +2843,58 @@ def _q94_pprl_packed_dice(spark, sf):
     )
 
 
+# q95's messy-URL generator: portable SQL (CASE + || only, ints
+# concat-cast identically on both engines) shared verbatim between the
+# Spark query and the DuckDB oracle so the INPUT can never drift — the
+# oracle then re-derives the canonical form step-by-step in SQL.
+_Q95_MESSY_URL = (
+    "CASE WHEN doc_id % 11 = 0 THEN 'doc-' || doc_id ELSE "
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'"
+    " ELSE 'http' END)"
+    " || '://'"
+    " || (CASE doc_id % 2 WHEN 0 THEN 'WWW.Site' ELSE 'site' END)"
+    " || (doc_id % 5) || '.Example.COM'"
+    " || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'"
+    " WHEN 2 THEN ':443' ELSE '' END)"
+    " || (CASE doc_id % 4 WHEN 0 THEN '//a//b' || (doc_id % 7)"
+    " WHEN 1 THEN '/a/b' || (doc_id % 7) || '/'"
+    " WHEN 2 THEN '' ELSE '/index' END)"
+    " || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=tw&b=2&a=1'"
+    " WHEN 1 THEN '?b=2&utm_campaign=x&a=1&'"
+    " WHEN 2 THEN '?gclid=abc'"
+    " WHEN 3 THEN '?z=9&a=1&ref=foo' ELSE '' END)"
+    " || (CASE doc_id % 2 WHEN 0 THEN '#Section-2' ELSE '' END)"
+    " END"
+)
+
+
+def _q95_url_canonicalize(spark, sf):
+    """URL canonicalization as the first ER blocking key: every messy
+    crawl spelling (scheme/host case, www., default ports, duplicate
+    and trailing slashes, tracking params, param order, fragments)
+    collapses to one canonical key, plus the per-key duplicate-group
+    size — the count of crawl variants the canonicalizer unified,
+    i.e. pairwise comparisons saved before any scoring. Messy inputs
+    are synthesized deterministically from doc_id with SQL shared
+    verbatim with the oracle; the canonical form is one pure-Catalyst
+    projection (functions/urlnorm.py), the group size one combining
+    count over a window-free self-join on the key."""
+    from sassy_spark.functions.urlnorm import canonicalize_urls
+
+    d = _load(spark, sf, "documents")
+    raw = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_Q95_MESSY_URL).alias("url_raw"),
+    )
+    canon = canonicalize_urls(raw, "url_raw", "url_canon")
+    sizes = canon.groupBy("url_canon").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return canon.join(sizes, "url_canon").select(
+        "doc_id", "url_raw", "url_canon", "group_size"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2937,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_fs_three_way_decision": _q92_fs_three_way_decision,
         "q93_pprl_clk_dice": _q93_pprl_clk_dice,
         "q94_pprl_packed_dice": _q94_pprl_packed_dice,
+        "q95_url_canonicalize": _q95_url_canonicalize,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5236,6 +5289,67 @@ def oracle_sql() -> dict[str, str]:
     # the oracle deliberately recomputes the position-set form, so a
     # packed/unpacked divergence fails the hash check.
     out["q94_pprl_packed_dice"] = out["q93_pprl_clk_dice"]
+    # q95: the messy-URL input is the SAME SQL string the Spark side
+    # ran (_Q95_MESSY_URL); the canonical form is re-derived here step
+    # by step (trim/defrag -> scheme/host/port -> path -> query),
+    # mirroring functions/urlnorm.py — only '/{2,}' needs the 'g'
+    # flag, every other regexp is anchored single-match.
+    out["q95_url_canonicalize"] = f"""
+        WITH raw AS (
+          SELECT doc_id, {_Q95_MESSY_URL} AS url_raw FROM documents),
+        s AS (
+          SELECT doc_id, url_raw, trim(url_raw) AS t,
+                 regexp_replace(trim(url_raw), '#.*$', '') AS nf
+          FROM raw),
+        p AS (
+          SELECT *,
+            lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+            regexp_replace(nf, '^[^:/?#]+://', '') AS rest
+          FROM s),
+        h AS (
+          SELECT *,
+            regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+            substr(rest,
+                   length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+              AS pathq
+          FROM p),
+        x AS (
+          SELECT *,
+            regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+            lower(regexp_replace(hostport, ':[0-9]+$', ''))
+              AS host_lc,
+            regexp_replace(regexp_replace(
+                regexp_extract(pathq, '^([^?]*)', 1),
+                '/{{2,}}', '/', 'g'), '/$', '') AS p1,
+            array_to_string(list_sort(list_filter(
+                string_split(regexp_extract(pathq, '\\?(.*)$', 1),
+                             '&'),
+                p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+                     AND p NOT LIKE 'fbclid=%' AND p <> 'fbclid'
+                     AND p NOT LIKE 'gclid=%' AND p <> 'gclid'
+                     AND p NOT LIKE 'msclkid=%' AND p <> 'msclkid'
+                     AND p NOT LIKE 'ref=%' AND p <> 'ref')), '&')
+              AS qs
+          FROM h),
+        canon AS (
+          SELECT doc_id, url_raw,
+            CASE WHEN position('://' IN nf) = 0 THEN t
+            ELSE scheme || '://'
+              || (CASE WHEN host_lc LIKE 'www.%'
+                  THEN substr(host_lc, 5) ELSE host_lc END)
+              || (CASE WHEN port <> ''
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+              || (CASE WHEN p1 = '' THEN '/' ELSE p1 END)
+              || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+            END AS url_canon
+          FROM x)
+        SELECT doc_id, url_raw, url_canon,
+               CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT)
+                 AS group_size
+        FROM canon
+    """
     # q92 wraps q85's scored pairs verbatim so the LR arithmetic can
     # never drift between the two oracles; decade = digits - 1 is an
     # exact integer log10 bucket on both engines
