@@ -2895,6 +2895,52 @@ def _q95_url_canonicalize(spark, sf):
     )
 
 
+# q96's host generator — portable SQL shared verbatim with the oracle
+# (same pattern as _Q95_MESSY_URL): mixes plain gTLD hosts, multi-part
+# ccTLD registries, deep subdomain chains, and the host==suffix edge.
+_Q96_HOST = (
+    "('h' || (doc_id % 7))"
+    " || (CASE doc_id % 6 WHEN 0 THEN '.shop.example'"
+    " WHEN 1 THEN '.example' WHEN 2 THEN '.a.b.example'"
+    " WHEN 3 THEN '' ELSE '.news.site' END)"
+    " || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'"
+    " WHEN 2 THEN '.com.au' ELSE '.org' END)"
+)
+
+
+def _q96_registrable_domain(spark, sf):
+    """eTLD+1 block keys + SURT sort keys over synthetic crawl hosts:
+    registrable_domain collapses every subdomain of a site into ONE
+    block key (raw-host blocking would split m./news./cdn. variants
+    and miss their pairs); reversed_host is the Common-Crawl index
+    ordering that turns per-site scans into range reads. Emits the
+    per-registrable-domain block size — the skew number a planner
+    salts on. Host synthesis SQL is shared verbatim with the oracle;
+    extraction is a pure Catalyst projection (fixed multi-part-suffix
+    literal, no joins — see functions/urlnorm.py)."""
+    from sassy_spark.functions.urlnorm import (
+        registrable_domain,
+        reversed_host,
+    )
+
+    d = _load(spark, sf, "documents")
+    hosts = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_Q96_HOST).alias("host"),
+    ).withColumns(
+        {
+            "reg_domain": registrable_domain("host"),
+            "surt_key": reversed_host("host"),
+        }
+    )
+    sizes = hosts.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("block_size")
+    )
+    return hosts.join(sizes, "reg_domain").select(
+        "doc_id", "host", "reg_domain", "surt_key", "block_size"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -2990,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_pprl_clk_dice": _q93_pprl_clk_dice,
         "q94_pprl_packed_dice": _q94_pprl_packed_dice,
         "q95_url_canonicalize": _q95_url_canonicalize,
+        "q96_registrable_domain": _q96_registrable_domain,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5349,6 +5396,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT)
                  AS group_size
         FROM canon
+    """
+    # q96: host generator shared verbatim; the eTLD+1 extraction is
+    # re-derived with the SAME fixed suffix literal imported from
+    # functions/urlnorm.py, so list drift between engines is
+    # impossible.
+    from sassy_spark.functions.urlnorm import MULTIPART_SUFFIXES
+
+    _suf = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    out["q96_registrable_domain"] = f"""
+        WITH hosts AS (
+          SELECT doc_id, {_Q96_HOST} AS host FROM documents),
+        x AS (
+          SELECT doc_id, host,
+            string_split(host, '.') AS parts,
+            CASE WHEN len(list_filter([{_suf}],
+                s -> host = s OR host LIKE '%.' || s)) > 0
+              THEN 3 ELSE 2 END AS take
+          FROM hosts),
+        k AS (
+          SELECT doc_id, host,
+            CASE WHEN len(parts) <= take THEN host
+              ELSE array_to_string(list_slice(parts,
+                len(parts) - take + 1, len(parts)), '.') END
+              AS reg_domain,
+            array_to_string(list_reverse(parts), '.') AS surt_key
+          FROM x)
+        SELECT doc_id, host, reg_domain, surt_key,
+               CAST(count(*) OVER (PARTITION BY reg_domain) AS BIGINT)
+                 AS block_size
+        FROM k
     """
     # q92 wraps q85's scored pairs verbatim so the LR arithmetic can
     # never drift between the two oracles; decade = digits - 1 is an

@@ -89,3 +89,55 @@ def canonicalize_urls(
 ) -> DataFrame:
     """Append ``out_col`` = canonical form of ``col``."""
     return df.withColumn(out_col, canonical_url(col))
+
+
+# Multi-label public suffixes recognized by registrable_domain — a
+# deliberately small, FIXED subset of the Mozilla Public Suffix List
+# (publicsuffix.org): the common ccTLD second-level registries. The
+# full list is a data file swap (broadcast it and join, or regenerate
+# this literal); the extraction logic is suffix-count-based and does
+# not change. Kept as a literal so the expression stays a pure
+# Catalyst projection with zero joins.
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+
+def registrable_domain(col: str) -> Column:
+    """eTLD+1 of a (canonical, lowercase) host column.
+
+    ``news.bbc.co.uk`` → ``bbc.co.uk``; ``www.example.com`` →
+    ``example.com`` (callers strip ``www.`` via canonical_url first);
+    a host that IS a listed suffix or shorter is returned whole.
+    This is the block key web-scale ER actually wants: raw-host
+    blocking splits one site's crawl variants (m./news./cdn.) into
+    different blocks and misses their pairs. Pure projection, no
+    shuffle."""
+    suf = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    multi = (
+        f"size(filter(array({suf}),"
+        f" s -> {col} = s OR {col} LIKE '%.' || s)) > 0"
+    )
+    take = f"CASE WHEN {multi} THEN 3 ELSE 2 END"
+    parts = f"split({col}, '\\\\.')"
+    n = f"size({parts})"
+    return F.expr(
+        f"CASE WHEN {n} <= {take} THEN {col}"
+        f" ELSE array_join(slice({parts}, {n} - {take} + 1, {take}),"
+        f" '.') END"
+    )
+
+
+def reversed_host(col: str) -> Column:
+    """SURT-style sort key: host labels reversed (``news.bbc.co.uk``
+    → ``uk.co.bbc.news``). Sorting/range-partitioning a 10^12-row
+    crawl on this key co-locates every host of a site — the Common
+    Crawl index ordering — so per-site scans become partition-pruned
+    range reads instead of shuffles."""
+    return F.expr(
+        f"array_join(reverse(split({col}, '\\\\.')), '.')"
+    )

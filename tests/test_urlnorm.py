@@ -2,7 +2,11 @@
 
 import pytest
 
-from sassy_spark.functions.urlnorm import canonicalize_urls
+from sassy_spark.functions.urlnorm import (
+    canonicalize_urls,
+    registrable_domain,
+    reversed_host,
+)
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -46,6 +50,44 @@ def test_canonical_collapses_crawl_variants(spark):
     df = spark.createDataFrame([(v,) for v in variants], "url string")
     keys = {r["url_canon"] for r in canonicalize_urls(df).collect()}
     assert keys == {"http://news.org/2024/story"}
+
+
+DOMAIN_CASES = [
+    ("news.bbc.co.uk", "bbc.co.uk", "uk.co.bbc.news"),
+    ("www.example.com", "example.com", "com.example.www"),
+    ("example.com", "example.com", "com.example"),
+    ("a.b.c.example.net", "example.net", "net.example.c.b.a"),
+    ("shop.site3.com.au", "site3.com.au", "au.com.site3.shop"),
+    ("co.uk", "co.uk", "uk.co"),
+    ("x.co.uk", "x.co.uk", "uk.co.x"),
+    ("localhost", "localhost", "localhost"),
+]
+
+
+def test_registrable_domain_and_surt_key(spark):
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in DOMAIN_CASES], "host string"
+    )
+    got = {
+        r["host"]: (r["reg"], r["rev"])
+        for r in df.select(
+            "host",
+            registrable_domain("host").alias("reg"),
+            reversed_host("host").alias("rev"),
+        ).collect()
+    }
+    for host, reg, rev in DOMAIN_CASES:
+        assert got[host] == (reg, rev), f"{host}: {got[host]}"
+
+
+def test_registrable_domain_unifies_site_crawl(spark):
+    # the blocking point: every subdomain of one site keys together
+    hosts = ["bbc.co.uk", "news.bbc.co.uk", "m.news.bbc.co.uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    keys = {
+        r[0] for r in df.select(registrable_domain("host")).collect()
+    }
+    assert keys == {"bbc.co.uk"}
 
 
 def test_canonicalize_is_pure_catalyst(spark):
