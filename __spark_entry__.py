@@ -2941,6 +2941,53 @@ def _q96_registrable_domain(spark, sf):
     )
 
 
+def _q97_pprl_hlsh_blocking(spark, sf):
+    """The complete privacy-preserving linkage pipeline: CLK encode
+    (q93) -> Hamming-LSH blocking over the packed 32-bit segments
+    (candidates = pairs agreeing exactly on >= 1 non-zero segment,
+    generated from encodings alone) -> Dice scoring of candidates
+    only -> threshold at 0.9. Raw values never meet at any stage.
+    One shuffle for blocking (segment, value), two id equi-joins for
+    scoring — no all-pairs anywhere. Oracle recomputes every stage
+    from scratch in SQL."""
+    from sassy_spark.operators.pprl import (
+        clk_encode,
+        clk_pack,
+        dice_pairs,
+        hlsh_candidates,
+    )
+
+    d = _load(spark, sf, "documents")
+    # zero-padded ids: hlsh_candidates canonicalizes pairs with a
+    # string '<', so lexicographic order must equal numeric order for
+    # the oracle's BIGINT '<' to agree
+    recs = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            1,
+            40,
+        ).alias("field"),
+    )
+    # eager persist, same reason as dedup.py's signature table: the
+    # encodings feed the blocking gate AND both scoring joins; left
+    # lazy, projection collapse re-inlines the encode expression into
+    # every consumer subtree (measured 60-120 s vs ~9 s at 500 docs).
+    # At 10^12 rows you persist the encode pass anyway — it is the
+    # cross-party artifact.
+    enc = clk_encode(recs, "field").persist()
+    enc.count()
+    cands = hlsh_candidates(clk_pack(enc))
+    out = dice_pairs(cands, enc).where(
+        F.col("dice_qmicros") >= 900_000
+    )
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("dice_qmicros").cast("long").alias("dice_qmicros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3037,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_pprl_packed_dice": _q94_pprl_packed_dice,
         "q95_url_canonicalize": _q95_url_canonicalize,
         "q96_registrable_domain": _q96_registrable_domain,
+        "q97_pprl_hlsh_blocking": _q97_pprl_hlsh_blocking,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5301,7 +5349,7 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(substr(regexp_replace(lower(text),
                      '[^a-z0-9 ]', '', 'g'), 1, 40), '') AS f
           FROM documents),
-        enc AS (
+        enc AS MATERIALIZED (
           SELECT doc_id,
             CASE WHEN length(f) < 2 THEN CAST([] AS INTEGER[])
             ELSE list_sort(list_distinct(flatten(
@@ -5396,6 +5444,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT)
                  AS group_size
         FROM canon
+    """
+    # q97: full PPRL pipeline recomputed — CLK positions (identical
+    # CTE to q93), 32-bit segment packing as plain integer sums,
+    # HLSH candidates via (segment, value) self-join, Dice + 0.9
+    # threshold. list_sum([]) is NULL in DuckDB, hence the coalesce;
+    # the Spark packer's aggregate() inits at 0 — both then drop the
+    # segment via val <> 0. enc/segs/cands are MATERIALIZED: DuckDB
+    # otherwise inlines the lambda-heavy encoding CTE into every
+    # reference and recomputes it per candidate row (~2 min instead
+    # of ~1 s).
+    out["q97_pprl_hlsh_blocking"] = """
+        WITH recs AS (
+          SELECT doc_id,
+                 coalesce(substr(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), 1, 40), '') AS f
+          FROM documents),
+        enc AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN length(f) < 2 THEN CAST([] AS INTEGER[])
+            ELSE list_sort(list_distinct(flatten(
+              list_transform(range(1, length(f)), i ->
+                list_transform(range(0, 4), j ->
+                  CAST(((ascii(substr(f, i, 1)) * 256
+                         + ascii(substr(f, i + 1, 1)))
+                    + j * ((ascii(substr(f, i, 1)) * 256
+                            + ascii(substr(f, i + 1, 1)))
+                           * 2654435761 % 4294967296)
+                  ) % 256 AS INTEGER))))))
+            END AS clk
+          FROM recs),
+        segs AS MATERIALIZED (
+          SELECT doc_id, w AS seg,
+            coalesce(list_sum(list_transform(
+              list_filter(clk, p -> p // 32 = w),
+              p -> (CAST(1 AS BIGINT) << (p % 32)))), 0) AS val
+          FROM enc, range(0, 8) t(w)),
+        nz AS (SELECT * FROM segs WHERE val <> 0),
+        cands AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nz a JOIN nz b
+            ON a.seg = b.seg AND a.val = b.val
+               AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          CAST((CAST(2000000 AS BIGINT)
+                * len(list_intersect(ea.clk, eb.clk)))
+               // (len(ea.clk) + len(eb.clk)) AS BIGINT)
+            AS dice_qmicros
+        FROM cands c
+        JOIN enc ea ON ea.doc_id = c.doc_a
+        JOIN enc eb ON eb.doc_id = c.doc_b
+        WHERE len(ea.clk) + len(eb.clk) > 0
+          AND (CAST(2000000 AS BIGINT)
+               * len(list_intersect(ea.clk, eb.clk)))
+              // (len(ea.clk) + len(eb.clk)) >= 900000
     """
     # q96: host generator shared verbatim; the eTLD+1 extraction is
     # re-derived with the SAME fixed suffix literal imported from

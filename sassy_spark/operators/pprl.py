@@ -182,6 +182,73 @@ def dice_pairs_packed(
     )
 
 
+def hlsh_candidates(
+    packed: DataFrame,
+    url: str = "url",
+    words_col: str = "clk_words",
+    pair_a: str = "url_a",
+    pair_b: str = "url_b",
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Hamming-LSH blocking over packed CLKs (Durham-style HLSH).
+
+    Splits the n-bit encoding into its packed words as LSH segments:
+    two records become ONE candidate pair iff they agree exactly on
+    at least one non-zero segment (zero = no bits in the segment —
+    shared emptiness is not evidence). This is the PPRL blocking
+    step: candidates are generated from the ENCODINGS alone, so the
+    whole encode -> block -> Dice-score pipeline never touches raw
+    values. Collision semantics: a segment agreeing exactly means 32
+    encoding bits agree, so high-Dice pairs (few differing bigrams)
+    collide in >= 1 segment with high probability while random pairs
+    rarely do — the standard banding trade-off, tuned by word width.
+
+    Plan: posexplode to (segment, value), ONE shuffle grouping by the
+    compound key, then JVM in-array pair expansion within each bucket
+    (the fused-gate shape proven in operators/dedup.py). The fused
+    form matters beyond the shuffle count: a (seg, val) SELF-JOIN
+    would carry the upstream encode expression into both join
+    subtrees, and Catalyst's projection collapse then re-evaluates it
+    per joined row — measured 119 s vs ~2 s at 500 docs. The groupBy
+    materializes values into the exchange exactly once. Optional
+    ``max_block_size`` drops over-cap buckets (skew guard, same
+    trade-off knob as the dedup gate); None keeps it exact.
+    """
+    seg = packed.select(
+        F.col(url).alias("_u"),
+        F.posexplode(words_col).alias("_seg", "_val"),
+    ).where(F.col("_val") != 0)
+    groups = (
+        seg.groupBy("_seg", "_val")
+        .agg(F.collect_list("_u").alias("_us"))
+        .where(F.size("_us") >= 2)
+    )
+    if max_block_size is not None:
+        groups = groups.where(F.size("_us") <= max_block_size)
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("_us"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_us"),
+                    i + F.lit(2),
+                    F.size(F.col("_us")) - i - F.lit(1),
+                ),
+                lambda y: F.struct(
+                    F.least(x, y).alias(pair_a),
+                    F.greatest(x, y).alias(pair_b),
+                ),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pairs_arr).alias("_p"))
+        .select(f"_p.{pair_a}", f"_p.{pair_b}")
+        .where(F.col(pair_a) < F.col(pair_b))
+        .dropDuplicates()
+    )
+
+
 def dice_pairs(
     pairs: DataFrame,
     encodings: DataFrame,

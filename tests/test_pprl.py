@@ -8,6 +8,7 @@ from sassy_spark.operators.pprl import (
     clk_pack,
     dice_pairs,
     dice_pairs_packed,
+    hlsh_candidates,
 )
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -114,6 +115,47 @@ def test_packed_dice_equals_unpacked(spark):
         for r in dice_pairs_packed(pairs, clk_pack(enc)).collect()
     )
     assert packed == unpacked and len(packed) == 15
+
+
+def test_hlsh_candidates_hand_built(spark):
+    # hand-built packed encodings (8 segments each):
+    #  a and b share segment 0 (val 5) AND segment 2 (val 9) -> ONE
+    #    deduped pair (a, b)
+    #  c shares only zero segments with everyone -> no pairs
+    #  d matches a on segment 7 -> pair (a, d)
+    rows = [
+        ("a", [5, 0, 9, 0, 0, 0, 0, 3]),
+        ("b", [5, 1, 9, 0, 0, 0, 0, 0]),
+        ("c", [0, 0, 0, 0, 0, 0, 0, 0]),
+        ("d", [6, 0, 0, 0, 0, 0, 0, 3]),
+    ]
+    packed = spark.createDataFrame(
+        rows, "url string, clk_words array<bigint>"
+    )
+    got = sorted(
+        (r["url_a"], r["url_b"]) for r in hlsh_candidates(packed).collect()
+    )
+    assert got == [("a", "b"), ("a", "d")]
+
+
+def test_hlsh_gate_passes_high_dice_pairs(spark):
+    # a near-identical pair (one bigram apart) must collide in >= 1
+    # segment; its Dice stays high end-to-end through the gate
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"),
+         ("b", "the quick brown fox jumpy"),
+         ("c", "totally unrelated 12345 qq")],
+        "url string, f string",
+    )
+    enc = clk_encode(df, "f")
+    cands = hlsh_candidates(clk_pack(enc))
+    pairs = {(r["url_a"], r["url_b"]) for r in cands.collect()}
+    assert ("a", "b") in pairs
+    scored = {
+        (r["url_a"], r["url_b"]): r["dice_qmicros"]
+        for r in dice_pairs(cands, enc).collect()
+    }
+    assert scored[("a", "b")] >= 900_000
 
 
 def test_clk_encode_is_pure_catalyst(spark):
