@@ -2988,6 +2988,31 @@ def _q97_pprl_hlsh_blocking(spark, sf):
     )
 
 
+def _q98_centroid_cohesion(spark, sf):
+    """Embedding-side cluster QA: every member's cosine to its own
+    entity centroid, exact-integer construction (components floor-
+    quantized to millis, centroid = component-wise integer SUM — a
+    positive multiple of the mean so cosines are unchanged), all in
+    long form (posexplode + combining sums + one (label, pos) join;
+    no whole-cluster arrays, skew-safe). is_outlier flags members
+    anti-correlated with their own centroid (cos < 0) — the
+    embedding counterpart of q83's edit-distance diameter audit.
+    Exact integer dots are emitted so the score is re-derivable."""
+    from sassy_spark.operators.similarity import centroid_cohesion
+
+    emb = _load(spark, sf, "embeddings")
+    out = centroid_cohesion(emb)
+    return out.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("id").cast("long").alias("vec_id"),
+        "dot_xs",
+        "xx",
+        "ss",
+        "cos_qmillis",
+        (F.col("cos_qmillis") < 0).alias("is_outlier"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3085,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_url_canonicalize": _q95_url_canonicalize,
         "q96_registrable_domain": _q96_registrable_domain,
         "q97_pprl_hlsh_blocking": _q97_pprl_hlsh_blocking,
+        "q98_centroid_cohesion": _q98_centroid_cohesion,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5498,6 +5524,40 @@ def oracle_sql() -> dict[str, str]:
           AND (CAST(2000000 AS BIGINT)
                * len(list_intersect(ea.clk, eb.clk)))
               // (len(ea.clk) + len(eb.clk)) >= 900000
+    """
+    # q98: same long-form exact-integer construction — components
+    # floor-quantized to millis, centroid = integer component sums,
+    # the one float step (final cosine) uses an identical expression
+    # tree; embedding[i + 1] because DuckDB lists are 1-based while
+    # posexplode is 0-based.
+    out["q98_centroid_cohesion"] = """
+        WITH q AS MATERIALIZED (
+          SELECT label, vec_id AS id, i AS pos,
+                 CAST(floor(embedding[i + 1] * 1000) AS BIGINT) AS val
+          FROM embeddings, range(0, 64) t(i)),
+        cent AS MATERIALIZED (
+          SELECT label, pos, sum(val) AS s_val FROM q GROUP BY 1, 2),
+        pm AS (
+          SELECT q.label, q.id, sum(q.val * c.s_val) AS dot_xs,
+                 sum(q.val * q.val) AS xx
+          FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+          GROUP BY 1, 2),
+        ssq AS (
+          SELECT label, sum(s_val * s_val) AS ss FROM cent GROUP BY 1)
+        SELECT CAST(pm.label AS INTEGER) AS label,
+               CAST(pm.id AS BIGINT) AS vec_id,
+               CAST(dot_xs AS BIGINT) AS dot_xs,
+               CAST(xx AS BIGINT) AS xx,
+               CAST(ss AS BIGINT) AS ss,
+               CAST(floor(1000.0 * dot_xs
+                    / (sqrt(CAST(xx AS DOUBLE))
+                       * sqrt(CAST(ss AS DOUBLE)))) AS BIGINT)
+                 AS cos_qmillis,
+               CAST(floor(1000.0 * dot_xs
+                    / (sqrt(CAST(xx AS DOUBLE))
+                       * sqrt(CAST(ss AS DOUBLE)))) AS BIGINT) < 0
+                 AS is_outlier
+        FROM pm JOIN ssq ON pm.label = ssq.label
     """
     # q96: host generator shared verbatim; the eTLD+1 extraction is
     # re-derived with the SAME fixed suffix literal imported from

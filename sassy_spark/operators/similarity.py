@@ -526,3 +526,68 @@ def tfidf_cosine_topk_pairs(
     return scored.orderBy(
         F.col("cos").desc(), F.col("doc_a"), F.col("doc_b")
     ).limit(k)
+
+
+def centroid_cohesion(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-member cosine to its cluster centroid — the embedding-side
+    cluster-QA audit (the cosine counterpart of the edit-distance
+    diameter audit): a member with low cosine to its own entity's
+    centroid is a likely wrong-merge for the clerical-review queue.
+
+    Engine-exact construction (oracle-replicable): components are
+    quantized to integer ``scale``-ths FIRST (floor, BIGINT), and the
+    centroid is the component-wise integer SUM over the cluster — a
+    positive scalar multiple of the mean, so cosines are identical
+    and everything stays exact integer math. All work happens in
+    LONG FORM: posexplode to (label, id, pos, val), centroid = one
+    map-side-combining sum per (label, pos), dots = one (label, pos)
+    equi-join + combining sums per member. No collect_list, no
+    whole-cluster arrays — a hot entity never materializes in one
+    task, so the plan survives skewed clusters at 10^12 rows. The
+    single float step is the final cosine, quantized to floor-millis
+    from exact integer dot/norm inputs with an identical expression
+    tree on both engines.
+
+    Returns (label, id, dot_xs, xx, ss, cos_qmillis): the exact
+    integer dot products are emitted alongside so audits can re-derive
+    the score.
+    """
+    q = vectors.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, v -> CAST(floor(v * {scale})"
+                f" AS BIGINT))"
+            )
+        ).alias("pos", "val"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("val").alias("s_val")
+    )
+    joined = q.join(cent, ["label", "pos"])
+    per_member = joined.groupBy("label", "id").agg(
+        F.sum(F.col("val") * F.col("s_val")).alias("dot_xs"),
+        F.sum(F.col("val") * F.col("val")).alias("xx"),
+    )
+    ss = cent.groupBy("label").agg(
+        F.sum(F.col("s_val") * F.col("s_val")).alias("ss")
+    )
+    out = per_member.join(ss, "label")
+    return out.select(
+        "label",
+        "id",
+        F.col("dot_xs").cast("long").alias("dot_xs"),
+        F.col("xx").cast("long").alias("xx"),
+        F.col("ss").cast("long").alias("ss"),
+        F.expr(
+            "CAST(floor(1000.0 * dot_xs / (sqrt(CAST(xx AS DOUBLE))"
+            " * sqrt(CAST(ss AS DOUBLE)))) AS BIGINT)"
+        ).alias("cos_qmillis"),
+    )

@@ -240,3 +240,38 @@ def test_tfidf_cosine_max_df_prunes_hot_terms(spark):
         tfidf_cosine_topk_pairs(docs, k=10, max_df=1).count() == 0
     )
     assert tfidf_cosine_topk_pairs(docs, k=10, max_df=100).count() > 0
+
+
+def test_centroid_cohesion_numpy_oracle(spark):
+    """Exact-integer construction matches a straight numpy recompute:
+    quantize to millis, centroid = integer component sums, cosine of
+    each member to that sum vector — and a planted anti-correlated
+    member is flagged (cos_qmillis < 0)."""
+    from sassy_spark.operators.similarity import centroid_cohesion
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(8)
+    rows, vecs = [], {}
+    for i in range(4):  # cluster 0: tight around base
+        v = base + 0.05 * rng.standard_normal(8)
+        rows.append((0, i, [float(x) for x in v]))
+        vecs[i] = v
+    # planted outlier: anti-correlated, small enough not to flip
+    # the centroid itself (centroid ~ 4*base - 0.5*base = 3.5*base)
+    out_v = -0.5 * base
+    rows.append((0, 99, [float(x) for x in out_v]))
+    vecs[99] = out_v
+    df = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
+    got = {r.id: r for r in centroid_cohesion(df).collect()}
+    q = {i: np.floor(np.asarray(v) * 1000).astype(np.int64)
+         for i, v in vecs.items()}
+    cent = sum(q.values())
+    for i, qi in q.items():
+        dot = int(qi @ cent)
+        xx = int(qi @ qi)
+        ss = int(cent @ cent)
+        assert (got[i].dot_xs, got[i].xx, got[i].ss) == (dot, xx, ss), i
+        want = int(np.floor(1000.0 * dot / (np.sqrt(xx) * np.sqrt(ss))))
+        assert got[i].cos_qmillis == want, i
+    assert got[99].cos_qmillis < 0  # planted outlier flagged
+    assert all(got[i].cos_qmillis > 900 for i in range(4))
