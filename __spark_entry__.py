@@ -3013,6 +3013,38 @@ def _q98_centroid_cohesion(spark, sf):
     )
 
 
+def _q99_review_queue(spark, sf):
+    """Active-learning clerical-review queue — the stage-4 human loop
+    of the FS pipeline: from the EM-scored pairs (q85's exact fold),
+    pick per LANGUAGE stratum the 25 pairs whose likelihood ratio sits
+    closest to the indifference point LR = 1e6 micros (the labels that
+    would move the decision boundary most), quota'd per stratum so one
+    dominant language cannot starve the others of review coverage.
+    Selection runs on sampling.review_queue -> cap_per_key's two-stage
+    salted plan (no single-task sort of a hot stratum); the oracle is
+    the naive one-window formulation the salted plan is documented to
+    equal. Exact integer uncertainty; (doc_a, doc_b) tiebreak makes
+    the queue deterministic."""
+    from sassy_spark.operators.sampling import review_queue
+
+    scored = _q85_fs_em_scores(spark, sf)
+    d = _load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc_a"), "lang"
+    )
+    strat = scored.join(d, "doc_a")
+    out = review_queue(strat, stratum_col="lang", per_stratum=25)
+    return out.select(
+        "lang",
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("lr_qmicros").cast("long").alias("lr_qmicros"),
+        F.col("uncertainty_qmicros").cast("long").alias(
+            "uncertainty_qmicros"
+        ),
+        F.col("queue_rank").cast("int").alias("queue_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3111,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_registrable_domain": _q96_registrable_domain,
         "q97_pprl_hlsh_blocking": _q97_pprl_hlsh_blocking,
         "q98_centroid_cohesion": _q98_centroid_cohesion,
+        "q99_review_queue": _q99_review_queue,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5600,5 +5633,30 @@ def oracle_sql() -> dict[str, str]:
         " AS lr_decade, count(*) AS n_pairs FROM ("
         + out["q85_fs_em_scores"]
         + ") GROUP BY 1, 2"
+    )
+    # q99: naive one-window formulation of the stratified uncertainty
+    # queue — cap_per_key's salted two-stage plan is documented (and
+    # pytest-pinned) to equal it exactly under a total order.
+    out["q99_review_queue"] = (
+        "WITH scored AS ("
+        + out["q85_fs_em_scores"]
+        + """),
+        j AS (
+          SELECT d.lang, s.doc_a, s.doc_b, s.lr_qmicros,
+                 CAST(abs(s.lr_qmicros - 1000000) AS BIGINT)
+                   AS uncertainty_qmicros
+          FROM scored s JOIN documents d ON s.doc_a = d.doc_id),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY uncertainty_qmicros, doc_a, doc_b) AS queue_rank
+          FROM j)
+        SELECT lang, CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(lr_qmicros AS BIGINT) AS lr_qmicros,
+               uncertainty_qmicros,
+               CAST(queue_rank AS INTEGER) AS queue_rank
+        FROM r WHERE queue_rank <= 25
+    """
     )
     return out

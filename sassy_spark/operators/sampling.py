@@ -156,3 +156,44 @@ def cap_per_key(
     return pruned.withColumn(rank_col, F.row_number().over(stage2)).where(
         F.col(rank_col) <= n
     )
+
+
+def review_queue(
+    scored: DataFrame,
+    stratum_col: str,
+    lr_col: str = "lr_qmicros",
+    indifference_qmicros: int = 1_000_000,
+    per_stratum: int = 25,
+    tiebreak_cols: Sequence[str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Clerical-review queue selection (active-learning stage of the
+    Fellegi-Sunter pipeline): from FS-scored candidate pairs, pick the
+    ``per_stratum`` pairs per stratum whose likelihood ratio is closest
+    to the indifference point LR = 1 — the pairs a human label would
+    move the decision boundary most, quota'd per stratum so dense
+    strata cannot starve sparse ones of review coverage.
+
+    uncertainty = |lr - indifference| in exact integer micros; the
+    per-stratum top-n runs on :func:`cap_per_key`'s two-stage salted
+    plan, so one hot stratum (e.g. one dominant language at web scale)
+    never sorts in a single task. ``tiebreak_cols`` must end in a
+    unique pair id so the queue is deterministic. Returns the input
+    columns plus ``uncertainty_qmicros`` and ``queue_rank`` (1 = most
+    uncertain in its stratum).
+    """
+    with_u = scored.withColumn(
+        "uncertainty_qmicros",
+        F.abs(
+            F.col(lr_col) - F.lit(int(indifference_qmicros)).cast("long")
+        ).cast("long"),
+    )
+    order = [("uncertainty_qmicros", "asc")] + [
+        (c, "asc") for c in tiebreak_cols
+    ]
+    return cap_per_key(
+        with_u,
+        key_col=stratum_col,
+        order_by=order,
+        n=per_stratum,
+        rank_col="queue_rank",
+    )

@@ -181,3 +181,48 @@ def test_incremental_minhash_pairs_empty_sides(spark):
     empty = docs.limit(0)
     assert incremental_minhash_pairs(docs, empty).count() == 0
     assert incremental_minhash_pairs(empty, docs).count() == 0
+
+
+def test_review_queue_equals_naive_window(spark):
+    """The salted two-stage queue must equal the naive one-window
+    formulation exactly (the oracle's shape), respect the per-stratum
+    quota on a planted hot stratum, and rank by closeness to LR=1."""
+    from sassy_spark.operators.sampling import review_queue
+
+    rows = []
+    # hot stratum: 40 pairs, lr fanning out around the 1e6 pivot
+    for i in range(40):
+        rows.append(("en", 2 * i, 2 * i + 1, 1_000_000 + (i - 20) * 7_000))
+    # sparse stratum: 3 pairs, all far from the pivot
+    for i in range(3):
+        rows.append(("fr", 1000 + i, 2000 + i, 90_000_000 + i))
+    df = spark.createDataFrame(
+        rows, "lang string, doc_a long, doc_b long, lr_qmicros long"
+    )
+    got = review_queue(
+        df, stratum_col="lang", per_stratum=5
+    ).collect()
+    w = Window.partitionBy("lang").orderBy(
+        "uncertainty_qmicros", "doc_a", "doc_b"
+    )
+    naive = (
+        df.withColumn(
+            "uncertainty_qmicros",
+            F.abs(F.col("lr_qmicros") - F.lit(1_000_000)).cast("long"),
+        )
+        .withColumn("queue_rank", F.row_number().over(w))
+        .where(F.col("queue_rank") <= 5)
+        .collect()
+    )
+    key = lambda r: (r.lang, r.queue_rank)
+    assert sorted(
+        [(r.lang, r.queue_rank, r.doc_a, r.uncertainty_qmicros) for r in got]
+    ) == sorted(
+        [(r.lang, r.queue_rank, r.doc_a, r.uncertainty_qmicros)
+         for r in naive]
+    )
+    en = sorted([r for r in got if r.lang == "en"], key=key)
+    assert len(en) == 5  # quota holds on the hot stratum
+    # rank 1 = the pair closest to the indifference point
+    assert en[0].uncertainty_qmicros == 0 and en[0].doc_a == 40
+    assert len([r for r in got if r.lang == "fr"]) == 3  # under quota
