@@ -3045,6 +3045,37 @@ def _q99_review_queue(spark, sf):
     )
 
 
+def _q100_edge_support(spark, sf):
+    """Triangle support per match-graph edge (the k-truss primitive)
+    — cluster REPAIR: a support-0 edge is a weak bridge, the single
+    borderline pair gluing two otherwise-unrelated sub-entities, the
+    first cut candidate for an over-merged cluster. Edge fixture:
+    doc pairs at id gap 1 or 2 within the SAME lang (lang holes break
+    the band graph into runs, so both triangles and weak bridges are
+    populated). Engine: degree-ordered node-iterator wedges (oriented
+    edges bound hub fan-out by out-degree = O(sqrt(m)); no salting
+    needed — see cluster.edge_support); oracle: the naive per-edge
+    common-neighbor count, an intentionally different formulation."""
+    from sassy_spark.operators.cluster import edge_support
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    parts = []
+    for gap in (1, 2):
+        parts.append(
+            a.join(
+                b,
+                (F.col("a.doc_id") + gap == F.col("b.doc_id"))
+                & (F.col("a.lang") == F.col("b.lang")),
+            ).select(
+                F.col("a.doc_id").alias("src"),
+                F.col("b.doc_id").alias("dst"),
+            )
+        )
+    edges = parts[0].unionByName(parts[1])
+    return edge_support(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3144,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_pprl_hlsh_blocking": _q97_pprl_hlsh_blocking,
         "q98_centroid_cohesion": _q98_centroid_cohesion,
         "q99_review_queue": _q99_review_queue,
+        "q100_edge_support": _q100_edge_support,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5659,4 +5691,28 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE queue_rank <= 25
     """
     )
+    # q100: naive per-edge common-neighbor count — intentionally a
+    # different formulation than the engine's degree-ordered wedges
+    # (support(a,b) = |N(a) /\ N(b)| = triangles through the edge).
+    out["q100_edge_support"] = """
+        WITH edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND b.doc_id - a.doc_id IN (1, 2)),
+        adj AS (
+          SELECT src AS u, dst AS v FROM edges
+          UNION ALL SELECT dst, src FROM edges),
+        sup AS (
+          SELECT e.src, e.dst, count(*) AS support
+          FROM edges e
+          JOIN adj x ON x.u = e.src
+          JOIN adj y ON y.u = e.dst AND y.v = x.v
+          GROUP BY 1, 2)
+        SELECT CAST(e.src AS BIGINT) AS src,
+               CAST(e.dst AS BIGINT) AS dst,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+               coalesce(s.support, 0) = 0 AS is_weak_bridge
+        FROM edges e LEFT JOIN sup s
+          ON e.src = s.src AND e.dst = s.dst
+    """
     return out

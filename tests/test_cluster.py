@@ -356,3 +356,38 @@ def test_cluster_cohesion(spark):
     assert r["n_pairs"] == 3
     assert r["diameter"] == 3
     assert r["mean_cost_qmicros"] == (1_000_000 * 6) // 3
+
+
+def test_edge_support_hand_pinned(spark):
+    """Diamond + bridge + triangle: every support value hand-derived;
+    the bridge is the only weak edge."""
+    from sassy_spark.operators.cluster import edge_support
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+             (3, 10), (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst): (r.support, r.is_weak_bridge)
+           for r in edge_support(df).collect()}
+    want = {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1,
+            (3, 10): 0, (10, 11): 1, (10, 12): 1, (11, 12): 1}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert [k for k, v in got.items() if v[1]] == [(3, 10)]
+
+
+def test_edge_support_random_vs_bruteforce(spark):
+    """Degree-ordered wedge counting equals the brute-force
+    common-neighbor count on a random graph (incl. isolated edges)."""
+    from sassy_spark.operators.cluster import edge_support
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                    for _ in range(120)})
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in edges}
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst): r.support
+           for r in edge_support(df).collect()}
+    assert got == want
