@@ -3076,6 +3076,53 @@ def _q100_edge_support(spark, sf):
     return edge_support(edges)
 
 
+def _q101_cluster_repair(spark, sf):
+    """Cluster repair — q100's detection turned into the ACT step:
+    cut every support-0 edge (weak bridge) from the match graph,
+    re-run connected components on the survivors
+    (cluster.repair_weak_bridges), and report per ORIGINAL cluster how
+    it fragments: member count, number of repaired sub-clusters, and
+    the largest surviving sub-cluster. Same edge fixture as q100
+    (doc pairs at id gap 1 or 2 within the same lang), checkpointed
+    once because the repair consumes it three times. Oracle: an
+    intentionally different formulation — on this fixture a gap-2
+    survivor always implies its two underlying gap-1 edges survive
+    (the middle doc shares the lang), so repaired components are
+    exactly the id-runs chained by surviving gap-1 edges
+    (gaps-and-islands), and original components are per-lang id-runs
+    with consecutive difference <= 2."""
+    from sassy_spark.operators.cluster import repair_weak_bridges
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    parts = []
+    for gap in (1, 2):
+        parts.append(
+            a.join(
+                b,
+                (F.col("a.doc_id") + gap == F.col("b.doc_id"))
+                & (F.col("a.lang") == F.col("b.lang")),
+            ).select(
+                F.col("a.doc_id").alias("src"),
+                F.col("b.doc_id").alias("dst"),
+            )
+        )
+    edges = (
+        parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+    )
+    lab = repair_weak_bridges(edges, min_support=1)
+    sub = lab.groupBy("cluster_id", "repaired_cluster_id").agg(
+        F.count("*").alias("sz")
+    )
+    return sub.groupBy(
+        F.col("cluster_id").cast("long").alias("cluster_id")
+    ).agg(
+        F.sum("sz").cast("long").alias("n_members"),
+        F.count("*").cast("long").alias("n_subclusters"),
+        F.max("sz").cast("long").alias("largest_sub_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3176,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_centroid_cohesion": _q98_centroid_cohesion,
         "q99_review_queue": _q99_review_queue,
         "q100_edge_support": _q100_edge_support,
+        "q101_cluster_repair": _q101_cluster_repair,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5714,5 +5762,74 @@ def oracle_sql() -> dict[str, str]:
                coalesce(s.support, 0) = 0 AS is_weak_bridge
         FROM edges e LEFT JOIN sup s
           ON e.src = s.src AND e.dst = s.dst
+    """
+    # q101: closed-form repair on the q100 fixture. A gap-2 edge
+    # survives iff the middle doc shares the lang, in which case both
+    # gap-1 edges beneath it also survive (the gap-2 endpoint is their
+    # common neighbor) — so repaired connectivity is carried ENTIRELY
+    # by surviving gap-1 edges, and both labelings reduce to
+    # gaps-and-islands window algebra. The engine runs the generic
+    # support-filter + two CC passes instead.
+    out["q101_cluster_repair"] = """
+        WITH edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND b.doc_id - a.doc_id IN (1, 2)),
+        adj AS (
+          SELECT src AS u, dst AS v FROM edges
+          UNION ALL SELECT dst, src FROM edges),
+        sup AS (
+          SELECT e.src, e.dst, count(*) AS support
+          FROM edges e
+          JOIN adj x ON x.u = e.src
+          JOIN adj y ON y.u = e.dst AND y.v = x.v
+          GROUP BY 1, 2),
+        strong1 AS (
+          SELECT src, dst FROM sup
+          WHERE support >= 1 AND dst - src = 1),
+        nodes AS (SELECT DISTINCT u AS node FROM adj),
+        rb AS (
+          SELECT n.node,
+                 CASE WHEN EXISTS (
+                   SELECT 1 FROM strong1 s WHERE s.dst = n.node
+                 ) THEN 0 ELSE 1 END AS boundary
+          FROM nodes n),
+        rg AS (
+          SELECT node,
+                 sum(boundary) OVER (ORDER BY node) AS g
+          FROM rb),
+        rep AS (
+          SELECT node,
+                 min(node) OVER (PARTITION BY g)
+                   AS repaired_cluster_id
+          FROM rg),
+        ol AS (
+          SELECT n.node, d.lang
+          FROM nodes n JOIN documents d ON d.doc_id = n.node),
+        ob AS (
+          SELECT node, lang,
+                 CASE WHEN node - lag(node) OVER (
+                        PARTITION BY lang ORDER BY node) <= 2
+                      THEN 0 ELSE 1 END AS boundary
+          FROM ol),
+        og AS (
+          SELECT node, lang,
+                 sum(boundary) OVER (
+                   PARTITION BY lang ORDER BY node) AS g
+          FROM ob),
+        orig AS (
+          SELECT node,
+                 min(node) OVER (PARTITION BY lang, g) AS cluster_id
+          FROM og),
+        sub AS (
+          SELECT o.cluster_id, r.repaired_cluster_id,
+                 count(*) AS sz
+          FROM orig o JOIN rep r ON o.node = r.node
+          GROUP BY 1, 2)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(sum(sz) AS BIGINT) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_subclusters,
+               CAST(max(sz) AS BIGINT) AS largest_sub_size
+        FROM sub GROUP BY 1
     """
     return out

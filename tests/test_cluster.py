@@ -391,3 +391,33 @@ def test_edge_support_random_vs_bruteforce(spark):
     got = {(r.src, r.dst): r.support
            for r in edge_support(df).collect()}
     assert got == want
+
+
+def test_repair_weak_bridges_hand_pinned(spark):
+    """Two triangles glued by a bridge split apart; an isolated edge
+    dissolves into singletons; triangle membership is preserved."""
+    from sassy_spark.operators.cluster import repair_weak_bridges
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6),
+             (10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.cluster_id, r.repaired_cluster_id)
+           for r in repair_weak_bridges(df).collect()}
+    assert got == {
+        1: (1, 1), 2: (1, 1), 3: (1, 1),       # left triangle keeps 1
+        4: (1, 4), 5: (1, 4), 6: (1, 4),       # right triangle splits
+        10: (10, 10), 11: (10, 11),            # isolated edge dissolves
+    }
+
+
+def test_repair_weak_bridges_min_support_two(spark):
+    """min_support=2 peels edges in only one triangle: the diamond's
+    shared edge (2,3) has support 2 and survives; the rest (support 1)
+    are cut, leaving {2,3} together and 1, 4 singletons."""
+    from sassy_spark.operators.cluster import repair_weak_bridges
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.cluster_id, r.repaired_cluster_id)
+           for r in repair_weak_bridges(df, min_support=2).collect()}
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 2), 4: (1, 4)}
