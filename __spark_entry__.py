@@ -3123,6 +3123,37 @@ def _q101_cluster_repair(spark, sf):
     )
 
 
+def _q102_merge_chain_depth(spark, sf):
+    """Merge-chain depth audit (cluster.merge_chain_depth): every
+    node's BFS layer from its cluster representative — records at
+    depth d joined their entity only through a chain of d borderline
+    matches, the transitive-closure risk signal q83/q98 quantify by
+    re-scoring and this query quantifies structurally. Edge fixture:
+    gap-1 same-lang doc pairs, so components are maximal same-lang
+    consecutive-id runs and the closed-form oracle is pure window
+    algebra (cluster_id = run min, depth = node - run min); the
+    engine runs the generic min-label BFS flood instead (non-chain
+    shapes are pinned by pytest on star/random graphs)."""
+    from sassy_spark.operators.cluster import merge_chain_depth
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").alias("src"),
+        F.col("b.doc_id").alias("dst"),
+    )
+    out = merge_chain_depth(edges)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3224,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_review_queue": _q99_review_queue,
         "q100_edge_support": _q100_edge_support,
         "q101_cluster_repair": _q101_cluster_repair,
+        "q102_merge_chain_depth": _q102_merge_chain_depth,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5831,5 +5863,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_subclusters,
                CAST(max(sz) AS BIGINT) AS largest_sub_size
         FROM sub GROUP BY 1
+    """
+    # q102: on the gap-1 same-lang fixture, components are maximal
+    # same-lang consecutive-id runs, so representative = run min and
+    # BFS depth = node - run min — closed-form window algebra; the
+    # engine floods min labels generically and reports the round each
+    # node's label last improved.
+    out["q102_merge_chain_depth"] = """
+        WITH edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND b.doc_id = a.doc_id + 1),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nl AS (
+          SELECT n.node, d.lang
+          FROM nodes n JOIN documents d ON d.doc_id = n.node),
+        b AS (
+          SELECT node, lang,
+                 CASE WHEN node - lag(node) OVER (
+                        PARTITION BY lang ORDER BY node) = 1
+                      THEN 0 ELSE 1 END AS boundary
+          FROM nl),
+        g AS (
+          SELECT node, lang,
+                 sum(boundary) OVER (
+                   PARTITION BY lang ORDER BY node) AS grp
+          FROM b),
+        lab AS (
+          SELECT node,
+                 min(node) OVER (PARTITION BY lang, grp) AS cluster_id
+          FROM g)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(node - cluster_id AS BIGINT) AS depth
+        FROM lab
     """
     return out

@@ -989,3 +989,112 @@ def repair_weak_bridges(
             "repaired_cluster_id"
         ),
     )
+
+
+def merge_chain_depth(
+    edges: DataFrame,
+    max_iter: int = 64,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Merge-chain depth audit: every node's BFS layer from its
+    cluster representative (the component's minimum id) — the
+    transitive-merge risk diagnostic. Records at depth d joined their
+    entity only through a chain of d borderline pairwise matches, so
+    large depths flag exactly the clusters where transitive closure is
+    doing the most work (the classic chain-merge failure mode);
+    depth <= 1 clusters are direct-evidence-only.
+
+    Input: undirected edges ``(src, dst)``. Returns
+    ``(node, cluster_id, depth)`` for every node appearing in edges,
+    with ``cluster_id = min(component)`` (matching
+    :func:`connected_components` labels) and ``depth`` = shortest-path
+    hops from that representative.
+
+    Scale design: synchronous min-label flooding — after round r each
+    node holds the minimum id in its r-hop ball, so the round at which
+    a node's label LAST improves is exactly its distance from the
+    component argmin. Each round is one equi-join + map-side-combining
+    groupBy-min over (long, long) rows; state is localCheckpoint-ed
+    per round (an eager action), so the convergence count reads
+    checkpointed data and lineage never compounds. Rounds run to the
+    graph's max representative eccentricity, capped at ``max_iter``
+    (past the cap, unconverged nodes keep their best-so-far label —
+    web-scale match graphs built from bounded-k blocking have small
+    diameters). Below ``small_graph_threshold`` edges (ONE count job
+    over the narrow edge frame) the whole graph collects to the
+    driver for a plain BFS — same contract as connected_components'
+    small-graph path; set 0 to force the distributed rounds (tests pin
+    both paths equal)."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if small_graph_threshold and e.count() <= small_graph_threshold:
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        out, seen = [], set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            # iterating ids ascending, the first unseen node IS its
+            # component's minimum: BFS depths from it are the answer
+            seen.add(start)
+            frontier, depth = [start], 0
+            while frontier:
+                out.extend((n, start, depth) for n in frontier)
+                depth += 1
+                nxt = []
+                for n in frontier:
+                    for m in adj[n]:
+                        if m not in seen:
+                            seen.add(m)
+                            nxt.append(m)
+                frontier = nxt
+        return spark.createDataFrame(
+            out, "node long, cluster_id long, depth long"
+        )
+    sym = _sym(e).distinct()
+    state = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.col("node").alias("label"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, max_iter + 1):
+        msgs = (
+            sym.join(
+                state.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("_nl"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("_nl").alias("cand"))
+        )
+        improved = F.col("cand") < F.col("label")
+        state = (
+            state.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.when(improved, F.col("cand"))
+                .otherwise(F.col("label"))
+                .alias("label"),
+                F.when(improved, F.lit(r).cast("long"))
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if state.where(F.col("depth") == r).isEmpty():
+            break
+    return state.select(
+        "node", F.col("label").alias("cluster_id"), "depth"
+    )

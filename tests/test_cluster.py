@@ -421,3 +421,56 @@ def test_repair_weak_bridges_min_support_two(spark):
     got = {r.node: (r.cluster_id, r.repaired_cluster_id)
            for r in repair_weak_bridges(df, min_support=2).collect()}
     assert got == {1: (1, 1), 2: (1, 2), 3: (1, 2), 4: (1, 4)}
+
+
+def _bfs_depths(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, seen = {}, set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        seen.add(start)
+        frontier, depth = [start], 0
+        while frontier:
+            for n in frontier:
+                want[n] = (start, depth)
+            depth += 1
+            nxt = [m for n in frontier for m in adj[n] if m not in seen]
+            for m in nxt:
+                seen.add(m)
+            frontier = list(dict.fromkeys(nxt))
+        # dedupe preserves order; depth assignment above is layer-wise
+    return want
+
+
+def test_merge_chain_depth_star(spark):
+    """Star with a leaf representative: the hub is depth 1, the other
+    leaves depth 2 — pins genuine BFS, not chain arithmetic."""
+    from sassy_spark.operators.cluster import merge_chain_depth
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], ["src", "dst"])
+    got = {r.node: (r.cluster_id, r.depth)
+           for r in merge_chain_depth(df).collect()}
+    assert got == {1: (1, 0), 5: (1, 1), 2: (1, 2), 3: (1, 2),
+                   4: (1, 2)}
+
+
+def test_merge_chain_depth_random_both_paths(spark):
+    """Driver-BFS path and distributed min-label-flood path both equal
+    python BFS on a random multi-component graph."""
+    from sassy_spark.operators.cluster import merge_chain_depth
+
+    rng = random.Random(11)
+    edges = sorted({tuple(sorted(rng.sample(range(40), 2)))
+                    for _ in range(45)})
+    want = _bfs_depths(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {r.node: (r.cluster_id, r.depth)
+               for r in merge_chain_depth(
+                   df, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
