@@ -3154,6 +3154,50 @@ def _q102_merge_chain_depth(spark, sf):
     )
 
 
+def _q103_streaming_cluster_maintenance(spark, sf):
+    """Streaming entity maintenance — the streaming face of q70's
+    incremental fold: match edges (gap-1 same-lang doc pairs) arrive
+    as 4 hash-split parquet snapshots, one micro-batch each
+    (maxFilesPerTrigger=1, availableNow), and every batch folds into a
+    versioned (url, cluster_id) state via CC(star(prev) UNION batch)
+    with a _LATEST pointer for exactly-once replay. Batch-equivalence
+    oracle, EXACT: after the last fold the state must equal
+    from-scratch connected components over the full edge set — on this
+    fixture, per-lang consecutive-id runs (the q102 window closed
+    form), regardless of how the hash split interleaved the edges."""
+    import tempfile
+
+    from sassy_spark.streaming.ingest import (
+        read_maintained_clusters,
+        streaming_cluster_maintenance,
+    )
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").cast("long").alias("src"),
+        F.col("b.doc_id").cast("long").alias("dst"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="sassy_ccstream_src_")
+    for part in range(4):
+        edges.where(
+            F.pmod(F.xxhash64("src"), F.lit(4)) == part
+        ).write.mode("overwrite").parquet(f"{src_dir}/snap{part:02d}")
+    state_dir = tempfile.mkdtemp(prefix="sassy_ccstream_state_")
+    ck_dir = tempfile.mkdtemp(prefix="sassy_ccstream_ck_")
+    q = streaming_cluster_maintenance(spark, src_dir, state_dir, ck_dir)
+    q.awaitTermination()
+    out = read_maintained_clusters(spark, state_dir)
+    return out.select(
+        F.col("url").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3256,6 +3300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_edge_support": _q100_edge_support,
         "q101_cluster_repair": _q101_cluster_repair,
         "q102_merge_chain_depth": _q102_merge_chain_depth,
+        "q103_streaming_cluster_maintenance": (
+            _q103_streaming_cluster_maintenance
+        ),
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5899,6 +5946,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node,
                CAST(cluster_id AS BIGINT) AS cluster_id,
                CAST(node - cluster_id AS BIGINT) AS depth
+        FROM lab
+    """
+    # q103: EXACT batch-equivalence for the streaming fold — the final
+    # maintained state must equal from-scratch CC over the full edge
+    # set (per-lang consecutive-id runs, q102's closed form).
+    out["q103_streaming_cluster_maintenance"] = """
+        WITH edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND b.doc_id = a.doc_id + 1),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nl AS (
+          SELECT n.node, d.lang
+          FROM nodes n JOIN documents d ON d.doc_id = n.node),
+        b AS (
+          SELECT node, lang,
+                 CASE WHEN node - lag(node) OVER (
+                        PARTITION BY lang ORDER BY node) = 1
+                      THEN 0 ELSE 1 END AS boundary
+          FROM nl),
+        g AS (
+          SELECT node, lang,
+                 sum(boundary) OVER (
+                   PARTITION BY lang ORDER BY node) AS grp
+          FROM b),
+        lab AS (
+          SELECT node,
+                 min(node) OVER (PARTITION BY lang, grp) AS cluster_id
+          FROM g)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(cluster_id AS BIGINT) AS cluster_id
         FROM lab
     """
     return out

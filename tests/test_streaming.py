@@ -168,3 +168,58 @@ def test_streaming_asof_enrich_order_adversarial(spark, tmp_path):
     assert set(final) == {100, 101}          # 102 precedes every view
     assert final[100]["asof_value"] == 2.0   # 10:00 view
     assert final[101]["asof_value"] == 3.0   # 11:30 view
+
+
+def test_streaming_cluster_maintenance_equals_batch(spark, tmp_path):
+    """Edges split across 3 snapshot dirs (one micro-batch each) fold
+    into exactly the from-scratch CC labels; a second stream run over
+    the same source+checkpoint replays nothing and leaves the state
+    pointer unchanged (exactly-once)."""
+    from sassy_spark.operators.cluster import connected_components
+    from sassy_spark.streaming.ingest import (
+        read_maintained_clusters,
+        streaming_cluster_maintenance,
+    )
+
+    # two components whose pieces are deliberately interleaved across
+    # snapshots: {1..5} glued only by the cross-batch edge (2,3), and
+    # {10,11,12}; plus a singleton-ish late edge (20,21)
+    snaps = [
+        [(1, 2), (10, 11)],
+        [(3, 4), (4, 5), (11, 12)],
+        [(2, 3), (20, 21)],
+    ]
+    src = tmp_path / "src"
+    for i, es in enumerate(snaps):
+        spark.createDataFrame(es, "src long, dst long").write.parquet(
+            str(src / f"snap{i:02d}")
+        )
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    q = streaming_cluster_maintenance(spark, str(src), state, ck)
+    q.awaitTermination()
+    got = {
+        (r.url, r.cluster_id)
+        for r in read_maintained_clusters(spark, state).collect()
+    }
+    all_edges = spark.createDataFrame(
+        [e for es in snaps for e in es], "src long, dst long"
+    )
+    want = {
+        (r.url, r.cluster_id)
+        for r in connected_components(all_edges).collect()
+    }
+    assert got == want
+    assert {c for _, c in got} == {1, 10, 20}
+
+    from sassy_spark.operators.cluster import fs_read_text
+
+    ptr_before = fs_read_text(spark, f"{state}/_LATEST")
+    q2 = streaming_cluster_maintenance(spark, str(src), state, ck)
+    q2.awaitTermination()
+    assert fs_read_text(spark, f"{state}/_LATEST") == ptr_before
+    got2 = {
+        (r.url, r.cluster_id)
+        for r in read_maintained_clusters(spark, state).collect()
+    }
+    assert got2 == want
