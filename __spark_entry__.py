@@ -3198,6 +3198,39 @@ def _q103_streaming_cluster_maintenance(spark, sf):
     )
 
 
+def _q104_pivot_clustering(spark, sf):
+    """Deterministic pivot correlation clustering (Ailon-Charikar-
+    Newman greedy, min-id pivot order) — the non-transitive clustering
+    alternative the ER literature reaches for when single-link CC
+    over-merges: a pivot takes only its direct neighbors, never the
+    chain. Same gap-1 same-lang fixture as q102/q103, where components
+    are consecutive-id runs, so the greedy's closed form is exact
+    window algebra: pivots sit at even offsets from the run start and
+    cluster_id = run_min + 2*floor((node - run_min)/2) — consecutive
+    PAIRS, visibly different from q103's whole-run CC labels on the
+    identical graph. Engine: lex-first-MIS peel + one global
+    min-pivot-neighbor claim join (cluster.pivot_clustering); the
+    round-claiming order trap and non-chain semantics are pytest-
+    pinned on both execution paths."""
+    from sassy_spark.operators.cluster import pivot_clustering
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").alias("src"),
+        F.col("b.doc_id").alias("dst"),
+    )
+    out = pivot_clustering(edges)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3303,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_streaming_cluster_maintenance": (
             _q103_streaming_cluster_maintenance
         ),
+        "q104_pivot_clustering": _q104_pivot_clustering,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -5980,6 +6014,41 @@ def oracle_sql() -> dict[str, str]:
           FROM g)
         SELECT CAST(node AS BIGINT) AS node,
                CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM lab
+    """
+    # q104: on consecutive-id runs the min-id-pivot greedy pairs nodes
+    # off from the run start — cluster = run_min + 2*floor(offset/2);
+    # the engine runs the generic lex-MIS peel + claim join instead.
+    out["q104_pivot_clustering"] = """
+        WITH edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND b.doc_id = a.doc_id + 1),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+        nl AS (
+          SELECT n.node, d.lang
+          FROM nodes n JOIN documents d ON d.doc_id = n.node),
+        b AS (
+          SELECT node, lang,
+                 CASE WHEN node - lag(node) OVER (
+                        PARTITION BY lang ORDER BY node) = 1
+                      THEN 0 ELSE 1 END AS boundary
+          FROM nl),
+        g AS (
+          SELECT node, lang,
+                 sum(boundary) OVER (
+                   PARTITION BY lang ORDER BY node) AS grp
+          FROM b),
+        lab AS (
+          SELECT node,
+                 min(node) OVER (PARTITION BY lang, grp) AS run_min
+          FROM g)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(run_min + 2 * ((node - run_min) // 2) AS BIGINT)
+                 AS cluster_id
         FROM lab
     """
     return out

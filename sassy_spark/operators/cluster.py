@@ -1098,3 +1098,123 @@ def merge_chain_depth(
     return state.select(
         "node", F.col("label").alias("cluster_id"), "depth"
     )
+
+
+def pivot_clustering(
+    edges: DataFrame,
+    max_iter: int = 64,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Deterministic pivot correlation clustering (the Ailon-Charikar-
+    Newman greedy with min-id pivot order): repeatedly take the
+    smallest-id unclustered node as a pivot and cluster it with its
+    still-unclustered neighbors, never chaining further — the classic
+    non-transitive alternative to connected components for
+    over-merge-prone match graphs (a borderline edge pulls in one
+    neighbor, not an entire chained component).
+
+    Returns ``(node, cluster_id)`` for every node in edges;
+    ``cluster_id`` is the claiming pivot's id.
+
+    Scale design — the sequential greedy decomposes into two exactly-
+    equivalent distributed steps (pinned by pytest against a python
+    reference, including the order trap below):
+
+    1. The pivot set is the LEXICOGRAPHICALLY-FIRST MAXIMAL INDEPENDENT
+       SET (a node pivots iff no smaller-id pivot is adjacent), computed
+       by the standard local-minima peel: each round, every alive node
+       smaller than all alive neighbors joins the MIS, and it plus its
+       neighbors leave the alive set. groupBy-min + anti-join per
+       round, (long, long) shuffles only.
+    2. Every non-pivot is claimed by its MINIMUM-id adjacent pivot —
+       ONE global join + groupBy-min over the original adjacency, run
+       AFTER the MIS converges. Claiming per peel round instead would
+       be WRONG: a node can touch a large round-1 pivot and a smaller
+       round-2 pivot (e.g. edges (1,2),(2,3),(3,5),(4,5): 5 touches
+       round-1 pivot 4 but belongs to the later, smaller pivot 3).
+
+    Round count is the MIS peel depth: O(log n) on realistic match
+    graphs (dense near-dup blobs peel in a round or two), O(n) only on
+    an adversarial id-ordered path — bounded by ``max_iter``, past
+    which leftover nodes self-label (disclosed cap, as in
+    merge_chain_depth). Below ``small_graph_threshold`` edges (one
+    narrow count job) the graph collects to the driver for the plain
+    sequential greedy; 0 forces the distributed rounds (tests pin both
+    paths equal)."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if small_graph_threshold and e.count() <= small_graph_threshold:
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        out, clustered = [], set()
+        for v in sorted(adj):
+            if v in clustered:
+                continue
+            clustered.add(v)
+            out.append((v, v))
+            for w in sorted(adj[v]):
+                if w not in clustered:
+                    clustered.add(w)
+                    out.append((w, v))
+        return spark.createDataFrame(out, "node long, cluster_id long")
+    sym = (
+        _sym(e)
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select("node").distinct().localCheckpoint(eager=True)
+    alive = nodes
+    pivot_parts = []
+    for _ in range(max_iter):
+        live_adj = sym.join(alive, "node").join(
+            alive.select(F.col("node").alias("nbr")), "nbr"
+        )
+        nbr_min = live_adj.groupBy("node").agg(
+            F.min("nbr").alias("min_nbr")
+        )
+        pivots = (
+            alive.join(nbr_min, "node", "left")
+            .where(
+                F.col("min_nbr").isNull()
+                | (F.col("node") < F.col("min_nbr"))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        pivot_parts.append(pivots)
+        # pivots and their (non-MIS) neighbors leave the alive set
+        excluded = live_adj.join(
+            pivots.select(F.col("node").alias("nbr")), "nbr"
+        ).select("node")
+        alive = (
+            alive.join(
+                pivots.unionByName(excluded).distinct(),
+                "node",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+        )
+        if alive.isEmpty():
+            break
+    all_pivots = pivot_parts[0]
+    for part in pivot_parts[1:]:
+        all_pivots = all_pivots.unionByName(part)
+    # cap leftovers self-label (disclosed); harmless when converged
+    all_pivots = all_pivots.unionByName(alive).localCheckpoint(
+        eager=True
+    )
+    claimed = (
+        sym.join(all_pivots.select(F.col("node").alias("nbr")), "nbr")
+        .groupBy("node")
+        .agg(F.min("nbr").alias("cluster_id"))
+        .join(all_pivots, "node", "left_anti")
+    )
+    return (
+        all_pivots.select("node", F.col("node").alias("cluster_id"))
+        .unionByName(claimed)
+    )

@@ -474,3 +474,70 @@ def test_merge_chain_depth_random_both_paths(spark):
                for r in merge_chain_depth(
                    df, small_graph_threshold=thresh).collect()}
         assert got == want, f"threshold={thresh}"
+
+
+def _greedy_pivot(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out, clustered = {}, set()
+    for v in sorted(adj):
+        if v in clustered:
+            continue
+        clustered.add(v)
+        out[v] = v
+        for w in sorted(adj[v]):
+            if w not in clustered:
+                clustered.add(w)
+                out[w] = v
+    return out
+
+
+def test_pivot_clustering_order_trap(spark):
+    """The round-claiming trap: node 5 touches round-1 pivot 4 but
+    belongs to the later, SMALLER pivot 3 — pinned on both paths."""
+    from sassy_spark.operators.cluster import pivot_clustering
+
+    edges = [(1, 2), (2, 3), (3, 5), (4, 5)]
+    want = {1: 1, 2: 1, 3: 3, 5: 3, 4: 4}
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {r.node: r.cluster_id
+               for r in pivot_clustering(
+                   df, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
+
+
+def test_pivot_clustering_random_vs_greedy(spark):
+    """Both paths equal the sequential Ailon-Charikar-Newman greedy on
+    a random graph (multi-component, isolated edges, dense blobs)."""
+    from sassy_spark.operators.cluster import pivot_clustering
+
+    rng = random.Random(23)
+    edges = sorted({tuple(sorted(rng.sample(range(36), 2)))
+                    for _ in range(60)})
+    want = _greedy_pivot(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {r.node: r.cluster_id
+               for r in pivot_clustering(
+                   df, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
+
+
+def test_pivot_clustering_does_not_chain(spark):
+    """On a path 1-2-3-4-5-6 pivot clustering yields PAIRS while CC
+    yields one chained component — the semantic difference that makes
+    it the over-merge-resistant alternative."""
+    from sassy_spark.operators.cluster import (
+        connected_components,
+        pivot_clustering,
+    )
+
+    edges = [(i, i + 1) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    piv = {r.node: r.cluster_id for r in pivot_clustering(df).collect()}
+    assert piv == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+    cc = {r.cluster_id for r in connected_components(df).collect()}
+    assert cc == {1}
