@@ -3231,6 +3231,60 @@ def _q104_pivot_clustering(spark, sf):
     )
 
 
+def _q105_affine_gap(spark, sf):
+    """Affine-gap (Gotoh 1982) alignment distance — the fifth classic
+    ER pair scorer next to Myers edit distance (q13), Jaro-Winkler
+    (q60), Damerau (q63) and Monge-Elkan (q74): a gap of length L costs
+    open + L*extend, so a dropped WORD is one cheap gap instead of L
+    Levenshtein edits. Kernel: kernel/gotoh.py (three-matrix minimal-
+    cost recurrence, vectorized across the pair axis, fuzz-pinned to a
+    scalar DP in tests/test_strsim.py). DuckDB has no affine-gap
+    builtin, so the driver oracle uses the model's closed form, same
+    strategy as q41's floor(alpha*d) overhang pin: score field ``a``
+    (first 64 chars, 0x01 stripped) against ``a`` with ONE inserted run
+    of k = doc_id % 6 + 1 out-of-alphabet 0x01 bytes — any alignment
+    carries >= k net insertions so costs >= open + k*extend, with
+    equality at the single-gap alignment => distance == 3 + k exactly,
+    for every document and any text content. The pair/field plumbing is
+    the REAL operator path (field-attach joins + kernel-stage
+    repartition in strsim._score_pairs_on_field)."""
+    from sassy_spark.operators.strsim import affine_gap_pairs
+
+    d = _load(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 64), "\x01", ""
+        ).alias("fa"),
+        (F.col("doc_id") % 6 + 1).cast("int").alias("k"),
+    ).withColumn(
+        "fb",
+        F.concat(
+            F.substring("fa", 1, 24),
+            F.expr("repeat(chr(1), k)"),
+            F.expr("substring(fa, 25)"),
+        ),
+    )
+    pairs = base.select(
+        F.concat(F.lit("a:"), F.col("doc_id")).alias("url_a"),
+        F.concat(F.lit("b:"), F.col("doc_id")).alias("url_b"),
+    )
+    fields = base.select(
+        F.concat(F.lit("a:"), F.col("doc_id")).alias("url"),
+        F.col("fa").alias("field"),
+    ).unionByName(
+        base.select(
+            F.concat(F.lit("b:"), F.col("doc_id")).alias("url"),
+            F.col("fb").alias("field"),
+        )
+    )
+    out = affine_gap_pairs(pairs, fields)
+    return out.select(
+        F.substring("url_a", 3, 32).cast("long").alias("doc_id"),
+        F.col("aff").alias("aff_cost"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3337,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q103_streaming_cluster_maintenance
         ),
         "q104_pivot_clustering": _q104_pivot_clustering,
+        "q105_affine_gap": _q105_affine_gap,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6050,5 +6105,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(run_min + 2 * ((node - run_min) // 2) AS BIGINT)
                  AS cluster_id
         FROM lab
+    """
+    # q105: the affine-gap model's closed form — one inserted run of
+    # k out-of-alphabet bytes costs exactly open + k*extend = 3 + k,
+    # independent of the text content (see _q105_affine_gap); the
+    # engine runs the real Gotoh kernel over the constructed pair.
+    out["q105_affine_gap"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(3 + (doc_id % 6 + 1) AS BIGINT) AS aff_cost
+        FROM documents
     """
     return out

@@ -184,6 +184,47 @@ def damerau_pairs(
     )
 
 
+def affine_gap_pairs(
+    pairs: DataFrame,
+    fields: DataFrame,
+    url: str = "url",
+    field_col: str = "field",
+    out_col: str = "aff",
+    sub: int = 2,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    score_partitions: int | None = None,
+) -> DataFrame:
+    """Affine-gap (Gotoh 1982) alignment distance on a short field per
+    candidate pair: a gap of length L costs ``gap_open + L *
+    gap_extend``, a substitution ``sub`` — the record-linkage distance
+    for fields differing by a missing WORD (dropped middle name, elided
+    street suffix) rather than scattered typos, which Levenshtein
+    over-penalizes at cost L. Kernel: kernel/gotoh.py, the three-matrix
+    minimal-cost recurrence vectorized across the pair axis with
+    rolling rows (fuzz-pinned to a scalar DP in tests/test_strsim.py).
+    Same join shape and 100 TB scale properties as jaro_winkler_pairs;
+    missing or NULL fields score as the empty string (distance =
+    gap_open + gap_extend * other side's byte length)."""
+
+    def series(a: pd.Series, b: pd.Series) -> pd.Series:
+        from sassy_spark.kernel.gotoh import affine_gap_batch
+
+        def kernel(ab, bb):
+            return affine_gap_batch(
+                ab, bb, sub=sub, gap_open=gap_open, gap_extend=gap_extend
+            )
+
+        return _chunked_series(kernel, "int64", max(_CHUNK_ROWS // 4, 1))(
+            a, b
+        )
+
+    return _score_pairs_on_field(
+        pairs, fields, url, field_col, out_col, series, "long",
+        score_partitions=score_partitions,
+    )
+
+
 # Monge-Elkan caps: 12 tokens per side bounds the flattened token-pair
 # batch at 144 JW evaluations per row; chunking at _CHUNK_ROWS//4 rows
 # keeps each kernel call <= ~74k short-token pairs.

@@ -356,3 +356,117 @@ def test_score_pairs_fan_out_from_single_partition(spark):
     # explicit 0 inherits upstream partitioning (no exchange)
     out0 = jaro_winkler_pairs(pairs, fields, score_partitions=0)
     assert out0.count() == n
+
+
+def _scalar_gotoh(a: bytes, b: bytes, sub=2, o=3, e=1) -> int:
+    """Textbook three-matrix Gotoh DP, O(la*lb) scalar — the oracle for
+    the batch kernel's fuzz pin."""
+    la, lb = len(a), len(b)
+    INF = 1 << 30
+    D = [[0] * (lb + 1) for _ in range(la + 1)]
+    P = [[INF] * (lb + 1) for _ in range(la + 1)]
+    Q = [[INF] * (lb + 1) for _ in range(la + 1)]
+    for i in range(1, la + 1):
+        D[i][0] = o + i * e
+    for j in range(1, lb + 1):
+        D[0][j] = o + j * e
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            P[i][j] = min(D[i - 1][j] + o + e, P[i - 1][j] + e)
+            Q[i][j] = min(D[i][j - 1] + o + e, Q[i][j - 1] + e)
+            c = 0 if a[i - 1] == b[j - 1] else sub
+            D[i][j] = min(D[i - 1][j - 1] + c, P[i][j], Q[i][j])
+    return D[la][lb]
+
+
+def test_gotoh_pins():
+    from sassy_spark.kernel.gotoh import affine_gap_batch
+
+    got = affine_gap_batch(
+        [b"", b"abc", b"", b"abc", b"abcdef", b"kitten"],
+        [b"", b"", b"xy", b"abc", b"abef", b"sitting"],
+    )
+    # abcdef->abef: delete "cd" = one gap of 2 = 3+2 = 5 (Levenshtein
+    # under the same unit costs would pay 2*ext+2*open if split);
+    # kitten->sitting: 2 subs (2*2) + 1 insert (3+1) = 8
+    assert got.tolist() == [0, 6, 5, 0, 5, 8]
+
+
+def test_gotoh_gap_cheaper_than_scattered_edits():
+    from sassy_spark.kernel.gotoh import affine_gap_batch
+
+    # the affine model's reason to exist: a dropped middle token is ONE
+    # gap (open + L*ext), not L independent edits
+    a = b"john robert smith"
+    b = b"john smith"
+    (got,) = affine_gap_batch([a], [b]).tolist()
+    assert got == 3 + 7  # one 7-byte gap "robert "
+
+
+def test_gotoh_fuzz_against_scalar_dp():
+    from sassy_spark.kernel.gotoh import affine_gap_batch
+
+    rng = random.Random(7)
+    alph = "abcé 日"
+    cases = []
+    for _ in range(600):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        s1 = "".join(rng.choice(alph) for _ in range(la)).encode()
+        s2 = "".join(rng.choice(alph) for _ in range(lb)).encode()
+        if rng.random() < 0.3 and len(s1) >= 4:  # plant internal gaps
+            cut = rng.randrange(1, len(s1) - 1)
+            s2 = s1[:cut] + s1[cut + rng.randint(1, 3):]
+        cases.append((s1, s2))
+    got = affine_gap_batch([a for a, _ in cases], [b for _, b in cases])
+    exp = np.array([_scalar_gotoh(a, b) for a, b in cases])
+    assert (got == exp).all()
+    # and under non-default costs
+    got2 = affine_gap_batch(
+        [a for a, _ in cases[:100]],
+        [b for _, b in cases[:100]],
+        sub=5,
+        gap_open=4,
+        gap_extend=2,
+    )
+    exp2 = np.array(
+        [_scalar_gotoh(a, b, sub=5, o=4, e=2) for a, b in cases[:100]]
+    )
+    assert (got2 == exp2).all()
+
+
+def test_gotoh_closed_form_inserted_run():
+    from sassy_spark.kernel.gotoh import affine_gap_batch
+
+    # the q105 oracle's closed form: ONE inserted run of k
+    # out-of-alphabet bytes costs exactly open + k*ext, regardless of
+    # the carrier text
+    for text in [b"", b"x", b"hello world, affine gaps"]:
+        for k in range(1, 8):
+            cut = min(7, len(text))
+            b = text[:cut] + b"\x01" * k + text[cut:]
+            (got,) = affine_gap_batch([text], [b]).tolist()
+            assert got == 3 + k, (text, k, got)
+
+
+def test_affine_gap_operator(spark):
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.strsim import affine_gap_pairs
+
+    fields = spark.createDataFrame(
+        [("u1", "john robert smith"), ("u2", "john smith"), ("u3", None)],
+        ["url", "field"],
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u1", "zz")],
+        ["url_a", "url_b"],
+    )
+    rows = {
+        (r.url_a, r.url_b): r.aff
+        for r in affine_gap_pairs(pairs, fields).collect()
+    }
+    assert rows[("u1", "u2")] == 10  # one 7-byte gap
+    # NULL field and missing url both score as empty string:
+    # delete all 17 bytes = 3 + 17
+    assert rows[("u1", "u3")] == 20
+    assert rows[("u1", "zz")] == 20
