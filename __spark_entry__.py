@@ -3285,6 +3285,37 @@ def _q105_affine_gap(spark, sf):
     )
 
 
+def _q106_soft_tfidf(spark, sf):
+    """Soft-TF-IDF (Cohen-Ravikumar-Fienberg 2003) on a 64-char field of
+    adjacent doc pairs — the classic hybrid ER scorer: corpus-IDF-
+    weighted token overlap where tokens match softly (best Jaro-Winkler
+    >= 0.9) instead of exactly. The exact-integer variant of
+    strsim.soft_tfidf_pairs (integer IDF N*100 DIV df saturating at 1e6,
+    JW floored to ten-thousandths, lexicographic-struct argmax) lets the
+    oracle recompute the ENTIRE pipeline — token sets, document
+    frequencies, soft matches, weighted sum — in DuckDB SQL with zero
+    float-order hazard."""
+    from sassy_spark.operators.strsim import soft_tfidf_pairs
+
+    d = _load(spark, sf, "documents")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").cast("string").alias("url_a"),
+        F.col("b.doc_id").cast("string").alias("url_b"),
+    )
+    fields = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 64).alias("field"),
+    )
+    out = soft_tfidf_pairs(pairs, fields)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("stfidf_q").alias("stfidf_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3392,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q104_pivot_clustering": _q104_pivot_clustering,
         "q105_affine_gap": _q105_affine_gap,
+        "q106_soft_tfidf": _q106_soft_tfidf,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6114,5 +6146,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(3 + (doc_id % 6 + 1) AS BIGINT) AS aff_cost
         FROM documents
+    """
+    # q106: full soft-TF-IDF recomputation — the integer-IDF /
+    # quantized-JW / struct-argmax contract (see
+    # strsim.soft_tfidf_pairs) makes every step exact on both engines.
+    out["q106_soft_tfidf"] = """
+        WITH fields AS (
+          SELECT CAST(doc_id AS VARCHAR) AS url,
+                 substring(text, 1, 64) AS field
+          FROM documents),
+        nn AS (SELECT count(*) AS n FROM fields),
+        toks AS (
+          SELECT url,
+                 unnest(list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(lower(field), '[^a-z0-9]+'),
+                   x -> x <> '')))[1:16]) AS tok
+          FROM fields),
+        dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        widf AS (
+          SELECT tok, least(1000000, (nn.n * 100) // df) AS widf
+          FROM dfreq, nn),
+        tw AS (
+          SELECT t.url, t.tok, w.widf
+          FROM toks t JOIN widf w USING (tok)),
+        pairs AS (
+          SELECT CAST(a.doc_id AS VARCHAR) AS url_a,
+                 CAST(b.doc_id AS VARCHAR) AS url_b
+          FROM documents a
+          JOIN documents b ON b.doc_id = a.doc_id + 1),
+        tp AS (
+          SELECT p.url_a, p.url_b, a.tok AS w, a.widf AS widf_w,
+                 CAST(floor(
+                   jaro_winkler_similarity(a.tok, b.tok) * 1e4
+                 ) AS BIGINT) AS jwq4,
+                 b.widf AS widf_v, b.tok AS v
+          FROM pairs p
+          JOIN tw a ON a.url = p.url_a
+          JOIN tw b ON b.url = p.url_b),
+        best AS (
+          SELECT url_a, url_b, w, widf_w,
+                 max(struct_pack(
+                   jwq4 := jwq4, widf := widf_v, tok := v)) AS best
+          FROM tp GROUP BY url_a, url_b, w, widf_w),
+        sums AS (
+          SELECT url_a, url_b,
+                 sum(widf_w * best.widf * best.jwq4) AS s
+          FROM best WHERE best.jwq4 >= 9000
+          GROUP BY url_a, url_b)
+        SELECT CAST(p.url_a AS BIGINT) AS doc_a,
+               CAST(p.url_b AS BIGINT) AS doc_b,
+               CAST(coalesce(s.s, 0) AS BIGINT) AS stfidf_q
+        FROM pairs p LEFT JOIN sums s USING (url_a, url_b)
     """
     return out

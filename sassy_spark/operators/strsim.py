@@ -310,6 +310,151 @@ def _me_series(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    fields: DataFrame,
+    url: str = "url",
+    field_col: str = "field",
+    out_col: str = "stfidf_q",
+    theta_q4: int = 9000,
+    max_tokens: int = 16,
+    idf_scale: int = 100,
+    idf_cap: int = 1_000_000,
+) -> DataFrame:
+    """Quantized soft-TF-IDF (Cohen, Ravikumar & Fienberg 2003) — the
+    hybrid scorer that beat both plain TF-IDF and plain edit distance
+    on name-matching benchmarks: corpus-weighted token overlap where
+    tokens need not match EXACTLY, only with Jaro-Winkler >= theta.
+
+        score(A, B) = sum over tokens w of A with best-JW >= theta of
+                      V(w, A) * V(v*, B) * JW(w, v*),
+        v* = the argmax-JW token of B for w
+
+    Exact-integer variant (what makes it hash-oracle-able in DuckDB,
+    same contract family as q74's Monge-Elkan):
+      - SET token semantics: lowercase [a-z0-9]+ runs, distinct, sorted,
+        first ``max_tokens`` (binary tf — fields are short identifying
+        strings where repeated tokens are rare);
+      - integer IDF: widf(t) = min(idf_cap, (N * idf_scale) // df(t))
+        with N = corpus row count and df from the SAME capped token
+        sets — exact integer division on both engines, saturating at
+        idf_cap so the per-term product widf*widf*jwq4 stays < 2^60
+        regardless of corpus size (no BIGINT overflow at any N);
+      - JW floored to ten-thousandths (jwq4) straight off the kernel
+        doubles, which are bit-pinned to DuckDB's builtin;
+      - deterministic argmax: max over the lexicographic struct
+        (jwq4, widf_v, v) — identical struct-comparison semantics in
+        Spark and DuckDB;
+      - no vector normalization (the classic formulation's L2 norm is
+        irrational; for ranking/thresholding the unnormalized integer
+        score is monotone-equivalent per pair family and keeps every
+        post-kernel step exact).
+
+    Plan shape (100 TB audit): one groupBy(token) for df, one
+    groupBy(url) to pack per-doc (token, widf) arrays, two equi-joins
+    attaching the arrays to the pair ends (narrow: <= max_tokens
+    structs), a double explode bounding kernel work at max_tokens^2 JW
+    evaluations per pair, then two groupBys keyed by (pair, token) and
+    (pair) — all standard shuffles on bounded-width rows, kernel is the
+    same Arrow-batched JW as jaro_winkler_pairs. Missing urls or empty
+    token sets on either side score 0 (left join back to pairs).
+    """
+    spark_n = fields.select(F.count("*").alias("_n"))
+    toks = (
+        fields.select(
+            F.col(url),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(
+                                F.lower(F.col(field_col)), "[^a-z0-9]+"
+                            ),
+                            lambda x: x != "",
+                        )
+                    )
+                ),
+                1,
+                max_tokens,
+            ).alias("_toks"),
+        )
+        .select(F.col(url), F.explode("_toks").alias("_tok"))
+    )
+    dfreq = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
+    widf = dfreq.crossJoin(F.broadcast(spark_n)).select(
+        "_tok",
+        F.least(
+            F.lit(idf_cap),
+            F.expr(f"(_n * {idf_scale}) DIV _df"),
+        ).alias("_widf"),
+    )
+    packed = (
+        toks.join(widf, "_tok")
+        .groupBy(url)
+        .agg(
+            F.collect_list(F.struct("_tok", "_widf")).alias("_tw")
+        )
+    )
+    tp = (
+        pairs.select("url_a", "url_b")
+        .join(
+            packed.select(
+                F.col(url).alias("url_a"), F.col("_tw").alias("_ta")
+            ),
+            "url_a",
+        )
+        .join(
+            packed.select(
+                F.col(url).alias("url_b"), F.col("_tw").alias("_tb")
+            ),
+            "url_b",
+        )
+        .select(
+            "url_a",
+            "url_b",
+            F.explode("_ta").alias("_a"),
+            F.col("_tb"),
+        )
+        .select(
+            "url_a",
+            "url_b",
+            F.col("_a._tok").alias("_w"),
+            F.col("_a._widf").alias("_widf_w"),
+            F.explode("_tb").alias("_b"),
+        )
+        .select(
+            "url_a",
+            "url_b",
+            "_w",
+            "_widf_w",
+            F.col("_b._tok").alias("_v"),
+            F.col("_b._widf").alias("_widf_v"),
+        )
+    )
+    jw_udf = pandas_udf(_jw_series, "double")
+    scored = tp.withColumn(
+        "_jwq4",
+        F.floor(jw_udf(F.col("_w"), F.col("_v")) * 1e4).cast("long"),
+    )
+    best = scored.groupBy("url_a", "url_b", "_w", "_widf_w").agg(
+        F.max(F.struct("_jwq4", "_widf_v", "_v")).alias("_best")
+    )
+    sums = (
+        best.where(F.col("_best._jwq4") >= theta_q4)
+        .groupBy("url_a", "url_b")
+        .agg(
+            F.sum(
+                F.col("_widf_w")
+                * F.col("_best._widf_v")
+                * F.col("_best._jwq4")
+            ).alias(out_col)
+        )
+    )
+    return pairs.join(sums, ["url_a", "url_b"], "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    )
+
+
 def monge_elkan_pairs(
     pairs: DataFrame,
     fields: DataFrame,

@@ -470,3 +470,72 @@ def test_affine_gap_operator(spark):
     # delete all 17 bytes = 3 + 17
     assert rows[("u1", "u3")] == 20
     assert rows[("u1", "zz")] == 20
+
+
+def test_soft_tfidf_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from sassy_spark.operators.strsim import soft_tfidf_pairs
+
+    # 4-doc corpus, hand-computable: N=4, idf_scale=100
+    #   token df: acme 2, corp 2, corpp 1, zenith 1, metals 2, ltd 1
+    fields = spark.createDataFrame(
+        [
+            ("u1", "acme corp"),
+            ("u2", "acme corpp"),
+            ("u3", "zenith metals"),
+            ("u4", "metals corp ltd"),
+        ],
+        ["url", "field"],
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u9", "u3")],
+        ["url_a", "url_b"],
+    )
+    got = {
+        (r.url_a, r.url_b): r.stfidf_q
+        for r in soft_tfidf_pairs(pairs, fields).collect()
+    }
+    widf = {"acme": 200, "corp": 200, "corpp": 400, "zenith": 400,
+            "metals": 200, "ltd": 400}
+    import duckdb
+
+    jw = lambda a, b: int(
+        duckdb.sql(
+            f"SELECT floor(jaro_winkler_similarity('{a}','{b}')*1e4)"
+        ).fetchone()[0]
+    )
+    # u1 vs u2: acme->acme exact (jwq4=10000); corp->corpp soft
+    j_corp = jw("corp", "corpp")
+    assert j_corp >= 9000  # the soft-match case the scorer exists for
+    exp12 = (
+        widf["acme"] * widf["acme"] * 10000
+        + widf["corp"] * widf["corpp"] * j_corp
+    )
+    assert got[("u1", "u2")] == exp12
+    # u1 vs u3: no token pair reaches JW 0.9 -> 0
+    assert got[("u1", "u3")] == 0
+    # unknown url scores 0 and the pair row is KEPT
+    assert got[("u9", "u3")] == 0
+
+
+def test_soft_tfidf_idf_weighting_downranks_common_tokens(spark):
+    from sassy_spark.operators.strsim import soft_tfidf_pairs
+
+    # "inc" appears in every doc (df=N -> widf=100, the floor); the
+    # rare surname dominates the score exactly as IDF intends
+    fields = spark.createDataFrame(
+        [("u%d" % i, "smith inc" if i else "smythe inc")
+         for i in range(8)],
+        ["url", "field"],
+    )
+    pairs = spark.createDataFrame([("u0", "u1")], ["url_a", "url_b"])
+    (row,) = soft_tfidf_pairs(pairs, fields).collect()
+    # widf: inc = 8*100//8 = 100; smythe = 800; smith = 800//7 = 114
+    import duckdb
+
+    j = int(duckdb.sql(
+        "SELECT floor(jaro_winkler_similarity('smythe','smith')*1e4)"
+    ).fetchone()[0])
+    exp = 100 * 100 * 10000 + (800 * 114 * j if j >= 9000 else 0)
+    assert row.stfidf_q == exp
