@@ -3316,6 +3316,44 @@ def _q106_soft_tfidf(spark, sf):
     )
 
 
+def _q107_canopy_blocking(spark, sf):
+    """Canopy clustering (McCallum-Nigam-Ungar 2000) as OVERLAPPING
+    blocking over documents: tight cheap-graph = same-lang consecutive
+    doc ids, loose cheap-graph = same-lang ids within distance 2. The
+    engine runs the generic cluster.canopy_blocks operator (center set
+    = lex-first MIS of the tight graph via the distributed local-minima
+    peel; membership = one join against the loose adjacency); the
+    oracle exploits the run structure: on a consecutive same-lang run
+    the lex-MIS of a path is every other node (even offsets from the
+    run minimum), singleton-run nodes are centers iff they have any
+    loose edge, and membership is the loose adjacency plus self —
+    closed-form SQL, same strategy as the q104 pivot oracle."""
+    from sassy_spark.operators.cluster import canopy_blocks
+
+    d = _load(spark, sf, "documents").select("doc_id", "lang")
+    tight = d.alias("a").join(
+        d.alias("b"),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
+    ).select(
+        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+    )
+    loose = d.alias("a").join(
+        d.alias("b"),
+        (F.col("a.lang") == F.col("b.lang"))
+        & F.col("b.doc_id").between(
+            F.col("a.doc_id") + 1, F.col("a.doc_id") + 2
+        ),
+    ).select(
+        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+    )
+    out = canopy_blocks(tight, loose)
+    return out.select(
+        F.col("center").cast("long").alias("center"),
+        F.col("member").cast("long").alias("member"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3424,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_pivot_clustering": _q104_pivot_clustering,
         "q105_affine_gap": _q105_affine_gap,
         "q106_soft_tfidf": _q106_soft_tfidf,
+        "q107_canopy_blocking": _q107_canopy_blocking,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6197,5 +6236,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(p.url_b AS BIGINT) AS doc_b,
                CAST(coalesce(s.s, 0) AS BIGINT) AS stfidf_q
         FROM pairs p LEFT JOIN sums s USING (url_a, url_b)
+    """
+    # q107: canopy centers on a same-lang consecutive run = even
+    # offsets from the run minimum (lex-MIS of a path); singleton-run
+    # nodes are centers iff they touch any loose (distance<=2) edge;
+    # membership = loose adjacency + self. The engine runs the generic
+    # distributed canopy operator instead.
+    out["q107_canopy_blocking"] = """
+        WITH tl AS (SELECT doc_id AS node, lang FROM documents),
+        loose AS (
+          SELECT a.node AS src, b.node AS dst
+          FROM tl a JOIN tl b
+            ON a.lang = b.lang
+           AND b.node BETWEEN a.node + 1 AND a.node + 2),
+        lnodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM loose
+            UNION ALL SELECT dst FROM loose)),
+        b AS (
+          SELECT node, lang,
+                 CASE WHEN node - lag(node) OVER (
+                        PARTITION BY lang ORDER BY node) = 1
+                      THEN 0 ELSE 1 END AS boundary
+          FROM tl),
+        g AS (
+          SELECT node, lang,
+                 sum(boundary) OVER (
+                   PARTITION BY lang ORDER BY node) AS grp
+          FROM b),
+        runs AS (
+          SELECT node, lang,
+                 min(node) OVER (PARTITION BY lang, grp) AS run_min,
+                 count(*) OVER (PARTITION BY lang, grp) AS run_len
+          FROM g),
+        centers AS (
+          SELECT r.node, r.lang FROM runs r
+          WHERE ((r.node - r.run_min) % 2 = 0 AND r.run_len > 1)
+             OR (r.run_len = 1
+                 AND r.node IN (SELECT node FROM lnodes)))
+        SELECT CAST(c.node AS BIGINT) AS center,
+               CAST(t.node AS BIGINT) AS member
+        FROM centers c JOIN tl t
+          ON t.lang = c.lang
+         AND abs(t.node - c.node) BETWEEN 1 AND 2
+        UNION ALL
+        SELECT CAST(node AS BIGINT) AS center,
+               CAST(node AS BIGINT) AS member
+        FROM centers
     """
     return out

@@ -1100,6 +1100,158 @@ def merge_chain_depth(
     )
 
 
+def _lex_mis(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Lexicographically-first maximal independent set of a symmetric
+    ``(node, nbr)`` adjacency, by the standard local-minima peel: each
+    round every alive node smaller than all its alive neighbors joins
+    the MIS, and it plus its neighbors leave the alive set. Equals the
+    sequential smallest-id-first greedy (a node is picked iff no
+    smaller picked node is adjacent). groupBy-min + anti-join per
+    round, (long, long) shuffles only; O(log n) rounds on realistic
+    match graphs. Past ``max_iter`` leftover alive nodes are RETURNED
+    AS MIS MEMBERS (disclosed cap — callers treat MIS members as
+    pivots/centers and self-labeling leftovers is the safe
+    degradation; harmless when converged, since alive is then empty).
+    """
+    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+    parts = []
+    for _ in range(max_iter):
+        live_adj = sym.join(alive, "node").join(
+            alive.select(F.col("node").alias("nbr")), "nbr"
+        )
+        nbr_min = live_adj.groupBy("node").agg(
+            F.min("nbr").alias("min_nbr")
+        )
+        picked = (
+            alive.join(nbr_min, "node", "left")
+            .where(
+                F.col("min_nbr").isNull()
+                | (F.col("node") < F.col("min_nbr"))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(picked)
+        # picked nodes and their (non-MIS) neighbors leave the alive set
+        excluded = live_adj.join(
+            picked.select(F.col("node").alias("nbr")), "nbr"
+        ).select("node")
+        alive = (
+            alive.join(
+                picked.unionByName(excluded).distinct(),
+                "node",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+        )
+        if alive.isEmpty():
+            break
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(alive).localCheckpoint(eager=True)
+
+
+def canopy_blocks(
+    tight_edges: DataFrame,
+    loose_edges: DataFrame,
+    max_iter: int = 64,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Deterministic canopy clustering (McCallum, Nigam & Ungar, KDD
+    2000) as a blocking operator: cheap-similarity edge sets in,
+    OVERLAPPING canopies out. The sequential algorithm repeatedly takes
+    the smallest-id point still in the candidate pool as a canopy
+    CENTER, assigns every loose-neighbor (cheap sim >= T_loose) to its
+    canopy, and removes only the tight-neighbors (cheap sim >= T_tight)
+    from the pool — unlike partitioning blockers, a point may belong to
+    several canopies, so the expensive scorer still sees cross-canopy
+    borderline pairs.
+
+    Inputs are the two thresholds' edge sets — ``tight_edges`` MUST be
+    a subset of ``loose_edges`` (both ``(src, dst)``, undirected,
+    self-loops ignored); compute them upstream from any cheap signal
+    (shared-token counts, MinHash band collisions, q-gram overlap).
+    Returns ``(center, member)`` — every center includes itself.
+
+    Scale design — the sequential greedy decomposes exactly (pinned by
+    pytest against a python reference):
+
+    1. The center set is the LEXICOGRAPHICALLY-FIRST MAXIMAL
+       INDEPENDENT SET of the TIGHT graph (a point is a center iff no
+       smaller-id center is tight-adjacent) — the same ``_lex_mis``
+       local-minima peel as pivot_clustering, (long, long) shuffles
+       only. Points with no tight edges (including loose-only ones)
+       are all centers by definition; they never leave the pool.
+    2. Membership is ONE equi-join of the centers against the loose
+       adjacency — no claiming, no iteration, because canopy
+       membership is independent per center.
+
+    Below ``small_graph_threshold`` loose edges (one narrow count job)
+    the graph collects to the driver for the plain sequential greedy;
+    0 forces the distributed rounds (tests pin both paths equal)."""
+    spark = tight_edges.sparkSession
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+
+    t = norm(tight_edges)
+    lo = norm(loose_edges)
+    if small_graph_threshold and lo.count() <= small_graph_threshold:
+        tadj: dict = {}
+        ladj: dict = {}
+        for r in lo.collect():
+            ladj.setdefault(r.src, set()).add(r.dst)
+            ladj.setdefault(r.dst, set()).add(r.src)
+        for r in t.collect():
+            tadj.setdefault(r.src, set()).add(r.dst)
+            tadj.setdefault(r.dst, set()).add(r.src)
+        pool = set(ladj) | set(tadj)
+        out = []
+        for v in sorted(pool):
+            if v not in pool:
+                continue
+            out.append((v, v))
+            for w in sorted(ladj.get(v, ())):
+                if w != v:
+                    out.append((v, w))
+            pool.discard(v)
+            pool -= tadj.get(v, set())
+        return spark.createDataFrame(out, "center long, member long")
+    tsym = (
+        _sym(t)
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    lsym = (
+        _sym(lo)
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
+    # loose-only and isolated-in-tight points never leave the pool:
+    # every point of the graph that has no tight edge is a center
+    tight_nodes = tsym.select("node").distinct()
+    loose_only = (
+        lsym.select("node")
+        .distinct()
+        .join(tight_nodes, "node", "left_anti")
+    )
+    centers = _lex_mis(tsym, max_iter).unionByName(loose_only)
+    members = lsym.join(
+        centers.select(F.col("node").alias("node")), "node"
+    ).select(
+        F.col("node").alias("center"), F.col("nbr").alias("member")
+    )
+    return (
+        centers.select(
+            F.col("node").alias("center"), F.col("node").alias("member")
+        ).unionByName(members)
+    )
+
+
 def pivot_clustering(
     edges: DataFrame,
     max_iter: int = 64,
@@ -1168,46 +1320,7 @@ def pivot_clustering(
         .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select("node").distinct().localCheckpoint(eager=True)
-    alive = nodes
-    pivot_parts = []
-    for _ in range(max_iter):
-        live_adj = sym.join(alive, "node").join(
-            alive.select(F.col("node").alias("nbr")), "nbr"
-        )
-        nbr_min = live_adj.groupBy("node").agg(
-            F.min("nbr").alias("min_nbr")
-        )
-        pivots = (
-            alive.join(nbr_min, "node", "left")
-            .where(
-                F.col("min_nbr").isNull()
-                | (F.col("node") < F.col("min_nbr"))
-            )
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        pivot_parts.append(pivots)
-        # pivots and their (non-MIS) neighbors leave the alive set
-        excluded = live_adj.join(
-            pivots.select(F.col("node").alias("nbr")), "nbr"
-        ).select("node")
-        alive = (
-            alive.join(
-                pivots.unionByName(excluded).distinct(),
-                "node",
-                "left_anti",
-            ).localCheckpoint(eager=True)
-        )
-        if alive.isEmpty():
-            break
-    all_pivots = pivot_parts[0]
-    for part in pivot_parts[1:]:
-        all_pivots = all_pivots.unionByName(part)
-    # cap leftovers self-label (disclosed); harmless when converged
-    all_pivots = all_pivots.unionByName(alive).localCheckpoint(
-        eager=True
-    )
+    all_pivots = _lex_mis(sym, max_iter)
     claimed = (
         sym.join(all_pivots.select(F.col("node").alias("nbr")), "nbr")
         .groupBy("node")

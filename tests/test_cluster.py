@@ -541,3 +541,80 @@ def test_pivot_clustering_does_not_chain(spark):
     assert piv == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
     cc = {r.cluster_id for r in connected_components(df).collect()}
     assert cc == {1}
+
+
+def _greedy_canopy(tight, loose):
+    """Independent sequential MNU canopy reference: smallest-id center,
+    loose-neighbors join the canopy, tight-neighbors leave the pool."""
+    tadj, ladj = {}, {}
+    for a, b in loose:
+        ladj.setdefault(a, set()).add(b)
+        ladj.setdefault(b, set()).add(a)
+    for a, b in tight:
+        tadj.setdefault(a, set()).add(b)
+        tadj.setdefault(b, set()).add(a)
+    pool = set(ladj) | set(tadj)
+    out = set()
+    for v in sorted(set(ladj) | set(tadj)):
+        if v not in pool:
+            continue
+        out.add((v, v))
+        for w in ladj.get(v, ()):
+            out.add((v, w))
+        pool.discard(v)
+        pool -= tadj.get(v, set())
+    return out
+
+
+def test_canopy_overlap_and_center_removal(spark):
+    """The defining canopy behaviors on a hand case: (a) a point in two
+    canopies (loose overlap), (b) a tight-neighbor of an earlier center
+    never becomes a center itself."""
+    from sassy_spark.operators.cluster import canopy_blocks
+
+    # tight: 1-2; loose adds 2-3 and 3-4.
+    tight = [(1, 2)]
+    loose = [(1, 2), (2, 3), (3, 4)]
+    want = {(1, 1), (1, 2),          # center 1 covers itself + loose nbr 2
+            (3, 3), (3, 2), (3, 4),  # 2 is NOT a center (tight nbr of 1)
+            (4, 4), (4, 3)}          # but 2 still lands in canopy 3
+    tdf = spark.createDataFrame(tight, ["src", "dst"])
+    ldf = spark.createDataFrame(loose, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {(r.center, r.member)
+               for r in canopy_blocks(
+                   tdf, ldf, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
+
+
+def test_canopy_random_vs_greedy(spark):
+    """Both paths equal the sequential greedy on a random graph where
+    tight is a strict random subset of loose (the MNU precondition)."""
+    from sassy_spark.operators.cluster import canopy_blocks
+
+    rng = random.Random(31)
+    loose = sorted({tuple(sorted(rng.sample(range(40), 2)))
+                    for _ in range(80)})
+    tight = [e for e in loose if rng.random() < 0.45]
+    want = _greedy_canopy(tight, loose)
+    tdf = spark.createDataFrame(tight, ["src", "dst"])
+    ldf = spark.createDataFrame(loose, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {(r.center, r.member)
+               for r in canopy_blocks(
+                   tdf, ldf, small_graph_threshold=thresh).collect()}
+        assert got == want, f"threshold={thresh}"
+
+
+def test_canopy_no_tight_edges_every_point_is_a_center(spark):
+    from sassy_spark.operators.cluster import canopy_blocks
+
+    loose = [(1, 2), (2, 3)]
+    tdf = spark.createDataFrame([], "src long, dst long")
+    ldf = spark.createDataFrame(loose, ["src", "dst"])
+    for thresh in (100_000, 0):
+        got = {(r.center, r.member)
+               for r in canopy_blocks(
+                   tdf, ldf, small_graph_threshold=thresh).collect()}
+        assert got == {(1, 1), (1, 2), (2, 2), (2, 1), (2, 3),
+                       (3, 3), (3, 2)}, f"threshold={thresh}"
