@@ -3354,6 +3354,30 @@ def _q107_canopy_blocking(spark, sf):
     )
 
 
+def _q108_suffix_blocking(spark, sf):
+    """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
+    lowercased key: records sharing any suffix of length >= 8 of the
+    key become candidates, blocks above 50 members are dropped by the
+    algorithm's own stopword rule — completing the blocking family
+    (prefix-filter q75, q-gram/phonetic q71, sorted-neighborhood q72,
+    meta-blocking q73, LSH q20/q97, canopy q107). Pure Catalyst
+    (bounded explode + capped self-join, blocking.suffix_pairs); the
+    oracle mirrors suffix generation, the cap, and the distinct pair
+    join in SQL."""
+    from sassy_spark.operators.blocking import suffix_pairs
+
+    d = _load(spark, sf, "documents")
+    keys = d.select(
+        F.col("doc_id").alias("id"),
+        F.lower(F.substring("text", 1, 24)).alias("key"),
+    )
+    out = suffix_pairs(keys, min_len=8, max_block_size=50)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pushdown_filter_project": _q01_pushdown_filter_project,
@@ -3463,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_affine_gap": _q105_affine_gap,
         "q106_soft_tfidf": _q106_soft_tfidf,
         "q107_canopy_blocking": _q107_canopy_blocking,
+        "q108_suffix_blocking": _q108_suffix_blocking,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6283,5 +6308,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS center,
                CAST(node AS BIGINT) AS member
         FROM centers
+    """
+    # q108: suffix blocking mirrored in SQL — every >=8-char suffix of
+    # the 24-char key, blocks over 50 dropped, distinct a<b pairs.
+    out["q108_suffix_blocking"] = """
+        WITH keys AS (
+          SELECT doc_id AS id, lower(substring(text, 1, 24)) AS k
+          FROM documents),
+        sfx AS (
+          SELECT id, substring(k, CAST(i AS INT)) AS suffix
+          FROM keys,
+               UNNEST(range(1, greatest(length(k) - 8 + 1, 0) + 1))
+                 AS t(i)
+          WHERE length(k) >= 8),
+        ok AS (
+          SELECT suffix FROM sfx
+          GROUP BY suffix HAVING count(*) <= 50),
+        f AS (SELECT s.id, s.suffix FROM sfx s JOIN ok USING (suffix))
+        SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a,
+                        CAST(b.id AS BIGINT) AS id_b
+        FROM f a JOIN f b ON a.suffix = b.suffix AND a.id < b.id
     """
     return out

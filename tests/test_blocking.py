@@ -234,3 +234,67 @@ def test_scheme_stats_hand_pinned(spark):
     assert got["C"]["covered_truth"] == 0
     assert got["C"]["pc_qmicros"] == 0
     assert got["C"]["rr_qmicros"] == 1_000_000
+
+
+def test_suffix_pairs_prefix_noise_robust(spark):
+    """The reason suffix blocking exists: records equal up to leading
+    junk ('www.' / 'the ') share long suffixes and pair up, while
+    unrelated keys do not."""
+    from sassy_spark.operators.blocking import suffix_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "www.acme-widgets.com"),
+            (2, "acme-widgets.com"),
+            (3, "the acme-widgets.com"),
+            (4, "zenith metals ltd"),
+        ],
+        ["id", "key"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in suffix_pairs(recs, min_len=10).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_suffix_pairs_stopword_cap_drops_block(spark):
+    from sassy_spark.operators.blocking import suffix_pairs
+
+    # all four share the 6-char suffix ' corp.'; with the cap at 3 the
+    # shared block is dropped and only the longer-suffix pair survives
+    recs = spark.createDataFrame(
+        [
+            (1, "alpha corp."),
+            (2, "beta corp."),
+            (3, "gamma corp."),
+            (4, "gamma corp."),
+        ],
+        ["id", "key"],
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in suffix_pairs(recs, min_len=6, max_block_size=None)
+        .collect()
+    }
+    assert uncapped == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in suffix_pairs(recs, min_len=6, max_block_size=3)
+        .collect()
+    }
+    assert capped == {(3, 4)}  # full-key block of size 2 survives
+
+
+def test_suffix_pairs_min_len_excludes_short_keys(spark):
+    from sassy_spark.operators.blocking import suffix_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abcdefgh"), (4, "xabcdefgh")],
+        ["id", "key"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in suffix_pairs(recs, min_len=5).collect()
+    }
+    assert got == {(3, 4)}
