@@ -3354,6 +3354,35 @@ def _q107_canopy_blocking(spark, sf):
     )
 
 
+def _q109_passjoin(spark, sf):
+    """Pass-Join exact edit-distance self-join (Li-Deng-Feng PVLDB'11)
+    over VARIABLE-length keys (16..24 chars, length a function of
+    doc_id so the even-partition segment lengths and the length filter
+    both get exercised): all pairs within edit distance 2, found via
+    the lossless segment pigeonhole scheme — never the O(n^2) scan.
+    The oracle IS the brute-force levenshtein join: the whole point of
+    the partition scheme is that its output equals brute force, so the
+    oracle checks completeness (no missed pair) and the verify step
+    (no extra pair) in one shot."""
+    from sassy_spark.operators.blocking import passjoin_pairs
+
+    d = _load(spark, sf, "documents")
+    keys = d.select(
+        F.col("doc_id").alias("id"),
+        F.lower(
+            F.expr(
+                "substring(text, 1, 16 + cast(doc_id % 9 as int))"
+            )
+        ).alias("key"),
+    )
+    out = passjoin_pairs(keys, k=2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("ed").cast("long").alias("ed"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3488,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_soft_tfidf": _q106_soft_tfidf,
         "q107_canopy_blocking": _q107_canopy_blocking,
         "q108_suffix_blocking": _q108_suffix_blocking,
+        "q109_passjoin": _q109_passjoin,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6328,5 +6358,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a,
                         CAST(b.id AS BIGINT) AS id_b
         FROM f a JOIN f b ON a.suffix = b.suffix AND a.id < b.id
+    """
+    # q109: Pass-Join is LOSSLESS, so the oracle is simply the
+    # brute-force all-pairs levenshtein join on the same keys — it
+    # pins completeness (segment pigeonhole missed nothing) and
+    # precision (banded verify admitted nothing extra) at once.
+    out["q109_passjoin"] = """
+        WITH keys AS (
+          SELECT doc_id AS id,
+                 lower(substring(text, 1,
+                                 16 + CAST(doc_id % 9 AS INT))) AS k
+          FROM documents)
+        SELECT CAST(a.id AS BIGINT) AS id_a,
+               CAST(b.id AS BIGINT) AS id_b,
+               CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
+        FROM keys a JOIN keys b ON a.id < b.id
+        WHERE levenshtein(a.k, b.k) <= 2
     """
     return out

@@ -298,3 +298,79 @@ def test_suffix_pairs_min_len_excludes_short_keys(spark):
         for r in suffix_pairs(recs, min_len=5).collect()
     }
     assert got == {(3, 4)}
+
+
+def _brute_ed_pairs(rows, k):
+    import itertools
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    out = {}
+    for (ia, ka), (ib, kb) in itertools.combinations(sorted(rows), 2):
+        d = ed(ka, kb)
+        if d <= k:
+            out[(ia, ib)] = d
+    return out
+
+
+def test_passjoin_equals_brute_force_mixed_lengths(spark):
+    """Lossless-join contract: on a planted corpus of variable-length
+    keys with substitutions, insertions, deletions, transposed words
+    and unrelated strings, passjoin_pairs == brute-force levenshtein
+    (both the pair SET and the distances)."""
+    from sassy_spark.operators.blocking import passjoin_pairs
+
+    rows = [
+        (1, "acme corporation ltd"),
+        (2, "acme corporation ltd"),   # exact dup: ed 0
+        (3, "acme corporatiom ltd"),   # 1 substitution
+        (4, "acme corporation ltda"),  # 1 insertion at the end
+        (5, "acme corporatio ltd"),    # 1 deletion mid-word
+        (6, "acme corporatoin ld"),    # transposition+deletion: ed 3
+        (7, "globex international"),   # unrelated
+        (8, "globex internationa"),    # ed 1 from 7
+        (9, "initech"),                # short key, len 7
+        (10, "initech inc"),           # ed 4 from 9
+        (11, "xacme corporation ltd"), # 1 insertion at the FRONT
+    ]
+    want = _brute_ed_pairs(rows, 2)
+    recs = spark.createDataFrame(rows, ["id", "key"])
+    got = {
+        (r.id_a, r.id_b): r.ed
+        for r in passjoin_pairs(recs, k=2).collect()
+    }
+    assert got == want
+
+
+def test_passjoin_k1_and_short_key_exclusion(spark):
+    from sassy_spark.operators.blocking import passjoin_pairs
+
+    rows = [
+        (1, "ab"),        # shorter than k+1=2? len 2 == k+1 for k=1: kept
+        (2, "ac"),        # ed 1 from 'ab'
+        (3, "a"),         # len 1 < k+1: excluded from the join entirely
+        (4, "abcd"),
+        (5, "abxd"),      # ed 1 from 'abcd'
+    ]
+    recs = spark.createDataFrame(rows, ["id", "key"])
+    got = {
+        (r.id_a, r.id_b): r.ed
+        for r in passjoin_pairs(recs, k=1).collect()
+    }
+    want = {
+        p: d for p, d in _brute_ed_pairs(rows, 1).items()
+        if 3 not in p  # len-1 key excluded by the len >= k+1 rule
+    }
+    assert got == want
