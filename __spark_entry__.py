@@ -3383,6 +3383,31 @@ def _q109_passjoin(spark, sf):
     )
 
 
+def _q110_group_linkage(spark, sf):
+    """Group linkage (On et al. ICDE'07): match record GROUPS (here:
+    synthetic hosts of 10 docs each, group = doc_id div 10) by the
+    rarity-weighted Jaccard of their member keys (12-char text
+    prefixes). Exercises the two-tier ER view — entity = group of
+    records — with the stop-key df cap and exact integer IDF weights
+    (1e6 div df) so DuckDB recomputes every weight, intersection,
+    union, and quantized similarity identically."""
+    from sassy_spark.operators.linkage import group_linkage
+
+    d = _load(spark, sf, "documents")
+    members = d.select(
+        F.expr("doc_id div 10").alias("group"),
+        F.lower(F.substring("text", 1, 12)).alias("key"),
+    )
+    out = group_linkage(members, max_df=20, min_sim_qmicros=1)
+    return out.select(
+        F.col("group_a").cast("long").alias("group_a"),
+        F.col("group_b").cast("long").alias("group_b"),
+        F.col("inter_w").cast("long").alias("inter_w"),
+        F.col("union_w").cast("long").alias("union_w"),
+        F.col("sim_qmicros").cast("long").alias("sim_qmicros"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3518,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_canopy_blocking": _q107_canopy_blocking,
         "q108_suffix_blocking": _q108_suffix_blocking,
         "q109_passjoin": _q109_passjoin,
+        "q110_group_linkage": _q110_group_linkage,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6374,5 +6400,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
         FROM keys a JOIN keys b ON a.id < b.id
         WHERE levenshtein(a.k, b.k) <= 2
+    """
+    # q110: group linkage mirrored end-to-end — set-collapsed member
+    # keys, df over groups, stop keys df>20 dropped from BOTH sides of
+    # the ratio, integer IDF weights, weighted-Jaccard in micros.
+    out["q110_group_linkage"] = """
+        WITH mem AS (
+          SELECT DISTINCT doc_id // 10 AS g,
+                 lower(substring(text, 1, 12)) AS k
+          FROM documents),
+        df AS (SELECT k, count(*) AS df FROM mem GROUP BY k),
+        wk AS (
+          SELECT m.g, m.k, 1000000 // df.df AS w
+          FROM mem m JOIN df USING (k) WHERE df.df <= 20),
+        tot AS (SELECT g, sum(w) AS tw FROM wk GROUP BY g),
+        inter AS (
+          SELECT a.g AS ga, b.g AS gb, sum(a.w) AS iw
+          FROM wk a JOIN wk b ON a.k = b.k AND a.g < b.g
+          GROUP BY a.g, b.g)
+        SELECT CAST(ga AS BIGINT) AS group_a,
+               CAST(gb AS BIGINT) AS group_b,
+               CAST(iw AS BIGINT) AS inter_w,
+               CAST(ta.tw + tb.tw - iw AS BIGINT) AS union_w,
+               CAST((1000000 * iw) // (ta.tw + tb.tw - iw) AS BIGINT)
+                   AS sim_qmicros
+        FROM inter
+        JOIN tot ta ON ta.g = ga
+        JOIN tot tb ON tb.g = gb
+        WHERE (1000000 * iw) // (ta.tw + tb.tw - iw) >= 1
     """
     return out

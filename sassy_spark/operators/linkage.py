@@ -794,3 +794,81 @@ def reciprocal_best_pairs(
             F.col("_sc").alias(score_col),
         )
     )
+
+
+def group_linkage(
+    members: DataFrame,
+    group_col: str = "group",
+    key_col: str = "key",
+    max_df: int = 64,
+    min_sim_qmicros: int = 0,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, ICDE 2007): match
+    GROUPS of records — households, author publication lists, the pages
+    of one web host — by the rarity-weighted overlap of their member
+    keys, not by any single record pair. The two-tier view is the
+    standard fix for entities whose records are individually ambiguous
+    but collectively distinctive.
+
+    ``members``: (group, key) rows; duplicates within a group are
+    collapsed (set semantics). Each distinct key gets an integer
+    rarity weight ``w = 1_000_000 div df`` (df = number of groups
+    containing the key), so a key shared by every group is worth ~0
+    and a unique key 1e6 — the IDF idea in exact integer arithmetic so
+    the DuckDB oracle reproduces every value bit-for-bit. Keys with
+    ``df > max_df`` are stop keys: dropped from the similarity
+    entirely (numerator AND denominator) before any join — they carry
+    no discriminating power and would otherwise fan the candidate
+    join out by df^2 per key.
+
+    Group-pair similarity is the weighted Jaccard over surviving keys
+
+        sim_q = (1_000_000 * w(A ∩ B)) div w(A ∪ B)
+
+    emitted as ``(group_a, group_b, inter_w, union_w, sim_qmicros)``
+    for pairs sharing >= 1 key and ``sim_qmicros >= min_sim_qmicros``.
+
+    Scale notes (100 TB audit): the df table is vocabulary-sized and
+    group totals are one row per group; the candidate join keys on
+    member keys whose fan-out the stop-key rule bounds by ``max_df``
+    groups (so <= max_df^2 pair rows per key, the same cap contract
+    as cbs_pairs/suffix_pairs); everything after the join is a
+    map-side-combining groupBy on narrow (group_a, group_b, w) rows.
+    Pure Catalyst — no UDF, no collect.
+    """
+    mem = (
+        members.select(
+            F.col(group_col).alias("_g"), F.col(key_col).alias("_k")
+        )
+        .dropDuplicates(["_g", "_k"])
+    )
+    dfreq = mem.groupBy("_k").agg(F.count("*").alias("_df"))
+    wk = (
+        mem.join(dfreq.where(F.col("_df") <= max_df), "_k")
+        .withColumn("_w", F.expr("1000000 div _df"))
+    )
+    tot = wk.groupBy("_g").agg(F.sum("_w").alias("_tw"))
+    a = wk.select(F.col("_g").alias("group_a"), "_k", F.col("_w"))
+    b = wk.select(F.col("_g").alias("group_b"), "_k")
+    inter = (
+        a.join(b, "_k")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum("_w").alias("inter_w"))
+    )
+    return (
+        inter.join(
+            tot.select(F.col("_g").alias("group_a"), F.col("_tw").alias("_ta")),
+            "group_a",
+        )
+        .join(
+            tot.select(F.col("_g").alias("group_b"), F.col("_tw").alias("_tb")),
+            "group_b",
+        )
+        .withColumn("union_w", F.col("_ta") + F.col("_tb") - F.col("inter_w"))
+        .withColumn(
+            "sim_qmicros", F.expr("(1000000 * inter_w) div union_w")
+        )
+        .where(F.col("sim_qmicros") >= min_sim_qmicros)
+        .select("group_a", "group_b", "inter_w", "union_w", "sim_qmicros")
+    )

@@ -373,3 +373,38 @@ def test_reciprocal_best_pairs(spark):
     b_side = [y for _, y, _ in got]
     assert len(a_side) == len(set(a_side))
     assert len(b_side) == len(set(b_side))
+
+
+def test_group_linkage_weights_and_stop_keys(spark):
+    """Hand-computed two-tier linkage: integer IDF weights, set
+    semantics within a group, and the stop-key df cap removing a
+    universal key from BOTH sides of the weighted Jaccard."""
+    from sassy_spark.operators.linkage import group_linkage
+
+    members = spark.createDataFrame(
+        [
+            # 'common' appears in all 3 groups -> df 3 > max_df 2: stop key
+            (1, "common"), (2, "common"), (3, "common"),
+            (1, "alpha"), (2, "alpha"),       # df 2 -> w 500000
+            (1, "beta"),                      # df 1 -> w 1000000
+            (2, "beta2"),                     # df 1 -> w 1000000
+            (3, "gamma"),                     # df 1 -> w 1000000
+            (1, "alpha"),                     # dup within group: collapsed
+        ],
+        ["group", "key"],
+    )
+    rows = {
+        (r.group_a, r.group_b): (r.inter_w, r.union_w, r.sim_qmicros)
+        for r in group_linkage(members, max_df=2).collect()
+    }
+    # groups 1 and 2 share only 'alpha' (500000); totals: g1 = 1500000,
+    # g2 = 1500000 -> union 2500000, sim = 200000 micros
+    assert rows == {(1, 2): (500000, 2500000, 200000)}
+    # with the cap lifted, 'common' (df 3 -> w 333333) joins every pair
+    rows2 = {
+        (r.group_a, r.group_b): r.inter_w
+        for r in group_linkage(members, max_df=10).collect()
+    }
+    assert set(rows2) == {(1, 2), (1, 3), (2, 3)}
+    assert rows2[(1, 2)] == 500000 + 333333
+    assert rows2[(1, 3)] == 333333
