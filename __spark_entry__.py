@@ -3408,6 +3408,47 @@ def _q110_group_linkage(spark, sf):
     )
 
 
+def _q111_incremental_linkage(spark, sf):
+    """Incremental record-to-entity linkage: the newest 10% of docs
+    (the 'arriving batch') is matched against the canonical
+    REPRESENTATIVE of each already-resolved entity (entities = doc_id
+    div 5 over the older 90%, representative = the min-doc_id member)
+    via the lossless bipartite Pass-Join (k=2, blocking.passjoin_join)
+    — per-batch cost scales with the batch and the entity count, never
+    the accumulated corpus. Each new doc takes its best entity by
+    min(ed, entity) struct order; ties and the full candidate set are
+    pinned by the brute-force oracle."""
+    from sassy_spark.operators.blocking import passjoin_join
+
+    d = _load(spark, sf, "documents")
+    n = d.count()
+    cut = int(n * 9 // 10)
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 12)).alias("key"),
+    )
+    reps = (
+        keyed.where(F.col("doc_id") < cut)
+        .withColumn("entity", F.expr("doc_id div 5"))
+        .groupBy("entity")
+        .agg(F.min(F.struct("doc_id", "key")).alias("_r"))
+        .select(F.col("entity").alias("id"), F.col("_r.key").alias("key"))
+    )
+    new = keyed.where(F.col("doc_id") >= cut).select(
+        F.col("doc_id").alias("id"), "key"
+    )
+    m = passjoin_join(new, reps, k=2)
+    return (
+        m.groupBy("id_l")
+        .agg(F.min(F.struct(F.col("ed"), F.col("id_r"))).alias("_b"))
+        .select(
+            F.col("id_l").cast("long").alias("doc_id"),
+            F.col("_b.id_r").cast("long").alias("entity"),
+            F.col("_b.ed").cast("long").alias("ed"),
+        )
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3544,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_suffix_blocking": _q108_suffix_blocking,
         "q109_passjoin": _q109_passjoin,
         "q110_group_linkage": _q110_group_linkage,
+        "q111_incremental_linkage": _q111_incremental_linkage,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6428,5 +6470,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN tot ta ON ta.g = ga
         JOIN tot tb ON tb.g = gb
         WHERE (1000000 * iw) // (ta.tw + tb.tw - iw) >= 1
+    """
+    # q111: incremental linkage mirrored by brute force — reps = key of
+    # the min-doc_id member per entity over the older 90%, candidates =
+    # full cross levenshtein <= 2 (Pass-Join is lossless so the engine's
+    # bipartite join finds the same set), best = min ed then min entity.
+    out["q111_incremental_linkage"] = """
+        WITH keyed AS (
+          SELECT doc_id, lower(substring(text, 1, 12)) AS k
+          FROM documents),
+        cut AS (SELECT (count(*) * 9) // 10 AS c FROM documents),
+        reps AS (
+          SELECT doc_id // 5 AS entity, arg_min(k, doc_id) AS k
+          FROM keyed, cut WHERE doc_id < c
+          GROUP BY doc_id // 5),
+        new_batch AS (
+          SELECT doc_id, k FROM keyed, cut WHERE doc_id >= c),
+        cand AS (
+          SELECT n.doc_id, r.entity, levenshtein(n.k, r.k) AS ed
+          FROM new_batch n JOIN reps r ON levenshtein(n.k, r.k) <= 2),
+        sel AS (SELECT doc_id, min(ed) AS ed FROM cand GROUP BY doc_id)
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(min(c.entity) AS BIGINT) AS entity,
+               CAST(s.ed AS BIGINT) AS ed
+        FROM cand c JOIN sel s ON c.doc_id = s.doc_id AND c.ed = s.ed
+        GROUP BY s.doc_id, s.ed
     """
     return out

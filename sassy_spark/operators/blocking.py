@@ -397,6 +397,62 @@ def scheme_stats(
     )
 
 
+def _pj_base(records: DataFrame, id_col: str, key_col: str, k: int) -> DataFrame:
+    """(_id, _key, _len) rows, keys shorter than k+1 excluded."""
+    key = F.col(key_col)
+    return records.where(F.length(key) >= k + 1).select(
+        F.col(id_col).alias("_id"),
+        key.alias("_key"),
+        F.length(key).alias("_len"),
+    )
+
+
+def _pj_index(base: DataFrame, k: int) -> DataFrame:
+    """The k+1 even-partition segments with their start offsets."""
+    k1 = k + 1
+    seg_expr = (
+        f"transform(sequence(0, {k}), i -> struct("
+        f" 1 + i * (_len div {k1})"
+        f"   + greatest(0, i - ({k1} - _len % {k1})) AS start,"
+        f" (_len div {k1})"
+        f"   + if(i >= {k1} - _len % {k1}, 1, 0) AS len))"
+    )
+    return base.select(
+        F.col("_id").alias("id_i"),
+        F.col("_len").alias("len_i"),
+        F.col("_key"),
+        F.explode(F.expr(seg_expr)).alias("_s"),
+    ).select(
+        "id_i",
+        "len_i",
+        F.expr("substring(_key, _s.start, _s.len)").alias("_seg"),
+        F.col("_s.start").alias("start_i"),
+    )
+
+
+def _pj_probe(base: DataFrame, k: int) -> DataFrame:
+    """Every substring whose length can be a segment length of a
+    partner within the +-k length band."""
+    k1 = k + 1
+    sub_expr = (
+        f"flatten(transform("
+        f" sequence(greatest(1, (_len - {k}) div {k1}),"
+        f"          (_len + {k}) div {k1} + 1),"
+        f" m -> transform(sequence(1, greatest(_len - m + 1, 0)),"
+        f"   p -> struct(substring(_key, p, m) AS sub, p AS pos))))"
+    )
+    return base.select(
+        F.col("_id").alias("id_p"),
+        F.col("_len").alias("len_p"),
+        F.explode(F.expr(sub_expr)).alias("_q"),
+    ).select(
+        "id_p",
+        "len_p",
+        F.col("_q.sub").alias("_seg"),
+        F.col("_q.pos").alias("pos_p"),
+    )
+
+
 def passjoin_pairs(
     records: DataFrame,
     id_col: str = "id",
@@ -452,50 +508,9 @@ def passjoin_pairs(
     to the true pair count, which is the OUTPUT size — inherent to a
     lossless join, not a plan defect.
     """
-    k1 = k + 1
-    key = F.col(key_col)
-    base = records.where(F.length(key) >= k1).select(
-        F.col(id_col).alias("_id"),
-        key.alias("_key"),
-        F.length(key).alias("_len"),
-    )
-    # index: the k+1 even-partition segments with their start offsets
-    seg_expr = (
-        f"transform(sequence(0, {k}), i -> struct("
-        f" 1 + i * (_len div {k1})"
-        f"   + greatest(0, i - ({k1} - _len % {k1})) AS start,"
-        f" (_len div {k1})"
-        f"   + if(i >= {k1} - _len % {k1}, 1, 0) AS len))"
-    )
-    idx = base.select(
-        F.col("_id").alias("id_i"),
-        F.col("_len").alias("len_i"),
-        F.col("_key"),
-        F.explode(F.expr(seg_expr)).alias("_s"),
-    ).select(
-        "id_i",
-        "len_i",
-        F.expr("substring(_key, _s.start, _s.len)").alias("_seg"),
-        F.col("_s.start").alias("start_i"),
-    )
-    # probe: all substrings whose length can be a partner segment length
-    sub_expr = (
-        f"flatten(transform("
-        f" sequence(greatest(1, (_len - {k}) div {k1}),"
-        f"          (_len + {k}) div {k1} + 1),"
-        f" m -> transform(sequence(1, greatest(_len - m + 1, 0)),"
-        f"   p -> struct(substring(_key, p, m) AS sub, p AS pos))))"
-    )
-    probe = base.select(
-        F.col("_id").alias("id_p"),
-        F.col("_len").alias("len_p"),
-        F.explode(F.expr(sub_expr)).alias("_q"),
-    ).select(
-        "id_p",
-        "len_p",
-        F.col("_q.sub").alias("_seg"),
-        F.col("_q.pos").alias("pos_p"),
-    )
+    base = _pj_base(records, id_col, key_col, k)
+    idx = _pj_index(base, k)
+    probe = _pj_probe(base, k)
     cand = (
         probe.join(
             idx,
@@ -519,6 +534,54 @@ def passjoin_pairs(
         .withColumn("ed", F.levenshtein("_ka", "_kb", k))
         .where(F.col("ed") >= 0)
         .select("id_a", "id_b", "ed")
+    )
+
+
+def passjoin_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    key_col: str = "key",
+    k: int = 2,
+) -> DataFrame:
+    """Bipartite (R-S) Pass-Join: all (left, right) pairs within edit
+    distance ``k`` between TWO tables — same lossless segment scheme
+    as :func:`passjoin_pairs`, indexing the RIGHT side's ``k+1``
+    segments and probing with the LEFT side's substrings. The
+    incremental-ER workhorse: a small new batch probes a large indexed
+    corpus (or its entity representatives) without any self-join over
+    the corpus, so per-batch cost scales with the batch, not the
+    accumulated data.
+
+    Returns ``(id_l, id_r, ed)`` with ``ed <= k`` — exactly the
+    brute-force cross levenshtein result (same pigeonhole + position +
+    length filter soundness as the self-join variant). Ids may collide
+    across the two tables; no canonicalization is applied.
+    """
+    lbase = _pj_base(left, id_col, key_col, k)
+    rbase = _pj_base(right, id_col, key_col, k)
+    probe = _pj_probe(lbase, k)
+    idx = _pj_index(rbase, k)
+    cand = (
+        probe.join(
+            idx,
+            (probe["_seg"] == idx["_seg"])
+            & (F.abs(F.col("pos_p") - F.col("start_i")) <= k)
+            & (F.abs(F.col("len_p") - F.col("len_i")) <= k),
+        )
+        .select(
+            F.col("id_p").alias("id_l"), F.col("id_i").alias("id_r")
+        )
+        .distinct()
+    )
+    kl = lbase.select(F.col("_id").alias("id_l"), F.col("_key").alias("_kl"))
+    kr = rbase.select(F.col("_id").alias("id_r"), F.col("_key").alias("_kr"))
+    return (
+        cand.join(kl, "id_l")
+        .join(kr, "id_r")
+        .withColumn("ed", F.levenshtein("_kl", "_kr", k))
+        .where(F.col("ed") >= 0)
+        .select("id_l", "id_r", "ed")
     )
 
 

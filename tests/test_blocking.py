@@ -374,3 +374,50 @@ def test_passjoin_k1_and_short_key_exclusion(spark):
         if 3 not in p  # len-1 key excluded by the len >= k+1 rule
     }
     assert got == want
+
+
+def test_passjoin_join_bipartite_equals_brute_force(spark):
+    """R-S variant: left batch vs right index, including an id value
+    shared across the two tables (no canonicalization) and length
+    deltas at the +-k boundary."""
+    from sassy_spark.operators.blocking import passjoin_join
+
+    left_rows = [
+        (1, "acme corporation"),
+        (2, "globex intl"),
+        (3, "wayne enterprises"),
+    ]
+    right_rows = [
+        (1, "acme corporatiom"),    # same id as left 1, ed 1
+        (20, "acme corporation xx"), # ed 3: outside k
+        (30, "globexx intl"),        # ed 1 (insertion)
+        (40, "wayne enterprise"),    # ed 1 (deletion at end)
+        (50, "stark industries"),
+    ]
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    want = {
+        (il, ir): ed(kl, kr)
+        for il, kl in left_rows
+        for ir, kr in right_rows
+        if ed(kl, kr) <= 2
+    }
+    got = {
+        (r.id_l, r.id_r): r.ed
+        for r in passjoin_join(
+            spark.createDataFrame(left_rows, ["id", "key"]),
+            spark.createDataFrame(right_rows, ["id", "key"]),
+            k=2,
+        ).collect()
+    }
+    assert got == want and len(want) >= 3
