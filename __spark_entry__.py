@@ -3449,6 +3449,46 @@ def _q111_incremental_linkage(spark, sf):
     )
 
 
+def _q112_transitivity_audit(spark, sf):
+    """Open-wedge transitivity audit (evaluation.transitivity_audit):
+    links = same-lang pairs within id-distance 3 whose 12-char-prefix
+    edit distance is <= 8; for every A-B-C link chain whose A-C closing
+    pair is NOT itself a link, report whether A-C was compared and
+    rejected (scored_nonmatch — closure will override the scorer) or
+    never met in a block (not_compared — a blocking blind spot). Both
+    statuses are populated at sf0.01. The oracle rebuilds links,
+    wedges, and the two-way status split in SQL."""
+    from sassy_spark.operators.evaluation import transitivity_audit
+
+    d = _load(spark, sf, "documents")
+    k = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.lower(F.substring("text", 1, 12)).alias("p"),
+    )
+    scored = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & F.col("b.id").between(F.col("a.id") + 1, F.col("a.id") + 3),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.p", "b.p").alias("ed"),
+        )
+    )
+    links = scored.where(F.col("ed") <= 8).select("id_a", "id_b")
+    out = transitivity_audit(links, scored.select("id_a", "id_b"))
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_witnesses").cast("long").alias("n_witnesses"),
+        "status",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3586,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_passjoin": _q109_passjoin,
         "q110_group_linkage": _q110_group_linkage,
         "q111_incremental_linkage": _q111_incremental_linkage,
+        "q112_transitivity_audit": _q112_transitivity_audit,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6495,5 +6536,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(s.ed AS BIGINT) AS ed
         FROM cand c JOIN sel s ON c.doc_id = s.doc_id AND c.ed = s.ed
         GROUP BY s.doc_id, s.ed
+    """
+    # q112: open wedges over the link graph, split by whether the
+    # closing pair was scored-and-rejected or never compared.
+    out["q112_transitivity_audit"] = """
+        WITH k AS (
+          SELECT doc_id AS id, lang,
+                 lower(substring(text, 1, 12)) AS p
+          FROM documents),
+        s AS (
+          SELECT a.id AS ia, b.id AS ib,
+                 levenshtein(a.p, b.p) AS ed
+          FROM k a JOIN k b
+            ON a.lang = b.lang
+           AND b.id - a.id BETWEEN 1 AND 3),
+        l AS (SELECT ia, ib FROM s WHERE ed <= 8),
+        sym AS (
+          SELECT ia AS a, ib AS b FROM l
+          UNION ALL SELECT ib, ia FROM l),
+        w AS (
+          SELECT x.b AS wa, y.b AS wb, x.a AS m
+          FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b),
+        ow AS (
+          SELECT wa, wb, count(DISTINCT m) AS nw
+          FROM w GROUP BY wa, wb),
+        open_w AS (
+          SELECT * FROM ow
+          WHERE NOT EXISTS (
+            SELECT 1 FROM l WHERE l.ia = ow.wa AND l.ib = ow.wb))
+        SELECT CAST(wa AS BIGINT) AS id_a,
+               CAST(wb AS BIGINT) AS id_b,
+               CAST(nw AS BIGINT) AS n_witnesses,
+               CASE WHEN EXISTS (
+                 SELECT 1 FROM s
+                 WHERE s.ia = open_w.wa AND s.ib = open_w.wb)
+                 THEN 'scored_nonmatch' ELSE 'not_compared'
+               END AS status
+        FROM open_w
     """
     return out

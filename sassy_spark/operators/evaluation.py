@@ -302,3 +302,74 @@ def cluster_metrics(
             "bcubed_recall_qmicros"
         ),
     )
+
+
+def transitivity_audit(
+    links: DataFrame,
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int = 256,
+) -> DataFrame:
+    """Open-wedge transitivity audit over pairwise link decisions — the
+    pre-clustering complement of the closed-triangle edge-support
+    operator (cluster repair, q100): before transitive closure glues
+    A-B-C chains into one entity, report every OPEN wedge — A-B and
+    B-C decided as links while A-C is NOT — split by WHY it is open:
+
+    - ``scored_nonmatch``: A-C was compared and rejected — direct
+      evidence against merging A,B,C; many of these means transitive
+      closure will override the scorer and precision will fall;
+    - ``not_compared``: A-C never met in any block — a blocking blind
+      spot; the closure's verdict on A,C rests on the B path alone.
+
+    ``links``: decided link pairs (id_a < id_b). ``scored``: ALL
+    compared pairs (id_a < id_b) — the candidate set the scorer saw
+    (links must be a subset; only membership is used).
+
+    Returns (id_a, id_b, n_witnesses, status) — one row per open
+    wedge endpoint pair, n_witnesses = number of distinct middle
+    records connecting them.
+
+    Scale notes (100 TB audit): wedges are generated middle-out
+    (sym-edge self-join on the middle id), so a hub of degree d emits
+    d^2 wedge rows; middles with link-degree > ``max_degree`` are
+    excluded (their entities are mega-clusters whose audit belongs to
+    the cluster-level tools, and the d^2 blowup would dominate the
+    shuffle) — the same explicit-cap contract as cbs_pairs. Everything
+    is narrow id pairs; the status classification is two left
+    anti/semi-style joins, no UDFs.
+    """
+    e = links.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+    sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    deg = sym.groupBy("_a").agg(F.count("*").alias("_d"))
+    mid = sym.join(
+        deg.where(F.col("_d") <= max_degree).select("_a"), "_a"
+    )
+    wedge = (
+        mid.select(F.col("_a").alias("_m"), F.col("_b").alias("wa"))
+        .join(
+            mid.select(F.col("_a").alias("_m"), F.col("_b").alias("wb")),
+            "_m",
+        )
+        .where(F.col("wa") < F.col("wb"))
+        .groupBy(F.col("wa").alias("_a"), F.col("wb").alias("_b"))
+        .agg(F.count_distinct("_m").alias("n_witnesses"))
+    )
+    open_w = wedge.join(e, ["_a", "_b"], "left_anti")
+    s = scored.select(
+        F.col(id_a).alias("_a"),
+        F.col(id_b).alias("_b"),
+        F.lit(True).alias("_seen"),
+    ).dropDuplicates(["_a", "_b"])
+    return (
+        open_w.join(s, ["_a", "_b"], "left")
+        .select(
+            F.col("_a").alias(id_a),
+            F.col("_b").alias(id_b),
+            "n_witnesses",
+            F.when(F.col("_seen"), F.lit("scored_nonmatch"))
+            .otherwise(F.lit("not_compared"))
+            .alias("status"),
+        )
+    )

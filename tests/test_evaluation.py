@@ -141,3 +141,46 @@ def test_refinement_stats(spark):
         for r in refinement_stats(fine, coarse).collect()
     }
     assert got == {"C1": (3, 2, True), "C2": (2, 1, False)}
+
+
+def test_transitivity_audit_statuses_and_degree_cap(spark):
+    """Planted wedge graph: 1-2-3 open (1-3 scored+rejected), 2-3-4
+    open (2-4 never compared), 1-2 / 2-3 / 3-4 are links; a closed
+    triangle 5-6-7 emits nothing; hub 100 with degree over the cap is
+    excluded as a middle."""
+    from sassy_spark.operators.evaluation import transitivity_audit
+
+    links = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (5, 6), (6, 7), (5, 7),          # closed triangle: no row
+            (100, 200), (100, 201), (100, 202),  # hub middle, degree 3
+        ],
+        ["id_a", "id_b"],
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (1, 3),  # 1-3 compared, rejected
+            (5, 6), (6, 7), (5, 7),
+            (100, 200), (100, 201), (100, 202),
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_witnesses, r.status)
+        for r in transitivity_audit(links, scored).collect()
+    }
+    assert got == {
+        (1, 3): (1, "scored_nonmatch"),
+        (2, 4): (1, "not_compared"),
+        (200, 201): (1, "not_compared"),
+        (200, 202): (1, "not_compared"),
+        (201, 202): (1, "not_compared"),
+    }
+    # cap the middle degree below the hub's: its wedges disappear,
+    # the chain wedges (middle degree 2) survive
+    capped = {
+        (r.id_a, r.id_b)
+        for r in transitivity_audit(links, scored, max_degree=2).collect()
+    }
+    assert capped == {(1, 3), (2, 4)}
