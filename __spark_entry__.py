@@ -3489,6 +3489,63 @@ def _q112_transitivity_audit(spark, sf):
     )
 
 
+def _q113_fs_missing(spark, sf):
+    """Fellegi-Sunter with MISSING data as its own agreement level —
+    the production answer to null fields (splink/fastLink style):
+    each of 3 comparison features takes level 2 (agree) / 0 (disagree)
+    / 1 (MISSING, planted deterministically on doc_id % {7,5,11}),
+    em.em_fit_levels estimates per-(feature, level) m/u WITHOUT labels,
+    and the new em.fs_score_levels folds the per-pair likelihood
+    ratio — EM drives m≈u for the missing level, so a null field
+    contributes LR≈1 (neither evidence for nor against), derived
+    rather than hardcoded. Oracle: generated SQL mirror of the full
+    fit + score fixed point (shared CTE builder with q90)."""
+    from sassy_spark.operators.em import em_fit_levels, fs_score_levels
+
+    d = _load(spark, sf, "documents")
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CASE WHEN a.doc_id % 7 = 0 OR b.doc_id % 7 = 0 THEN 1"
+                " WHEN a.lang = b.lang THEN 2 ELSE 0 END"
+            ).cast("int").alias("g1"),
+            F.expr(
+                "CASE WHEN a.doc_id % 5 = 0 OR b.doc_id % 5 = 0 THEN 1"
+                " WHEN lower(substring(a.text, 1, 8))"
+                "      = lower(substring(b.text, 1, 8)) THEN 2"
+                " ELSE 0 END"
+            ).cast("int").alias("g2"),
+            F.expr(
+                "CASE WHEN a.doc_id % 11 = 0 OR b.doc_id % 11 = 0 THEN 1"
+                " WHEN a.n_chars div 100 = b.n_chars div 100 THEN 2"
+                " ELSE 0 END"
+            ).cast("int").alias("g3"),
+        )
+    )
+    params = em_fit_levels(
+        pairs,
+        ["g1", "g2", "g3"],
+        n_levels=3,
+        n_iter=2,
+        m_init=[100_000, 300_000, 600_000],
+        u_init=[600_000, 300_000, 100_000],
+        p_init=100_000,
+    )
+    out = fs_score_levels(pairs, params, ["g1", "g2", "g3"])
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "g1",
+        "g2",
+        "g3",
+        F.col("lr_qmicros").cast("long").alias("lr_qmicros"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3627,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_group_linkage": _q110_group_linkage,
         "q111_incremental_linkage": _q111_incremental_linkage,
         "q112_transitivity_audit": _q112_transitivity_audit,
+        "q113_fs_missing": _q113_fs_missing,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -3735,20 +3793,15 @@ _EM_ORACLE_CTES = """
 """
 
 
-def _em_levels_oracle_sql() -> str:
-    """Generated SQL mirror of em.em_fit_levels for q90's exact config
-    (2 features x 3 levels, 2 iterations, ramp inits [0.1,0.2,0.7]).
-    The fixed point is the same arithmetic as _EM_ORACLE_CTES but with
-    per-(feature, level) counts instead of per-feature booleans — the
-    SQL is fully regular, so it is generated rather than hand-unrolled
-    (18 sr/snr aggregates and 12 clamped re-estimates per iteration).
-    """
-    feats = ["g1", "g2"]
-    names = ["g_jw", "g_len"]
-    levels = 3
-    m0 = [100_000, 200_000, 700_000]
-    u0 = [700_000, 200_000, 100_000]
-    p0 = 100_000
+def _em_levels_ctes(feats, levels, m0, u0, p0) -> str:
+    """Generated CTE chain mirroring em.em_fit_levels' 2-iteration
+    fixed point for any (features, levels, inits) config: expects a
+    CTE named ``lev`` with one row per pair carrying the level columns
+    in ``feats``, and emits ``pc, r1, r1b, a1, p1, r2, r2b, a2, p2``
+    where p2 holds the fitted ``m_{k}_{l} / u_{k}_{l} / p`` params.
+    Shared by the q90 (fit output) and q113 (fit + score) oracles —
+    the SQL is fully regular, so it is generated rather than
+    hand-unrolled."""
 
     def fold(start, param):
         # left-to-right (acc * param[k][g_k]) // 1e6, matching
@@ -3807,6 +3860,35 @@ def _em_levels_oracle_sql() -> str:
     wu2 = fold("(1000000 - p1.p)", lambda k, l: f"p1.u_{k}_{l}")
     r_expr = ("CASE WHEN wm + wu > 0 THEN (1000000 * wm) // (wm + wu)"
               " ELSE 0 END AS r")
+    fl = ", ".join(feats)
+    pcfl = ", ".join(f"pc.{f}" for f in feats)
+    return f"""
+        pc AS (SELECT {fl}, count(*) AS c FROM lev GROUP BY {fl}),
+        r1 AS (SELECT {fl}, c, {wm1} AS wm, {wu1} AS wu FROM pc),
+        r1b AS (SELECT *, {r_expr} FROM r1),
+        a1 AS ({agg_cte('r1b')}),
+        p1 AS ({params_cte('a1', lambda k, l: m0[l],
+                           lambda k, l: u0[l], p0)}),
+        r2 AS (SELECT {pcfl}, pc.c, {wm2} AS wm, {wu2} AS wu
+               FROM pc, p1),
+        r2b AS (SELECT *, {r_expr} FROM r2),
+        a2 AS ({agg_cte('r2b')}),
+        p2 AS ({params_cte('a2', lambda k, l: f'p1.m_{k}_{l}',
+                           lambda k, l: f'p1.u_{k}_{l}', 'p1.p',
+                           ', p1')})"""
+
+
+def _em_levels_oracle_sql() -> str:
+    """q90's oracle: the shared em_fit_levels CTE chain over its JW /
+    length-delta 3-level features (2 features, 2 iterations, explicit
+    inits), ending in the fitted-params UNION."""
+    feats = ["g1", "g2"]
+    names = ["g_jw", "g_len"]
+    levels = 3
+    m0 = [100_000, 200_000, 700_000]
+    u0 = [700_000, 200_000, 100_000]
+    p0 = 100_000
+    ctes = _em_levels_ctes(feats, levels, m0, u0, p0)
     finals = []
     for k, name in enumerate(names):
         for l in range(levels):
@@ -3828,20 +3910,73 @@ def _em_levels_oracle_sql() -> str:
                        abs(a.n_chars - b.n_chars) AS ld
                 FROM documents a JOIN documents b
                   ON a.doc_id + 1 = b.doc_id)),
-        pc AS (SELECT g1, g2, count(*) AS c FROM lev GROUP BY 1, 2),
-        r1 AS (SELECT g1, g2, c, {wm1} AS wm, {wu1} AS wu FROM pc),
-        r1b AS (SELECT *, {r_expr} FROM r1),
-        a1 AS ({agg_cte('r1b')}),
-        p1 AS ({params_cte('a1', lambda k, l: m0[l],
-                           lambda k, l: u0[l], p0)}),
-        r2 AS (SELECT pc.g1, pc.g2, pc.c, {wm2} AS wm, {wu2} AS wu
-               FROM pc, p1),
-        r2b AS (SELECT *, {r_expr} FROM r2),
-        a2 AS ({agg_cte('r2b')}),
-        p2 AS ({params_cte('a2', lambda k, l: f'p1.m_{k}_{l}',
-                           lambda k, l: f'p1.u_{k}_{l}', 'p1.p',
-                           ', p1')})
+        {ctes}
         {' UNION ALL '.join(finals)}
+    """
+
+
+# q113's deterministic 3-level features over adjacent pairs: level 1 =
+# MISSING (either side's id hits the planted null pattern), else 2 =
+# agree / 0 = disagree — identical CASE logic in Spark and the oracle.
+_Q113_LEV_SQL = """
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CASE WHEN a.doc_id % 7 = 0 OR b.doc_id % 7 = 0 THEN 1
+                      WHEN a.lang = b.lang THEN 2 ELSE 0 END AS g1,
+                 CASE WHEN a.doc_id % 5 = 0 OR b.doc_id % 5 = 0 THEN 1
+                      WHEN lower(substring(a.text, 1, 8))
+                           = lower(substring(b.text, 1, 8)) THEN 2
+                      ELSE 0 END AS g2,
+                 CASE WHEN a.doc_id % 11 = 0 OR b.doc_id % 11 = 0 THEN 1
+                      WHEN a.n_chars {div} 100 = b.n_chars {div} 100
+                           THEN 2 ELSE 0 END AS g3
+          FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def _fs_missing_oracle_sql() -> str:
+    """q113's oracle: the shared em_fit_levels CTE chain over the
+    3-feature missing-as-level comparison vectors, ending in the
+    per-pair fs_score_levels fold (lr = least((lr * m) // u, 1e12)
+    per feature, in g1,g2,g3 order)."""
+    feats = ["g1", "g2", "g3"]
+    levels = 3
+    m0 = [100_000, 300_000, 600_000]
+    u0 = [600_000, 300_000, 100_000]
+    p0 = 100_000
+    ctes = _em_levels_ctes(feats, levels, m0, u0, p0)
+    lr = "CAST(1000000 AS BIGINT)"
+    for k, f in enumerate(feats):
+        num = (
+            "CASE "
+            + " ".join(
+                f"WHEN lev.{f} = {l} THEN p2.m_{k}_{l}"
+                for l in range(levels)
+            )
+            + " ELSE 1 END"
+        )
+        den = (
+            "CASE "
+            + " ".join(
+                f"WHEN lev.{f} = {l} THEN p2.u_{k}_{l}"
+                for l in range(levels)
+            )
+            + " ELSE 1 END"
+        )
+        lr = (
+            f"least(({lr} * CAST({num} AS BIGINT))"
+            f" // CAST({den} AS BIGINT),"
+            f" CAST(1000000000000 AS BIGINT))"
+        )
+    return f"""
+        WITH lev AS ({_Q113_LEV_SQL.format(div='//')}),
+        {ctes}
+        SELECT CAST(lev.doc_a AS BIGINT) AS doc_a,
+               CAST(lev.doc_b AS BIGINT) AS doc_b,
+               CAST(lev.g1 AS INT) AS g1,
+               CAST(lev.g2 AS INT) AS g2,
+               CAST(lev.g3 AS INT) AS g3,
+               CAST({lr} AS BIGINT) AS lr_qmicros
+        FROM lev, p2
     """
 
 
@@ -6574,4 +6709,7 @@ def oracle_sql() -> dict[str, str]:
                END AS status
         FROM open_w
     """
+    # q113: generated mirror of em_fit_levels + fs_score_levels over
+    # the missing-as-level comparison vectors (see builder docstring)
+    out["q113_fs_missing"] = _fs_missing_oracle_sql()
     return out

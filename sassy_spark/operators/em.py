@@ -438,3 +438,62 @@ def frequency_adjusted_weights(
         .otherwise(F.lit(int(dis_lr)).cast("long"))
         .alias("lr_qmicros"),
     )
+
+
+def fs_score_levels(
+    pairs: DataFrame,
+    params: DataFrame,
+    level_cols: list[str],
+    lr_col: str = "lr_qmicros",
+) -> DataFrame:
+    """Score pairs with the MULTI-LEVEL FS likelihood ratio — the
+    consumer of :func:`em_fit_levels`, and the standard way to handle
+    MISSING comparisons: give "missing" its own agreement level, and
+    EM drives that level's m and u together (P(missing) is roughly
+    class-independent under MAR), so its factor m/u ≈ 1 and a missing
+    field neither supports nor opposes the match — the
+    pairwise-deletion behavior of production linkers, derived rather
+    than hardcoded.
+
+    Fold contract (identical shape to :func:`fs_score`): start at 1e6
+    micros; per feature in ``level_cols`` order,
+    ``lr = least((lr * m[k][level]) div u[k][level], 1e12)``.
+    ``em_fit_levels``' clamp guarantees every u >= 1. Params are
+    collected driver-side (n_features x n_levels rows, tiny) and
+    inlined as CASE literals — single JVM-side projection, no join,
+    no UDF.
+    """
+    rows = params.collect()
+    table: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        table.setdefault(r["feature"], {})[int(r["level"])] = (
+            int(r["m_qmicros"]),
+            int(r["u_qmicros"]),
+        )
+    missing = [c for c in level_cols if c not in table]
+    if missing:
+        raise ValueError(f"params missing features: {missing}")
+    e = f"CAST({_M} AS BIGINT)"
+    for c in level_cols:
+        levels = table[c]
+        num = (
+            "(CASE "
+            + " ".join(
+                f"WHEN `{c}` = {l} THEN {mu[0]}"
+                for l, mu in sorted(levels.items())
+            )
+            + " ELSE 1 END)"
+        )
+        den = (
+            "(CASE "
+            + " ".join(
+                f"WHEN `{c}` = {l} THEN {mu[1]}"
+                for l, mu in sorted(levels.items())
+            )
+            + " ELSE 1 END)"
+        )
+        e = (
+            f"LEAST(({e} * CAST({num} AS BIGINT))"
+            f" div CAST({den} AS BIGINT), CAST({_LR_CAP} AS BIGINT))"
+        )
+    return pairs.withColumn(lr_col, F.expr(e).cast("long"))

@@ -257,3 +257,42 @@ def test_fs_score_missing_feature_raises(spark):
     pairs = spark.createDataFrame([(True, True)], ["f1", "f2"])
     with pytest.raises(ValueError, match="f2"):
         fs_score(pairs, params, ["f1", "f2"])
+
+
+def test_fs_score_levels_fold_and_missing_neutrality(spark):
+    """Hand-computed multi-level LR fold, including the saturation cap
+    and a missing level whose m == u contributes exactly factor 1."""
+    from sassy_spark.operators.em import fs_score_levels
+
+    params = spark.createDataFrame(
+        [
+            # f1: agree(2) lr x9, disagree(0) lr /9, missing(1) m==u
+            ("f1", 0, 100_000, 900_000, 500_000),
+            ("f1", 1, 300_000, 300_000, 500_000),
+            ("f1", 2, 900_000, 100_000, 500_000),
+            # f2: extreme agree ratio to hit the 1e12 cap
+            ("f2", 0, 1, 999_999, 500_000),
+            ("f2", 1, 500_000, 500_000, 500_000),
+            ("f2", 2, 999_999, 1, 500_000),
+        ],
+        "feature string, level int, m_qmicros long, u_qmicros long,"
+        " p_qmicros long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 2), (2, 1, 1), (3, 0, 1), (4, 2, 0)],
+        ["pid", "f1", "f2"],
+    )
+    got = {
+        r.pid: r.lr_qmicros
+        for r in fs_score_levels(pairs, params, ["f1", "f2"]).collect()
+    }
+    assert got == {
+        # agree+agree: (1e6*9e5)//1e5 = 9e6; (9e6*999999)//1 caps at 1e12
+        1: 1_000_000_000_000,
+        # missing+missing: both factors exactly 1.0 -> 1e6
+        2: 1_000_000,
+        # disagree+missing: (1e6*1e5)//9e5 = 111111; x1 -> 111111
+        3: 111_111,
+        # agree+disagree: 9e6 then (9e6*1)//999999 = 9
+        4: 9,
+    }
