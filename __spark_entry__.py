@@ -3546,6 +3546,35 @@ def _q113_fs_missing(spark, sf):
     )
 
 
+def _q114_grid_distance(spark, sf):
+    """Spatial-tolerance matching (blocking.grid_distance_pairs):
+    deterministic planted coordinates (5-doc clusters jittered by a
+    few units, cluster centers pseudo-randomly spread over a 1e6 x 1e6
+    integer grid), all pairs within Euclidean distance 25 via 3x3
+    grid-cell blocking + exact integer d^2 verify — the geocoded-
+    address ER primitive. The oracle is the brute-force all-pairs
+    integer distance join (the grid scheme is lossless for
+    cell >= radius)."""
+    from sassy_spark.operators.blocking import grid_distance_pairs
+
+    d = _load(spark, sf, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "((doc_id div 5) * 7919) % 1000000 + (doc_id % 5) * 3"
+        ).alias("x"),
+        F.expr(
+            "((doc_id div 5) * 104729) % 1000000 + (doc_id % 5) * 4"
+        ).alias("y"),
+    )
+    out = grid_distance_pairs(pts, radius=25)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("d2").cast("long").alias("d2"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3685,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_incremental_linkage": _q111_incremental_linkage,
         "q112_transitivity_audit": _q112_transitivity_audit,
         "q113_fs_missing": _q113_fs_missing,
+        "q114_grid_distance": _q114_grid_distance,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6712,4 +6742,23 @@ def oracle_sql() -> dict[str, str]:
     # q113: generated mirror of em_fit_levels + fs_score_levels over
     # the missing-as-level comparison vectors (see builder docstring)
     out["q113_fs_missing"] = _fs_missing_oracle_sql()
+    # q114: grid blocking is lossless (cell >= radius), so the oracle
+    # is the brute-force integer-distance join on the same planted
+    # coordinates.
+    out["q114_grid_distance"] = """
+        WITH pts AS (
+          SELECT doc_id AS id,
+                 ((doc_id // 5) * 7919) % 1000000
+                   + (doc_id % 5) * 3 AS x,
+                 ((doc_id // 5) * 104729) % 1000000
+                   + (doc_id % 5) * 4 AS y
+          FROM documents)
+        SELECT CAST(a.id AS BIGINT) AS id_a,
+               CAST(b.id AS BIGINT) AS id_b,
+               CAST((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 625
+    """
     return out

@@ -643,3 +643,82 @@ def suffix_pairs(
         )
         .distinct()
     )
+
+
+def grid_distance_pairs(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: int = 10,
+    cell: int | None = None,
+) -> DataFrame:
+    """Spatial-tolerance matching: all point pairs within Euclidean
+    distance ``radius`` (integer coordinates — microdegrees, metres,
+    whatever the caller scaled to), via uniform-grid blocking. The
+    geocoded-records ER primitive: two address records whose
+    coordinates fall within the tolerance are candidates no matter
+    what their strings say.
+
+    Grid scheme (lossless): with ``cell >= radius`` (default
+    ``cell = radius``), any pair within ``radius`` lies in the same or
+    an adjacent cell, so indexing each point ONCE under its own cell
+    and probing the 3x3 neighborhood finds every qualifying pair; the
+    verify step keeps exactly ``dx^2 + dy^2 <= radius^2`` (integer
+    arithmetic end to end — the DuckDB oracle recomputes it
+    bit-for-bit). Returns (id_a, id_b, d2) with id_a < id_b.
+
+    Scale notes (100 TB audit): the probe explode is a constant 9 rows
+    per point; the join is an equi-join on (cell_x, cell_y) int pairs;
+    a dense hot cell degrades to its own pair count, bounded by
+    density * cell^2 — pick ``cell`` near ``radius`` (never larger
+    than needed) to keep per-cell membership minimal. Floor division
+    (``div``) keeps negative coordinates on the same grid on both
+    engines. No UDFs, no driver collect.
+    """
+    c = int(cell) if cell is not None else int(radius)
+    if c < radius:
+        raise ValueError("cell must be >= radius for lossless 3x3 probing")
+    p = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    idx = p.select(
+        F.col("_id").alias("id_i"),
+        F.col("_x").alias("xi"),
+        F.col("_y").alias("yi"),
+        F.expr(f"_x div {c}").alias("cx"),
+        F.expr(f"_y div {c}").alias("cy"),
+    )
+    probe = p.select(
+        F.col("_id").alias("id_p"),
+        F.col("_x").alias("xp"),
+        F.col("_y").alias("yp"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" struct(_x div {c} + dx AS cx, _y div {c} + dy AS cy))))"
+            )
+        ).alias("_c"),
+    ).select(
+        "id_p", "xp", "yp",
+        F.col("_c.cx").alias("cx"), F.col("_c.cy").alias("cy"),
+    )
+    r2 = int(radius) * int(radius)
+    d2 = (
+        (F.col("xp") - F.col("xi")) * (F.col("xp") - F.col("xi"))
+        + (F.col("yp") - F.col("yi")) * (F.col("yp") - F.col("yi"))
+    )
+    return (
+        probe.join(idx, ["cx", "cy"])
+        .where(F.col("id_p") < F.col("id_i"))
+        .where(d2 <= F.lit(r2))
+        .select(
+            F.col("id_p").alias("id_a"),
+            F.col("id_i").alias("id_b"),
+            d2.cast("long").alias("d2"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -421,3 +421,42 @@ def test_passjoin_join_bipartite_equals_brute_force(spark):
         ).collect()
     }
     assert got == want and len(want) >= 3
+
+
+def test_grid_distance_pairs_boundaries_and_negatives(spark):
+    """Pairs straddling cell boundaries are found (3x3 probe), pairs
+    just past the radius are not, and negative coordinates floor onto
+    the same grid as the oracle's // semantics."""
+    import pytest
+
+    from sassy_spark.operators.blocking import grid_distance_pairs
+
+    pts = [
+        (1, 99, 0),     # cell (9,0) with cell=10
+        (2, 101, 0),    # cell (10,0): adjacent cell, d2=4 -> match
+        (3, 109, 0),    # d to 1 = 10 exactly -> d2=100 == r2: match
+        (4, 120, 0),    # d to 3 = 11 -> 121 > 100: no match with 3
+        (5, -1, -1),    # negative coords
+        (6, -9, -2),    # d2 to 5 = 64+1=65 <= 100: match
+        (7, 500, 500),  # isolated
+    ]
+    got = {
+        (r.id_a, r.id_b): r.d2
+        for r in grid_distance_pairs(
+            spark.createDataFrame(pts, ["id", "x", "y"]), radius=10
+        ).collect()
+    }
+    want = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 100:
+                want[(ia, ib)] = d2
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (5, 6) in got
+    with pytest.raises(ValueError):
+        grid_distance_pairs(
+            spark.createDataFrame(pts, ["id", "x", "y"]),
+            radius=10,
+            cell=5,
+        )
