@@ -3575,6 +3575,37 @@ def _q114_grid_distance(spark, sf):
     )
 
 
+def _q115_multipass_sn(spark, sf):
+    """Multi-pass sorted neighborhood (the full Hernandez-Stolfo
+    merge/purge: two independent sort keys, window 3 each, union with
+    per-pair pass counts via blocking.multipass_sn_pairs) — pass A
+    orders by (lang, 10-char text prefix), pass B by the REVERSED
+    prefix (prefix typos teleport a record in pass A but barely move
+    it in pass B, the published rationale for multiple passes). The
+    oracle replays both global orders with row_number in SQL and
+    unions the window pairs — single-node, vs the engine's
+    distributed range-partition rank."""
+    from sassy_spark.operators.blocking import multipass_sn_pairs
+
+    d = _load(spark, sf, "documents")
+    keyed = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.lower(F.substring("text", 1, 10)).alias("p10"),
+        F.reverse(F.lower(F.substring("text", 1, 10))).alias("r10"),
+    )
+    out = multipass_sn_pairs(
+        keyed,
+        {"fwd": ["lang", "p10"], "rev": ["r10"]},
+        window=3,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_passes").cast("long").alias("n_passes"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3715,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_transitivity_audit": _q112_transitivity_audit,
         "q113_fs_missing": _q113_fs_missing,
         "q114_grid_distance": _q114_grid_distance,
+        "q115_multipass_sn": _q115_multipass_sn,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6760,5 +6792,31 @@ def oracle_sql() -> dict[str, str]:
         FROM pts a JOIN pts b ON a.id < b.id
         WHERE (a.x - b.x) * (a.x - b.x)
               + (a.y - b.y) * (a.y - b.y) <= 625
+    """
+    # q115: both sort orders replayed single-node with row_number;
+    # window pairs (rank gap 1..3) per pass, canonical a<b, pass count.
+    out["q115_multipass_sn"] = """
+        WITH keyed AS (
+          SELECT doc_id AS id, lang,
+                 lower(substring(text, 1, 10)) AS p10,
+                 reverse(lower(substring(text, 1, 10))) AS r10
+          FROM documents),
+        fwd AS (
+          SELECT id, row_number() OVER (ORDER BY lang, p10, id) AS rk
+          FROM keyed),
+        rev AS (
+          SELECT id, row_number() OVER (ORDER BY r10, id) AS rk
+          FROM keyed),
+        pairs AS (
+          SELECT least(a.id, b.id) AS id_a,
+                 greatest(a.id, b.id) AS id_b, 'fwd' AS pass
+          FROM fwd a JOIN fwd b ON b.rk - a.rk BETWEEN 1 AND 3
+          UNION ALL
+          SELECT least(a.id, b.id), greatest(a.id, b.id), 'rev'
+          FROM rev a JOIN rev b ON b.rk - a.rk BETWEEN 1 AND 3)
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+        FROM pairs GROUP BY id_a, id_b
     """
     return out

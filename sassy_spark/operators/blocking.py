@@ -722,3 +722,48 @@ def grid_distance_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def multipass_sn_pairs(
+    df: DataFrame,
+    passes: dict[str, list[str]],
+    id_col: str = "id",
+    window: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-pass sorted neighborhood — the FULL Hernandez & Stolfo
+    merge/purge design: a single sort key always splits some true
+    matches (a typo in its first character teleports the record across
+    the sort order), so the published remedy is SEVERAL independent
+    cheap keys, each with a SMALL window, unioned. ``passes`` maps a
+    pass name to its ordering columns; each pass runs the scale-safe
+    :func:`sorted_neighborhood_pairs` (distributed global rank, never
+    a single-partition window), pairs are canonicalized to id_a < id_b
+    across passes, and the output carries ``n_passes`` — in how many
+    sort orders the pair fell within the window (a cheap agreement
+    weight, usable exactly like cbs_pairs' CBS count).
+
+    Returns (id_a, id_b, n_passes).
+
+    Scale notes (100 TB audit): cost is additive over passes (each is
+    one range repartition + an integer rank equi-join with window-
+    bounded fan-out); the union shuffles narrow id pairs once for the
+    final groupBy. The id tie-break in every pass makes each order
+    total and the result deterministic.
+    """
+    out: DataFrame | None = None
+    for name, cols in passes.items():
+        p = sorted_neighborhood_pairs(
+            df, cols, id_col=id_col, window=window,
+            num_partitions=num_partitions,
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.lit(name).alias("_pass"),
+        )
+        out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("passes must be non-empty")
+    return out.groupBy("id_a", "id_b").agg(
+        F.count_distinct("_pass").alias("n_passes")
+    )

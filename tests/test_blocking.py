@@ -460,3 +460,49 @@ def test_grid_distance_pairs_boundaries_and_negatives(spark):
             radius=10,
             cell=5,
         )
+
+
+def test_multipass_sn_union_and_pass_counts(spark):
+    """Two passes with opposite orders: a prefix-typo pair missed by
+    the forward window is caught by the reverse pass; a pair adjacent
+    in both orders reports n_passes == 2."""
+    from sassy_spark.operators.blocking import multipass_sn_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "smith john"),
+            (2, "smith john"),    # adjacent in BOTH orders
+            (3, "zmith john"),    # prefix typo: far in fwd, near 1 in rev
+            (4, "aardvark xx"),
+            (5, "middle row"),
+        ],
+        ["id", "key"],
+    )
+    keyed = recs.selectExpr("id", "key", "reverse(key) AS rkey")
+    out = {
+        (r.id_a, r.id_b): r.n_passes
+        for r in multipass_sn_pairs(
+            keyed, {"fwd": ["key"], "rev": ["rkey"]}, window=2
+        ).collect()
+    }
+    # fwd order: aardvark(4) middle(5) smith john(1) smith john(2)
+    # zmith(3) — (1,3) is gap 2 in fwd too, BUT with window=1 only the
+    # reverse pass (…htims/…htimz cluster: 1,2,3 contiguous) holds the
+    # trio together; at window=2 both passes see (1,3), and the typo
+    # row 3 is FAR from 4/5 in fwd while adjacent to 1/2 in rev.
+    assert out[(1, 2)] == 2          # both orders adjacent
+    assert out[(1, 3)] == 2          # window-2 in both orders
+    assert out[(2, 3)] == 2
+    narrow = {
+        (r.id_a, r.id_b): r.n_passes
+        for r in multipass_sn_pairs(
+            keyed, {"fwd": ["key"], "rev": ["rkey"]}, window=1
+        ).collect()
+    }
+    # window 1: (1,3) unreachable in either order (2 sits between) —
+    # the union still links the trio through (1,2) + (2,3)
+    assert (1, 3) not in narrow
+    assert narrow[(1, 2)] == 2 and narrow[(2, 3)] == 2
+    import pytest
+    with pytest.raises(ValueError):
+        multipass_sn_pairs(keyed, {}, window=1)
