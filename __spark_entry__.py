@@ -3606,6 +3606,32 @@ def _q115_multipass_sn(spark, sf):
     )
 
 
+def _q116_qgram_count_join(spark, sf):
+    """Positional q-gram count-filter edit-distance join (Gravano et
+    al. VLDB'01, blocking.qgram_count_pairs, q=3 k=2) over variable-
+    length keys (17..23 chars at text offset 3) — the third lossless
+    candidate scheme in the suite (vs Pass-Join's segments q109 and
+    the prefix filter q75), with the hot-gram shuffle spread over
+    (gram, position-bucket) join keys. The oracle is again the
+    brute-force levenshtein join: losslessness + exact verify means
+    the output IS brute force."""
+    from sassy_spark.operators.blocking import qgram_count_pairs
+
+    d = _load(spark, sf, "documents")
+    keys = d.select(
+        F.col("doc_id").alias("id"),
+        F.lower(
+            F.expr("substring(text, 3, 17 + cast(doc_id % 7 as int))")
+        ).alias("key"),
+    )
+    out = qgram_count_pairs(keys, q=3, k=2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("ed").cast("long").alias("ed"),
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3747,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_fs_missing": _q113_fs_missing,
         "q114_grid_distance": _q114_grid_distance,
         "q115_multipass_sn": _q115_multipass_sn,
+        "q116_qgram_count_join": _q116_qgram_count_join,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6818,5 +6845,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(id_b AS BIGINT) AS id_b,
                CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
         FROM pairs GROUP BY id_a, id_b
+    """
+    # q116: lossless scheme + exact verify == brute force (same oracle
+    # strategy as q109, different key field so the two schemes are
+    # pinned on different data).
+    out["q116_qgram_count_join"] = """
+        WITH keys AS (
+          SELECT doc_id AS id,
+                 lower(substring(text, 3,
+                                 17 + CAST(doc_id % 7 AS INT))) AS k
+          FROM documents)
+        SELECT CAST(a.id AS BIGINT) AS id_a,
+               CAST(b.id AS BIGINT) AS id_b,
+               CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
+        FROM keys a JOIN keys b ON a.id < b.id
+        WHERE levenshtein(a.k, b.k) <= 2
     """
     return out

@@ -767,3 +767,102 @@ def multipass_sn_pairs(
     return out.groupBy("id_a", "id_b").agg(
         F.count_distinct("_pass").alias("n_passes")
     )
+
+
+def qgram_count_pairs(
+    records: DataFrame,
+    id_col: str = "id",
+    key_col: str = "key",
+    q: int = 3,
+    k: int = 2,
+) -> DataFrame:
+    """Positional q-gram count-filter join (Gravano et al., "Approximate
+    String Joins in a Database (Almost) for Free", VLDB 2001) — the
+    third classic lossless edit-distance candidate scheme alongside
+    segment pigeonhole (:func:`passjoin_pairs`) and prefix filtering
+    (:func:`prefix_filter_pairs`), and the one originally designed as
+    plain relational algebra, so it maps 1:1 onto a DataFrame plan:
+
+    1. every key explodes into its ``L - q + 1`` positional q-grams;
+    2. candidate pairs must share, at compatible positions
+       (``|pos_a - pos_b| <= k``) and lengths (``|L_a - L_b| <= k``),
+       at least ``LB = max(L_a, L_b) - q + 1 - q*k`` gram occurrences
+       (each of the k edits can destroy at most q grams; the survivors
+       align within +-k — the paper's count + position filters);
+    3. survivors verify with banded ``levenshtein(a, b, k)``.
+
+    Losslessness needs ``LB >= 1``; keys shorter than ``q * (k + 1)``
+    are excluded (for them the count filter would be vacuous AND a
+    true pair could share zero grams — the paper's padding variant
+    trades this for sentinel grams; callers with short keys should
+    pad upstream). Returns (id_a, id_b, ed), identical to brute force
+    on the included keys.
+
+    Scale notes (100 TB audit): the join key is NOT the bare gram —
+    hot trigrams ("th(e" in web text) would concentrate the shuffle —
+    but ``(gram, pos div (k+1))``: the probe side fans each gram to
+    its 3 adjacent position buckets (|delta pos| <= k spans at most
+    one bucket boundary at width k+1), so one hot gram spreads over
+    L/(k+1) keys and each matched (pos_a, pos_b) lands in EXACTLY one
+    bucket combination (no double counting). The count filter then
+    shrinks pairs before the text-touching verify join, all in one
+    map-side-combining groupBy.
+    """
+    lb_floor = q * (k + 1)
+    key = F.col(key_col)
+    base = records.where(F.length(key) >= lb_floor).select(
+        F.col(id_col).alias("_id"),
+        key.alias("_key"),
+        F.length(key).alias("_len"),
+    )
+    gram_expr = (
+        f"transform(sequence(1, _len - {q} + 1),"
+        f" p -> struct(substring(_key, p, {q}) AS g, p AS pos))"
+    )
+    grams = base.select(
+        "_id", "_len", F.explode(F.expr(gram_expr)).alias("_g")
+    ).select(
+        "_id",
+        "_len",
+        F.col("_g.g").alias("_gram"),
+        F.col("_g.pos").alias("_pos"),
+        F.expr(f"_g.pos div {k + 1}").alias("_bkt"),
+    )
+    probe = grams.select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("la"),
+        "_gram",
+        F.col("_pos").alias("pa"),
+        F.explode(
+            F.expr(f"sequence(_bkt - 1, _bkt + 1)")
+        ).alias("_bkt"),
+    )
+    idx = grams.select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("lb"),
+        "_gram",
+        F.col("_pos").alias("pb"),
+        "_bkt",
+    )
+    cand = (
+        probe.join(idx, ["_gram", "_bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.abs(F.col("pa") - F.col("pb")) <= k)
+        .where(F.abs(F.col("la") - F.col("lb")) <= k)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.max(F.greatest("la", "lb")).alias("_lmax"),
+        )
+        .where(F.col("_n") >= F.col("_lmax") - q + 1 - q * k)
+        .select("id_a", "id_b")
+    )
+    ka = base.select(F.col("_id").alias("id_a"), F.col("_key").alias("_ka"))
+    kb = base.select(F.col("_id").alias("id_b"), F.col("_key").alias("_kb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("ed", F.levenshtein("_ka", "_kb", k))
+        .where(F.col("ed") >= 0)
+        .select("id_a", "id_b", "ed")
+    )

@@ -506,3 +506,49 @@ def test_multipass_sn_union_and_pass_counts(spark):
     import pytest
     with pytest.raises(ValueError):
         multipass_sn_pairs(keyed, {}, window=1)
+
+
+def test_qgram_count_pairs_equals_brute_force(spark):
+    """Count-filter join == brute force on a planted corpus with edits
+    at the front, middle, and end, plus short-key exclusion."""
+    from sassy_spark.operators.blocking import qgram_count_pairs
+
+    rows = [
+        (1, "acme corporation ltd"),
+        (2, "acme corporation ltd"),
+        (3, "xacme corporation ltd"),   # front insertion, ed 1
+        (4, "acme corpXration ltd"),    # middle substitution, ed 1
+        (5, "acme corporation l"),      # 2 deletions at end, ed 2
+        (6, "acme corp"),               # len 10 >= q*(k+1)=9: included
+        (7, "acme corX"),               # ed 1 from 6
+        (8, "short"),                   # len 5 < 9: excluded
+        (9, "shorx"),                   # excluded (would be ed 1 to 8)
+        (10, "globex international"),
+    ]
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    want = {
+        (ia, ib): ed(ka, kb)
+        for i, (ia, ka) in enumerate(rows)
+        for ib, kb in rows[i + 1:]
+        if ed(ka, kb) <= 2 and len(ka) >= 9 and len(kb) >= 9
+    }
+    got = {
+        (r.id_a, r.id_b): r.ed
+        for r in qgram_count_pairs(
+            spark.createDataFrame(rows, ["id", "key"]), q=3, k=2
+        ).collect()
+    }
+    assert got == want
+    assert (8, 9) not in got  # short keys excluded by the LB>=1 rule
+    assert len(want) >= 5
