@@ -3632,6 +3632,110 @@ def _q116_qgram_count_join(spark, sf):
     )
 
 
+def _q117_block_purging(spark, sf):
+    """Comparison-budgeted block purging (blocking.block_purging over
+    6-char-prefix blocks, budget 60 pairs): blocks admitted smallest-
+    first by (C(size,2), block) under a GLOBAL cumulative-sum budget —
+    the deterministic form of Papadakis block purging, and the query
+    that pins the scale-safe distributed prefix-sum primitive
+    (range repartition + partition-local window + broadcast offsets,
+    never a single-partition global window). The oracle replays the
+    admission with a single-node window cumsum."""
+    from sassy_spark.operators.blocking import block_purging
+
+    d = _load(spark, sf, "documents")
+    memb = d.select(
+        F.col("doc_id").alias("id"),
+        F.lower(F.substring("text", 1, 6)).alias("block"),
+    )
+    out = block_purging(memb, budget=60)
+    return out.select(
+        "block",
+        F.col("size").cast("long").alias("size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+        F.col("cum_comparisons").cast("long").alias("cum_comparisons"),
+    )
+
+
+def _q118_lr_calibration(spark, sf):
+    """FS likelihood-ratio CALIBRATION against planted truth
+    (evaluation.calibration_table): q85's EM-fitted scored pairs
+    bucketed by exact integer LR decade, with the empirical match rate
+    (truth = same planted entity, doc_id div 5) per bucket — the
+    reliability diagram that tells you whether the fitted LR can be
+    thresholded as a probability. Oracle wraps the q85 scoring SQL
+    verbatim (same no-drift rule as q92/q99) plus the truth join and
+    integer rate."""
+    from sassy_spark.operators.evaluation import calibration_table
+
+    scored = _q85_fs_em_scores(spark, sf)
+    labeled = scored.withColumn(
+        "is_match",
+        F.expr("(doc_a div 5) = (doc_b div 5)"),
+    )
+    out = calibration_table(labeled)
+    return out.select(
+        F.col("lr_decade").cast("int").alias("lr_decade"),
+        "n_pairs",
+        "n_true",
+        "match_rate_qmicros",
+    )
+
+
+def _q119_collective_promote(spark, sf):
+    """One bounded round of collective / relational ER
+    (linkage.collective_promote): seed matches = same-lang pairs
+    (id gap <= 2) with prefix-similarity score >= 800; borderline
+    pairs (500..799) gather relational support — (neighbor-of-a,
+    neighbor-of-b) combinations over the adjacency context (doc_id
+    +-1) that are themselves seeds — and promote when score +
+    150 * n_support >= 800. At sf0.01 both outcomes are populated
+    (2 promoted, supported-but-short pairs stay rejected). Oracle
+    replays seeds, the canonicalized support join, and the promotion
+    arithmetic in SQL."""
+    from sassy_spark.operators.linkage import collective_promote
+
+    d = _load(spark, sf, "documents")
+    k = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.lower(F.substring("text", 1, 10)).alias("p"),
+    )
+    scored = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & F.col("b.id").between(F.col("a.id") + 1, F.col("a.id") + 2),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.lit(1000) - F.lit(40) * F.levenshtein("a.p", "b.p"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    neighbors = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - 1).alias("dst"),
+        )
+    )
+    out = collective_promote(
+        scored, neighbors, hi=800, lo=500, boost=150
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("score").cast("long").alias("score"),
+        F.col("n_support").cast("long").alias("n_support"),
+        "tier",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3774,6 +3878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_grid_distance": _q114_grid_distance,
         "q115_multipass_sn": _q115_multipass_sn,
         "q116_qgram_count_join": _q116_qgram_count_join,
+        "q117_block_purging": _q117_block_purging,
+        "q118_lr_calibration": _q118_lr_calibration,
+        "q119_collective_promote": _q119_collective_promote,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -6860,5 +6967,91 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
         FROM keys a JOIN keys b ON a.id < b.id
         WHERE levenshtein(a.k, b.k) <= 2
+    """
+    # q117: smallest-first admission under the comparison budget —
+    # single-node window cumsum mirrors the distributed prefix sum.
+    out["q117_block_purging"] = """
+        WITH memb AS (
+          SELECT DISTINCT doc_id AS id,
+                 lower(substring(text, 1, 6)) AS block
+          FROM documents),
+        sizes AS (
+          SELECT block, count(*) AS size,
+                 (count(*) * (count(*) - 1)) // 2 AS comparisons
+          FROM memb GROUP BY block),
+        cum AS (
+          SELECT block, size, comparisons,
+                 sum(comparisons) OVER (
+                   ORDER BY comparisons, block
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_comparisons
+          FROM sizes)
+        SELECT block, CAST(size AS BIGINT) AS size,
+               CAST(comparisons AS BIGINT) AS comparisons,
+               CAST(cum_comparisons AS BIGINT) AS cum_comparisons
+        FROM cum WHERE cum_comparisons <= 60
+    """
+    # q118: calibration wraps the q85 scoring SQL verbatim (no-drift
+    # rule); truth = same planted doc_id-div-5 entity.
+    out["q118_lr_calibration"] = (
+        "SELECT CAST(length(CAST(lr_qmicros AS VARCHAR)) - 1 AS INTEGER)"
+        "   AS lr_decade,"
+        " CAST(count(*) AS BIGINT) AS n_pairs,"
+        " CAST(sum(CASE WHEN (doc_a // 5) = (doc_b // 5)"
+        "          THEN 1 ELSE 0 END) AS BIGINT) AS n_true,"
+        " CAST((1000000 * sum(CASE WHEN (doc_a // 5) = (doc_b // 5)"
+        "                     THEN 1 ELSE 0 END)) // count(*) AS BIGINT)"
+        "   AS match_rate_qmicros"
+        " FROM (" + out["q85_fs_em_scores"] + ") GROUP BY 1"
+    )
+    # q119: seeds, canonicalized neighbor-support join, and the
+    # score + boost*n_support >= hi promotion replayed in SQL.
+    out["q119_collective_promote"] = """
+        WITH k AS (
+          SELECT doc_id AS id, lang,
+                 lower(substring(text, 1, 10)) AS p
+          FROM documents),
+        s AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 1000 - 40 * levenshtein(a.p, b.p) AS score
+          FROM k a JOIN k b
+            ON a.lang = b.lang
+           AND b.id - a.id BETWEEN 1 AND 2),
+        seeds AS (SELECT id_a, id_b FROM s WHERE score >= 800),
+        border AS (
+          SELECT id_a, id_b, score FROM s
+          WHERE score >= 500 AND score < 800),
+        nb AS (
+          SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id - 1 FROM documents),
+        sup AS (
+          SELECT DISTINCT br.id_a, br.id_b,
+                 least(na.dst, nbd.dst) AS sa,
+                 greatest(na.dst, nbd.dst) AS sb
+          FROM border br
+          JOIN nb na ON na.src = br.id_a
+          JOIN nb nbd ON nbd.src = br.id_b
+          WHERE na.dst != nbd.dst),
+        supc AS (
+          SELECT sup.id_a, sup.id_b, count(*) AS n
+          FROM sup JOIN seeds
+            ON sup.sa = seeds.id_a AND sup.sb = seeds.id_b
+          GROUP BY sup.id_a, sup.id_b)
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               CAST(score AS BIGINT) AS score,
+               CAST(0 AS BIGINT) AS n_support,
+               'seed' AS tier
+        FROM s WHERE score >= 800
+        UNION ALL
+        SELECT CAST(b.id_a AS BIGINT), CAST(b.id_b AS BIGINT),
+               CAST(b.score AS BIGINT),
+               CAST(coalesce(supc.n, 0) AS BIGINT),
+               CASE WHEN b.score + 150 * coalesce(supc.n, 0) >= 800
+                    THEN 'promoted' ELSE 'rejected' END
+        FROM border b
+        LEFT JOIN supc
+          ON supc.id_a = b.id_a AND supc.id_b = b.id_b
     """
     return out

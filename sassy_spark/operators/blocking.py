@@ -866,3 +866,99 @@ def qgram_count_pairs(
         .where(F.col("ed") >= 0)
         .select("id_a", "id_b", "ed")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe INCLUSIVE prefix sum of ``value_col`` in the global
+    ``order_cols`` order — the same two-level trick as
+    :func:`global_rank` (whose offsets are the special case value=1):
+    range-repartition so partition ranges tile the order, cumsum
+    inside each partition with a partition-local window, collect ONE
+    (partition, total) row per partition, broadcast the cumulative
+    offsets back. ``order_cols`` must be a total order.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    d = d.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_csum", F.sum(F.col(value_col)).over(w)).persist()
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in d.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t)
+    if not offsets:
+        d.unpersist()
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
+    off = spark.createDataFrame(offsets, ["_pid", "_off"])
+    out = (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, (F.col("_csum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_csum", "_off")
+    )
+    d.unpersist()
+    return out
+
+
+def block_purging(
+    doc_blocks: DataFrame,
+    budget: int,
+    id_col: str = "id",
+    block_col: str = "block",
+) -> DataFrame:
+    """Comparison-budgeted block purging (the meta-blocking
+    preprocessing step of Papadakis et al., made deterministic):
+    blocks are admitted SMALLEST FIRST — ascending (pair count, block
+    key) — while the running total of within-block comparisons
+    C(size, 2) stays <= ``budget``; every block past the budget point
+    is purged. Small blocks are the discriminative ones, so this keeps
+    maximal discriminating power per comparison spent and gives the
+    pair-generation stage a HARD worst-case bound (the budget), not a
+    per-block cap — the knob a 10^12-row deployment actually sets
+    ("this much compute"), complementing max_block_size ("this much
+    skew").
+
+    Returns the retained blocks: (block, size, comparisons,
+    cum_comparisons) with cum_comparisons <= budget. Join the result
+    back to ``doc_blocks`` on ``block`` to filter memberships.
+
+    Scale notes (100 TB audit): block sizes are one combining groupBy;
+    the admission order needs a GLOBAL cumulative sum, computed with
+    :func:`global_prefix_sum` (range repartition + partition-local
+    window + one broadcast-joined offset row per partition) — never a
+    single-partition window; the driver sees one row per partition.
+    """
+    sizes = (
+        doc_blocks.select(
+            F.col(id_col).alias("_id"), F.col(block_col).alias("block")
+        )
+        .dropDuplicates(["_id", "block"])
+        .groupBy("block")
+        .agg(F.count("*").cast("long").alias("size"))
+        .withColumn(
+            "comparisons", F.expr("(size * (size - 1)) div 2")
+        )
+    )
+    cum = global_prefix_sum(
+        sizes, ["comparisons", "block"], "comparisons",
+        out_col="cum_comparisons",
+    )
+    return cum.where(F.col("cum_comparisons") <= budget).select(
+        "block", "size", "comparisons", "cum_comparisons"
+    )

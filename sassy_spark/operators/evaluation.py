@@ -373,3 +373,41 @@ def transitivity_audit(
             .alias("status"),
         )
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    is_match_col: str = "is_match",
+    score_col: str = "lr_qmicros",
+) -> DataFrame:
+    """Score calibration / reliability table — the ER answer to "can I
+    trust the likelihood ratio as a probability?": bucket scored pairs
+    by exact integer LR decade (digits(score) - 1, no float log on
+    any engine) and report the EMPIRICAL match rate per bucket against
+    labeled/planted truth. A well-calibrated FS model shows the rate
+    rising monotonically through the decades; a flat or inverted run
+    of buckets is the first sign the conditional-independence
+    assumption broke (correlated features double-count evidence).
+
+    Returns (lr_decade, n_pairs, n_true, match_rate_qmicros) with the
+    rate floor-quantized to micros in integer arithmetic.
+
+    Scale notes: one map-side-combining groupBy on a <= 13-value key
+    (decades of a 1e12-saturated score); nothing else.
+    """
+    dec = (
+        F.length(F.col(score_col).cast("string")) - F.lit(1)
+    ).cast("int")
+    return (
+        scored.groupBy(dec.alias("lr_decade"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col(is_match_col), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_true"),
+        )
+        .withColumn(
+            "match_rate_qmicros",
+            F.expr("(1000000 * n_true) div n_pairs").cast("long"),
+        )
+    )

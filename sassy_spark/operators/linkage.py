@@ -872,3 +872,107 @@ def group_linkage(
         .where(F.col("sim_qmicros") >= min_sim_qmicros)
         .select("group_a", "group_b", "inter_w", "union_w", "sim_qmicros")
     )
+
+
+def collective_promote(
+    scored: DataFrame,
+    neighbors: DataFrame,
+    hi: int,
+    lo: int,
+    boost: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """One bounded round of COLLECTIVE (relational) entity resolution
+    (the Bhattacharya-Getoor idea, bounded to a single propagation
+    step so the result is deterministic and oracle-checkable):
+    attribute similarity alone leaves a borderline band, but a pair
+    whose NEIGHBORS already matched carries relational evidence — two
+    author records are likelier the same person if their co-authors
+    resolved to the same entities; two pages likelier duplicates if
+    the pages they link to did.
+
+    Inputs: ``scored`` (id_a < id_b, integer ``score``); ``neighbors``
+    (src, dst) — the relational context, treated as directed (pass
+    both directions for symmetric context). Seed matches are pairs
+    with ``score >= hi``; borderline pairs (``lo <= score < hi``)
+    collect ``n_support`` = the number of (neighbor_of_a,
+    neighbor_of_b) combinations that are themselves seed matches
+    (canonicalized, so a-b and b-a neighborhoods count once), and are
+    PROMOTED when ``score + boost * n_support >= hi``.
+
+    Returns (id_a, id_b, score, n_support, tier) with tier in
+    ('seed', 'promoted', 'rejected') for every scored pair in the
+    [lo, inf) band.
+
+    Scale notes (100 TB audit): the support count is two equi-joins
+    (borderline pair -> a's neighbors -> b's neighbors) closed against
+    the seed-match set by a third equi-join on the canonical pair key,
+    then one combining groupBy — the neighbor fan-out is degree_a *
+    degree_b per borderline pair, the caller bounds degrees upstream
+    (same contract as transitivity_audit's max_degree); everything
+    shuffles narrow integer tuples.
+    """
+    s = scored.select(
+        F.col(id_a).alias("_a"),
+        F.col(id_b).alias("_b"),
+        F.col(score_col).cast("long").alias("_sc"),
+    )
+    seeds = s.where(F.col("_sc") >= hi)
+    border = s.where((F.col("_sc") >= lo) & (F.col("_sc") < hi))
+    nb = neighbors.select(
+        F.col("src").alias("_n_src"), F.col("dst").alias("_n_dst")
+    )
+    seed_keys = seeds.select(
+        F.col("_a").alias("_sa"), F.col("_b").alias("_sb")
+    )
+    support = (
+        border.select("_a", "_b")
+        .join(nb.withColumnRenamed("_n_src", "_a"), "_a")
+        .withColumnRenamed("_n_dst", "_na")
+        .join(
+            nb.withColumnRenamed("_n_src", "_b"),
+            "_b",
+        )
+        .withColumnRenamed("_n_dst", "_nb")
+        .where(F.col("_na") != F.col("_nb"))
+        .select(
+            "_a",
+            "_b",
+            F.least("_na", "_nb").alias("_sa"),
+            F.greatest("_na", "_nb").alias("_sb"),
+        )
+        .distinct()
+        .join(seed_keys, ["_sa", "_sb"])
+        .groupBy("_a", "_b")
+        .agg(F.count("*").cast("long").alias("n_support"))
+    )
+    z = F.lit(0).cast("long")
+    out_border = (
+        border.join(support, ["_a", "_b"], "left")
+        .select(
+            "_a",
+            "_b",
+            "_sc",
+            F.coalesce("n_support", z).alias("n_support"),
+        )
+        .withColumn(
+            "tier",
+            F.when(
+                F.col("_sc") + F.lit(int(boost)) * F.col("n_support")
+                >= hi,
+                F.lit("promoted"),
+            ).otherwise(F.lit("rejected")),
+        )
+    )
+    out_seed = seeds.select(
+        "_a", "_b", "_sc", z.alias("n_support"), F.lit("seed").alias("tier")
+    )
+    return out_seed.unionByName(out_border).select(
+        F.col("_a").alias(id_a),
+        F.col("_b").alias(id_b),
+        F.col("_sc").alias(score_col),
+        "n_support",
+        "tier",
+    )

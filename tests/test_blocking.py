@@ -552,3 +552,58 @@ def test_qgram_count_pairs_equals_brute_force(spark):
     assert got == want
     assert (8, 9) not in got  # short keys excluded by the LB>=1 rule
     assert len(want) >= 5
+
+
+def test_global_prefix_sum_matches_python(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, f"k{rng.randint(0, 40):03d}", rng.randint(0, 9))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, ["id", "key", "v"])
+    from sassy_spark.operators.blocking import global_prefix_sum
+
+    got = {
+        r.id: r.cum
+        for r in global_prefix_sum(
+            df, ["key", "id"], "v", num_partitions=7
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, _k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_block_purging_budget_admission(spark):
+    """Blocks admitted smallest-first: sizes 2,2,3,4 -> comparisons
+    1,1,3,6; budget 5 admits (1,1,3); the tie between the two size-2
+    blocks breaks on the block key."""
+    from sassy_spark.operators.blocking import block_purging
+
+    rows = (
+        [(i, "big") for i in range(4)]         # C(4,2)=6
+        + [(i, "mid") for i in range(10, 13)]  # C(3,2)=3
+        + [(1, "a2"), (2, "a2")]               # 1
+        + [(3, "b2"), (4, "b2")]               # 1
+    )
+    got = {
+        r.block: (r.size, r.comparisons, r.cum_comparisons)
+        for r in block_purging(
+            spark.createDataFrame(rows, ["id", "block"]), budget=5
+        ).collect()
+    }
+    assert got == {
+        "a2": (2, 1, 1),
+        "b2": (2, 1, 2),
+        "mid": (3, 3, 5),
+    }
+    # budget 11 admits 'big' too
+    got11 = {
+        r.block
+        for r in block_purging(
+            spark.createDataFrame(rows, ["id", "block"]), budget=11
+        ).collect()
+    }
+    assert got11 == {"a2", "b2", "mid", "big"}

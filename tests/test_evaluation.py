@@ -184,3 +184,28 @@ def test_transitivity_audit_statuses_and_degree_cap(spark):
         for r in transitivity_audit(links, scored, max_degree=2).collect()
     }
     assert capped == {(1, 3), (2, 4)}
+
+
+def test_calibration_table_decades_and_rates(spark):
+    from sassy_spark.operators.evaluation import calibration_table
+
+    scored = spark.createDataFrame(
+        [
+            # decade 6 (1e6 <= lr < 1e7): 2 pairs, 1 true -> 500000
+            (1_000_000, True), (9_999_999, False),
+            # decade 0 (lr < 10): 3 pairs, 0 true -> 0
+            (1, False), (5, False), (9, False),
+            # decade 12 (the saturation cap): 1 pair, 1 true -> 1e6
+            (1_000_000_000_000, True),
+        ],
+        "lr_qmicros long, is_match boolean",
+    )
+    got = {
+        r.lr_decade: (r.n_pairs, r.n_true, r.match_rate_qmicros)
+        for r in calibration_table(scored).collect()
+    }
+    assert got == {
+        6: (2, 1, 500_000),
+        0: (3, 0, 0),
+        12: (1, 1, 1_000_000),
+    }

@@ -408,3 +408,37 @@ def test_group_linkage_weights_and_stop_keys(spark):
     assert set(rows2) == {(1, 2), (1, 3), (2, 3)}
     assert rows2[(1, 2)] == 500000 + 333333
     assert rows2[(1, 3)] == 333333
+
+
+def test_collective_promote_support_and_tiers(spark):
+    """Planted relational graph: borderline pair (3,4) is promoted
+    because its neighbors (1,2) are a seed match; borderline (7,8)
+    with no matched neighborhood stays rejected; seeds pass through
+    with n_support 0; sub-lo pairs never appear."""
+    from sassy_spark.operators.linkage import collective_promote
+
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 900),   # seed
+            (3, 4, 700),   # borderline, neighbors 1/2 matched
+            (7, 8, 700),   # borderline, no relational support
+            (5, 6, 100),   # below lo: excluded entirely
+        ],
+        ["id_a", "id_b", "score"],
+    )
+    # context: 3's neighbor is 1, 4's neighbor is 2 (and symmetric)
+    neighbors = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3), (2, 4), (7, 5), (8, 6)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_support, r.tier)
+        for r in collective_promote(
+            scored, neighbors, hi=800, lo=500, boost=100
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (0, "seed"),
+        (3, 4): (1, "promoted"),   # 700 + 100*1 >= 800
+        (7, 8): (0, "rejected"),   # (5,6) scored 100: not a seed
+    }
