@@ -3736,6 +3736,43 @@ def _q119_collective_promote(spark, sf):
     )
 
 
+def _q120_progressive_resolution(spark, sf):
+    """Progressive / pay-as-you-go ER (Whang et al. ICDE'13,
+    cluster.progressive_resolution): match edges (same-lang gap-1
+    pairs, prefix-similarity score) admitted best-first under budgets
+    {40, 80, 160}; per tier, entity count / largest entity / records
+    touched from a CC run over exactly the admitted edges — the
+    quality-vs-budget curve. The oracle replays the total-order
+    admission with row_number and derives each tier's components in
+    closed form (admitted gap-1 edges chain into islands of
+    consecutive ids: entities = islands, largest = longest island + 1,
+    touched = edges + islands)."""
+    from sassy_spark.operators.cluster import progressive_resolution
+
+    d = _load(spark, sf, "documents")
+    k = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.lower(F.substring("text", 1, 10)).alias("p"),
+    )
+    edges = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.id") == F.col("a.id") + 1),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            (F.lit(1000) - F.lit(40) * F.levenshtein("a.p", "b.p"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    return progressive_resolution(edges, [40, 80, 160])
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3881,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_block_purging": _q117_block_purging,
         "q118_lr_calibration": _q118_lr_calibration,
         "q119_collective_promote": _q119_collective_promote,
+        "q120_progressive_resolution": _q120_progressive_resolution,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7053,5 +7091,43 @@ def oracle_sql() -> dict[str, str]:
         FROM border b
         LEFT JOIN supc
           ON supc.id_a = b.id_a AND supc.id_b = b.id_b
+    """
+    # q120: best-first admission replayed with row_number; components
+    # per tier in closed form — admitted gap-1 edges chain into
+    # islands of consecutive src ids (entities = islands, largest =
+    # longest island + 1, touched nodes = edges + islands).
+    out["q120_progressive_resolution"] = """
+        WITH k AS (
+          SELECT doc_id AS id, lang,
+                 lower(substring(text, 1, 10)) AS p
+          FROM documents),
+        e AS (
+          SELECT a.id AS s, b.id AS d,
+                 1000 - 40 * levenshtein(a.p, b.p) AS score
+          FROM k a JOIN k b
+            ON a.lang = b.lang AND b.id = a.id + 1),
+        r AS (
+          SELECT s, d,
+                 row_number() OVER (ORDER BY -score, s, d) AS rk
+          FROM e),
+        tiers(budget) AS (VALUES (40), (80), (160)),
+        sel AS (
+          SELECT t.budget, r.s FROM tiers t
+          JOIN r ON r.rk <= t.budget),
+        isl AS (
+          SELECT budget, s,
+                 s - row_number() OVER (
+                   PARTITION BY budget ORDER BY s) AS grp
+          FROM sel),
+        runs AS (
+          SELECT budget, grp, count(*) AS len
+          FROM isl GROUP BY budget, grp)
+        SELECT CAST(budget AS BIGINT) AS budget,
+               CAST(sum(len) AS BIGINT) AS n_edges_used,
+               CAST(count(*) AS BIGINT) AS n_entities,
+               CAST(max(len) + 1 AS BIGINT) AS largest_entity,
+               CAST(sum(len) + count(*) AS BIGINT)
+                   AS n_records_touched
+        FROM runs GROUP BY budget
     """
     return out

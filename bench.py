@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     # comparative blocking-scheme stats — again new lines only
     "q84_em_fellegi_sunter",
     "q87_scheme_comparison",
+    # final round-5: the two LOSSLESS edit-distance joins (segment
+    # pigeonhole and positional q-gram count filter) — new lines, the
+    # rows above keep cross-round comparability
+    "q109_passjoin",
+    "q116_qgram_count_join",
 ]
 
 

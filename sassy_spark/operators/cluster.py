@@ -1331,3 +1331,76 @@ def pivot_clustering(
         all_pivots.select("node", F.col("node").alias("cluster_id"))
         .unionByName(claimed)
     )
+
+
+def progressive_resolution(
+    edges: DataFrame,
+    budgets: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    score_col: str = "score",
+) -> DataFrame:
+    """Progressive (pay-as-you-go) entity resolution (Whang, Marmaros
+    & Garcia-Molina, ICDE 2013): when the comparison/merge budget is
+    smaller than the workload, spend it BEST-FIRST — admit match edges
+    in descending score order and report how the entity structure
+    develops at each budget tier. The operational question it answers:
+    "how much resolution quality does the next unit of budget buy?" —
+    the curve flattens when the remaining edges only re-confirm
+    existing entities.
+
+    For each ``b`` in ``budgets``: take the globally top-``b`` edges
+    by (score DESC, src, dst) — a total order, so tiers are nested and
+    deterministic — run connected components over exactly those edges,
+    and emit one row (budget, n_edges_used, n_entities,
+    largest_entity, n_records_touched).
+
+    Scale notes (100 TB audit): the global top-b uses the distributed
+    rank (range repartition + per-partition row_number + broadcast
+    offsets — blocking.global_rank), never a single-partition window;
+    each tier's CC runs on <= b narrow edges; tiers are O(len(budgets))
+    sequential CC runs by design (the tool is run at a handful of
+    tiers). Stats are cluster-size aggregations — no pair expansion.
+    """
+    from .blocking import global_rank
+
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        (-F.col(score_col).cast("long")).alias("_neg"),
+    )
+    ranked = global_rank(e, ["_neg", "_s", "_d"]).persist()
+    rows = []
+    for b in sorted(int(x) for x in budgets):
+        sel = ranked.where(F.col("rank") <= b)
+        n_used = sel.count()
+        labels = connected_components(
+            sel.select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+        )
+        sizes = labels.groupBy("cluster_id").agg(
+            F.count("*").alias("sz")
+        )
+        agg = sizes.agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias(
+                "largest"
+            ),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias(
+                "touched"
+            ),
+        ).collect()[0]
+        rows.append(
+            (
+                b,
+                int(n_used),
+                int(agg["n_entities"]),
+                int(agg["largest"]),
+                int(agg["touched"]),
+            )
+        )
+    ranked.unpersist()
+    return edges.sparkSession.createDataFrame(
+        rows,
+        "budget long, n_edges_used long, n_entities long,"
+        " largest_entity long, n_records_touched long",
+    )

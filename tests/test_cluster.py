@@ -618,3 +618,35 @@ def test_canopy_no_tight_edges_every_point_is_a_center(spark):
                    tdf, ldf, small_graph_threshold=thresh).collect()}
         assert got == {(1, 1), (1, 2), (2, 2), (2, 1), (2, 3),
                        (3, 3), (3, 2)}, f"threshold={thresh}"
+
+
+def test_progressive_resolution_nested_tiers(spark):
+    """Best-first admission on a hand-built graph: at budget 2 only
+    the two top edges (one chain of 3 nodes... actually two disjoint
+    edges) resolve; at 4 the bridge edge merges them; tiers nested by
+    the (score desc, src, dst) total order."""
+    from sassy_spark.operators.cluster import progressive_resolution
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 900),
+            (3, 4, 850),
+            (2, 3, 700),   # bridge admitted at budget 3
+            (10, 11, 600),
+        ],
+        ["src", "dst", "score"],
+    )
+    got = {
+        r.budget: (
+            r.n_edges_used,
+            r.n_entities,
+            r.largest_entity,
+            r.n_records_touched,
+        )
+        for r in progressive_resolution(edges, [2, 3, 4]).collect()
+    }
+    assert got == {
+        2: (2, 2, 2, 4),   # {1,2} {3,4}
+        3: (3, 1, 4, 4),   # bridge merges into {1,2,3,4}
+        4: (4, 2, 4, 6),   # plus {10,11}
+    }
