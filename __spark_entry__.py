@@ -3773,6 +3773,97 @@ def _q120_progressive_resolution(spark, sf):
     return progressive_resolution(edges, [40, 80, 160])
 
 
+def _q121_embedding_assignment(spark, sf):
+    """Embedding-space record-to-entity assignment
+    (similarity.assign_to_centroids): entities = embedding labels over
+    the first 90% of vec_ids (integer-sum centroids, exact long-form
+    construction), the newest 10% assigned to the nearest centroid by
+    floor-millis-quantized cosine with entity-id tie-break — the
+    vector twin of q111's string-space incremental matcher, plus the
+    true label for an in-row correctness readout. Oracle rebuilds the
+    same long form in SQL via range(64) unnest (q98's strategy) and
+    replays the quantized argmax."""
+    from sassy_spark.operators.similarity import assign_to_centroids
+
+    e = _load(spark, sf, "embeddings")
+    n = e.count()
+    cut = int(n * 9 // 10)
+    train = e.where(F.col("vec_id") < cut)
+    queries = e.where(F.col("vec_id") >= cut)
+    out = assign_to_centroids(train, queries)
+    truth = queries.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("true_label")
+    )
+    return out.join(truth, "id").select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("assigned_label").cast("long").alias("assigned_label"),
+        F.col("true_label").cast("long").alias("true_label"),
+        "cos_qmillis",
+    )
+
+
+def _q122_block_filtering(spark, sf):
+    """Per-record block filtering (blocking.block_filtering, r=3) over
+    schema-agnostic token blocking — every distinct >= 4-char token of
+    the first 40 text chars is a key, then each record keeps only its
+    3 smallest (most discriminative) blocks. The companion knob to
+    q117's global budget: exposure bounded per record. Oracle replays
+    sizes and the per-record (size, block) rank in SQL."""
+    from sassy_spark.operators.blocking import block_filtering
+
+    d = _load(spark, sf, "documents")
+    memb = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.expr(
+                "filter(split(lower(substring(text, 1, 40)),"
+                " '[^a-z0-9]+'), t -> length(t) >= 4)"
+            )
+        ).alias("block"),
+    )
+    out = block_filtering(memb, r=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "block",
+        "block_size",
+        "rank",
+    )
+
+
+def _q123_threshold_sweep(spark, sf):
+    """Label-driven threshold tuning (evaluation.threshold_sweep): the
+    full precision/recall/F1 curve over every distinct pair score
+    (same-lang gap<=2 pairs, prefix-similarity score, truth = planted
+    div-5 entity) — the operator that SETS the match threshold q119/
+    q92 consume. Cumulative tp/fp come from the distributed prefix
+    sum (second consumer of blocking.global_prefix_sum after q117).
+    Oracle replays the per-score collapse and window cumsums
+    single-node."""
+    from sassy_spark.operators.evaluation import threshold_sweep
+
+    d = _load(spark, sf, "documents")
+    k = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.lower(F.substring("text", 1, 10)).alias("p"),
+    )
+    scored = (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & F.col("b.id").between(F.col("a.id") + 1, F.col("a.id") + 2),
+        )
+        .select(
+            (F.lit(1000) - F.lit(40) * F.levenshtein("a.p", "b.p"))
+            .cast("long")
+            .alias("score"),
+            F.expr("(a.id div 5) = (b.id div 5)").alias("is_match"),
+        )
+    )
+    return threshold_sweep(scored)
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -3919,6 +4010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_lr_calibration": _q118_lr_calibration,
         "q119_collective_promote": _q119_collective_promote,
         "q120_progressive_resolution": _q120_progressive_resolution,
+        "q121_embedding_assignment": _q121_embedding_assignment,
+        "q122_block_filtering": _q122_block_filtering,
+        "q123_threshold_sweep": _q123_threshold_sweep,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7129,5 +7223,115 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(len) + count(*) AS BIGINT)
                    AS n_records_touched
         FROM runs GROUP BY budget
+    """
+    # q121: q98's long-form SQL strategy (range(64) unnest, integer
+    # sums) over the train/query split, ending in the quantized-cosine
+    # argmax with min-label tie-break.
+    out["q121_embedding_assignment"] = """
+        WITH cut AS (SELECT (count(*) * 9) // 10 AS c FROM embeddings),
+        tq AS MATERIALIZED (
+          SELECT label, i AS pos,
+                 CAST(floor(embedding[i + 1] * 1000) AS BIGINT) AS val
+          FROM embeddings, cut, range(0, 64) t(i)
+          WHERE vec_id < c),
+        cent AS MATERIALIZED (
+          SELECT label, pos, sum(val) AS s_val FROM tq GROUP BY 1, 2),
+        ssq AS (
+          SELECT label, sum(s_val * s_val) AS ss FROM cent GROUP BY 1),
+        qq AS MATERIALIZED (
+          SELECT vec_id AS id, label AS true_label, i AS pos,
+                 CAST(floor(embedding[i + 1] * 1000) AS BIGINT) AS val
+          FROM embeddings, cut, range(0, 64) t(i)
+          WHERE vec_id >= c),
+        xxq AS (SELECT id, sum(val * val) AS xx FROM qq GROUP BY 1),
+        dots AS (
+          SELECT qq.id, c.label, sum(qq.val * c.s_val) AS dot_xs
+          FROM qq JOIN cent c ON qq.pos = c.pos
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT d.id, d.label,
+                 CAST(floor(1000.0 * d.dot_xs
+                      / (sqrt(CAST(x.xx AS DOUBLE))
+                         * sqrt(CAST(s.ss AS DOUBLE)))) AS BIGINT)
+                   AS cq
+          FROM dots d
+          JOIN xxq x ON d.id = x.id
+          JOIN ssq s ON d.label = s.label),
+        best AS (
+          SELECT id, max(cq) AS cq FROM scored GROUP BY id),
+        pick AS (
+          SELECT s.id, min(s.label) AS assigned_label, b.cq
+          FROM scored s JOIN best b ON s.id = b.id AND s.cq = b.cq
+          GROUP BY s.id, b.cq),
+        truth AS (
+          SELECT DISTINCT id, true_label FROM qq)
+        SELECT CAST(p.id AS BIGINT) AS vec_id,
+               CAST(p.assigned_label AS BIGINT) AS assigned_label,
+               CAST(t.true_label AS BIGINT) AS true_label,
+               CAST(p.cq AS BIGINT) AS cos_qmillis
+        FROM pick p JOIN truth t ON p.id = t.id
+    """
+    # q122: token keys, sizes, and the per-record (size, block) rank
+    # replayed with a row_number window.
+    out["q122_block_filtering"] = """
+        WITH memb AS (
+          SELECT DISTINCT doc_id AS id, t.tok AS block
+          FROM documents,
+               unnest(regexp_split_to_array(
+                 lower(substring(text, 1, 40)), '[^a-z0-9]+')) AS t(tok)
+          WHERE length(t.tok) >= 4),
+        sizes AS (
+          SELECT block, count(*) AS block_size FROM memb GROUP BY 1),
+        ranked AS (
+          SELECT m.id, m.block, s.block_size,
+                 row_number() OVER (
+                   PARTITION BY m.id
+                   ORDER BY s.block_size, m.block) AS rank
+          FROM memb m JOIN sizes s USING (block))
+        SELECT CAST(id AS BIGINT) AS id, block,
+               CAST(block_size AS BIGINT) AS block_size,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    # q123: per-score collapse + descending-order window cumsums; the
+    # integer precision/recall/F1 quantization mirrors the operator.
+    out["q123_threshold_sweep"] = """
+        WITH k AS (
+          SELECT doc_id AS id, lang,
+                 lower(substring(text, 1, 10)) AS p
+          FROM documents),
+        s AS (
+          SELECT 1000 - 40 * levenshtein(a.p, b.p) AS score,
+                 (a.id // 5) = (b.id // 5) AS is_match
+          FROM k a JOIN k b
+            ON a.lang = b.lang
+           AND b.id - a.id BETWEEN 1 AND 2),
+        per AS (
+          SELECT score AS threshold,
+                 sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS t,
+                 sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS f
+          FROM s GROUP BY score),
+        tot AS (SELECT sum(t) AS total_true FROM per),
+        cum AS (
+          SELECT threshold,
+                 sum(t) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+                 sum(f) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp
+          FROM per)
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(total_true - tp AS BIGINT) AS fn,
+               CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+                   AS precision_qmicros,
+               CAST((1000000 * tp) // greatest(total_true, 1) AS BIGINT)
+                   AS recall_qmicros,
+               CAST((2000000 * tp)
+                    // (2 * tp + fp + (total_true - tp)) AS BIGINT)
+                   AS f1_qmicros
+        FROM cum, tot
     """
     return out

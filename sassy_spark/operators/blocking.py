@@ -962,3 +962,44 @@ def block_purging(
     return cum.where(F.col("cum_comparisons") <= budget).select(
         "block", "size", "comparisons", "cum_comparisons"
     )
+
+
+def block_filtering(
+    doc_blocks: DataFrame,
+    r: int = 3,
+    id_col: str = "id",
+    block_col: str = "block",
+) -> DataFrame:
+    """Block filtering (Papadakis et al., the PER-RECORD companion of
+    the global-budget :func:`block_purging`): every record keeps only
+    its ``r`` SMALLEST blocks — the most discriminative memberships —
+    and drops the rest. Where purging answers "how much total compute"
+    (one global knob), filtering bounds each record's comparison
+    exposure individually: after it, a record meets at most
+    ``r * (max retained block size)`` partners no matter how many
+    cheap keys fired on it, which is what keeps schema-agnostic token
+    blocking (every token a key) tractable.
+
+    Deterministic: blocks rank per record by ascending (block size,
+    block key); ties beyond ``r`` are cut by the key order. Returns
+    the retained (id, block, block_size, rank) memberships.
+
+    Scale notes (100 TB audit): sizes are one combining groupBy; the
+    per-record rank is a window partitioned by RECORD id — bounded by
+    blocks-per-record (the explode factor of the upstream scheme),
+    never by block size, so a hot BLOCK costs nothing here and a hot
+    RECORD is capped by its own key count. No collect, no UDF.
+    """
+    db = doc_blocks.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block")
+    ).dropDuplicates(["id", "block"])
+    sizes = db.groupBy("block").agg(
+        F.count("*").cast("long").alias("block_size")
+    )
+    w = Window.partitionBy("id").orderBy("block_size", "block")
+    return (
+        db.join(sizes, "block")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(r))
+        .select("id", "block", "block_size", "rank")
+    )

@@ -411,3 +411,62 @@ def calibration_table(
             F.expr("(1000000 * n_true) div n_pairs").cast("long"),
         )
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "score",
+    is_match_col: str = "is_match",
+) -> DataFrame:
+    """Full precision/recall/F1 curve over every distinct score
+    threshold — the label-driven way to SET the match threshold the
+    other operators consume (predict match iff score >= t). For each
+    distinct score t, counts are cumulative from the top of the score
+    order: tp = true pairs at or above t, fp = false pairs at or above
+    t, fn = true pairs below t; precision/recall/F1 floor-quantized to
+    micros in integer arithmetic (the repo-wide oracle contract).
+
+    Scale notes (100 TB audit): pairs collapse FIRST to one row per
+    distinct score (a combining groupBy with true/false subtotals —
+    the curve's resolution, not the pair count, bounds everything
+    downstream); the cumulative tp/fp then come from
+    blocking.global_prefix_sum over the descending score order (range
+    repartition + partition-local cumsum + broadcast offsets), never a
+    single-partition window. Returns one row per distinct score:
+    (threshold, tp, fp, fn, precision_qmicros, recall_qmicros,
+    f1_qmicros).
+    """
+    from .blocking import global_prefix_sum
+
+    per_score = (
+        scored.groupBy(F.col(score_col).cast("long").alias("threshold"))
+        .agg(
+            F.sum(
+                F.when(F.col(is_match_col), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("_t"),
+            F.sum(
+                F.when(F.col(is_match_col), F.lit(0)).otherwise(F.lit(1))
+            ).cast("long").alias("_f"),
+        )
+        .withColumn("_neg", -F.col("threshold"))
+    )
+    cum_t = global_prefix_sum(per_score, ["_neg"], "_t", out_col="tp")
+    cum = global_prefix_sum(cum_t, ["_neg"], "_f", out_col="fp")
+    total_true = scored.where(F.col(is_match_col)).count()
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.lit(int(total_true)) - F.col("tp")).cast("long").alias("fn"),
+        F.expr("(1000000 * tp) div (tp + fp)").cast("long").alias(
+            "precision_qmicros"
+        ),
+        F.expr(f"(1000000 * tp) div {max(int(total_true), 1)}")
+        .cast("long")
+        .alias("recall_qmicros"),
+        F.expr(
+            f"(2000000 * tp) div (2 * tp + fp + ({int(total_true)} - tp))"
+        )
+        .cast("long")
+        .alias("f1_qmicros"),
+    )

@@ -591,3 +591,85 @@ def centroid_cohesion(
             " * sqrt(CAST(ss AS DOUBLE)))) AS BIGINT)"
         ).alias("cos_qmillis"),
     )
+
+
+def assign_to_centroids(
+    train: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Record-to-entity assignment in EMBEDDING space — the vector
+    counterpart of the string-space incremental matcher
+    (blocking.passjoin_join feeding q111): new records match against
+    one centroid per resolved entity, never against the member set,
+    so per-batch cost is batch x entities x dim.
+
+    Same engine-exact construction as :func:`centroid_cohesion`:
+    components floor-quantized to integer ``scale``-ths, centroid =
+    component-wise integer SUM over the entity's training members
+    (positive multiple of the mean — cosines unchanged), dot products
+    and norms exact integers in LONG FORM (posexplode + combining
+    sums + a pos equi-join against the centroid table, which is
+    n_entities x dim rows — a broadcastable dimension). The single
+    float step is the final cosine, floor-quantized to millis from
+    exact integer inputs with an identical expression tree on both
+    engines; ranking uses the QUANTIZED value (the q38 rule) with the
+    entity id as the deterministic tie-break.
+
+    Returns one row per query id: (id, assigned_label, cos_qmillis).
+    """
+    def _long_form(df, key, key_alias):
+        return df.select(
+            F.col(key).alias(key_alias),
+            F.posexplode(
+                F.expr(
+                    f"transform({vec_col}, v -> CAST(floor(v * {scale})"
+                    f" AS BIGINT))"
+                )
+            ).alias("pos", "val"),
+        )
+
+    tq = _long_form(train, label_col, "label")
+    cent = tq.groupBy("label", "pos").agg(F.sum("val").alias("s_val"))
+    ss = cent.groupBy("label").agg(
+        F.sum(F.col("s_val") * F.col("s_val")).alias("ss")
+    )
+    qq = _long_form(queries, id_col, "id")
+    xx = qq.groupBy("id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("xx")
+    )
+    dots = (
+        qq.join(cent, "pos")
+        .groupBy("id", "label")
+        .agg(F.sum(F.col("val") * F.col("s_val")).alias("dot_xs"))
+    )
+    scored = (
+        dots.join(xx, "id")
+        .join(ss, "label")
+        .withColumn(
+            "cos_qmillis",
+            F.expr(
+                "CAST(floor(1000.0 * dot_xs / (sqrt(CAST(xx AS DOUBLE))"
+                " * sqrt(CAST(ss AS DOUBLE)))) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos_qmillis")).alias("_neg"),
+                    F.col("label").alias("_l"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "id",
+            F.col("_b._l").alias("assigned_label"),
+            (-F.col("_b._neg")).cast("long").alias("cos_qmillis"),
+        )
+    )

@@ -607,3 +607,30 @@ def test_block_purging_budget_admission(spark):
         ).collect()
     }
     assert got11 == {"a2", "b2", "mid", "big"}
+
+
+def test_block_filtering_keeps_r_smallest(spark):
+    from sassy_spark.operators.blocking import block_filtering
+
+    rows = (
+        [(i, "huge") for i in range(6)]       # size 6
+        + [(0, "mid"), (1, "mid"), (2, "mid")]  # size 3
+        + [(0, "tiny"), (1, "tiny")]            # size 2
+        + [(0, "solo")]                          # size 1
+        + [(0, "solo")]                          # dup row collapsed
+    )
+    got = {
+        (r.id, r.block): (r.block_size, r.rank)
+        for r in block_filtering(
+            spark.createDataFrame(rows, ["id", "block"]), r=2
+        ).collect()
+    }
+    # record 0 has 4 blocks -> keeps solo(1) and tiny(2); 'huge' cut
+    assert got[(0, "solo")] == (1, 1)
+    assert got[(0, "tiny")] == (2, 2)
+    assert (0, "huge") not in got and (0, "mid") not in got
+    # record 1: tiny(2) then mid(3)
+    assert got[(1, "tiny")] == (2, 1)
+    assert got[(1, "mid")] == (3, 2)
+    # record 5 only sits in 'huge': kept at rank 1 (fewer than r blocks)
+    assert got[(5, "huge")] == (6, 1)

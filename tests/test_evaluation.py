@@ -209,3 +209,27 @@ def test_calibration_table_decades_and_rates(spark):
         0: (3, 0, 0),
         12: (1, 1, 1_000_000),
     }
+
+
+def test_threshold_sweep_hand_pinned(spark):
+    """Curve over 3 distinct scores: cumulative tp/fp from the top,
+    exact integer P/R/F1 quantization."""
+    from sassy_spark.operators.evaluation import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [
+            (900, True), (900, True),          # 2 true at 900
+            (700, True), (700, False),         # mixed band
+            (500, False), (500, False), (500, False),
+        ],
+        "score long, is_match boolean",
+    )
+    got = {
+        r.threshold: (r.tp, r.fp, r.fn, r.precision_qmicros,
+                      r.recall_qmicros, r.f1_qmicros)
+        for r in threshold_sweep(scored).collect()
+    }
+    # total_true = 3
+    assert got[900] == (2, 0, 1, 1_000_000, 666_666, 800_000)
+    assert got[700] == (3, 1, 0, 750_000, 1_000_000, 857_142)
+    assert got[500] == (3, 4, 0, 428_571, 1_000_000, 600_000)

@@ -275,3 +275,55 @@ def test_centroid_cohesion_numpy_oracle(spark):
         assert got[i].cos_qmillis == want, i
     assert got[99].cos_qmillis < 0  # planted outlier flagged
     assert all(got[i].cos_qmillis > 900 for i in range(4))
+
+
+def test_assign_to_centroids_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # 3 well-separated entity directions + queries near each
+    base = {0: rng.normal(0, 1, 8), 1: rng.normal(5, 1, 8),
+            2: rng.normal(-4, 1, 8)}
+    train_rows, truth = [], {}
+    for lbl, b in base.items():
+        for j in range(4):
+            train_rows.append(
+                (lbl, lbl * 10 + j, (b + rng.normal(0, 0.05, 8)).tolist())
+            )
+    query_rows = []
+    for qid, lbl in [(100, 0), (101, 1), (102, 2), (103, 1)]:
+        query_rows.append(
+            (qid, (base[lbl] + rng.normal(0, 0.05, 8)).tolist())
+        )
+        truth[qid] = lbl
+    from sassy_spark.operators.similarity import assign_to_centroids
+
+    train = spark.createDataFrame(
+        train_rows, "label int, vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        query_rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.id: (r.assigned_label, r.cos_qmillis)
+        for r in assign_to_centroids(train, queries).collect()
+    }
+    # numpy replay of the exact integer construction
+    cents = {}
+    for lbl in base:
+        vs = [np.floor(np.array(v) * 1000).astype(np.int64)
+              for l2, _i, v in train_rows if l2 == lbl]
+        cents[lbl] = np.sum(vs, axis=0)
+    for qid, v in query_rows:
+        qv = np.floor(np.array(v) * 1000).astype(np.int64)
+        best = None
+        for lbl, c in sorted(cents.items()):
+            dot = int(qv @ c)
+            cq = int(np.floor(
+                1000.0 * dot
+                / (np.sqrt(float(qv @ qv)) * np.sqrt(float(c @ c)))
+            ))
+            if best is None or cq > best[1]:
+                best = (lbl, cq)
+        assert got[qid] == best, qid
+        assert got[qid][0] == truth[qid]
