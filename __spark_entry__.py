@@ -3864,6 +3864,43 @@ def _q123_threshold_sweep(spark, sf):
     return threshold_sweep(scored)
 
 
+def _q124_greedy_one_to_one(spark, sf):
+    """Greedy one-to-one matching (linkage.greedy_one_to_one): the
+    full sequential greedy matching over a band graph of scored pairs
+    (gap <= 2, deterministic pseudo-random scores), computed as
+    iterated local dominance — each round admits pairs that are the
+    best remaining for BOTH endpoints (exactly the sequential result
+    under the strict (score DESC, a, b) order; Preis 1999). Completes
+    the assignment family: q89 reciprocal-best (mutual-argmax subset)
+    -> q124 full greedy 1:1. The oracle replays the SAME iterated
+    dominance with a DuckDB recursive CTE (aggregate-in-recursion),
+    pinned equal to the sequential walk in tests/test_linkage.py."""
+    from sassy_spark.operators.linkage import greedy_one_to_one
+
+    d = _load(spark, sf, "documents")
+    ids = d.select(F.col("doc_id").alias("id"))
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.id").between(F.col("a.id") + 1, F.col("a.id") + 2),
+        )
+        .select(
+            F.col("a.id").alias("url_a"),
+            F.col("b.id").alias("url_b"),
+            ((F.lit(37) * (F.col("a.id") * 3 + F.col("b.id"))) % 1001)
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    out = greedy_one_to_one(pairs)
+    return out.select(
+        F.col("url_a").cast("long").alias("url_a"),
+        F.col("url_b").cast("long").alias("url_b"),
+        "score",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -4013,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_embedding_assignment": _q121_embedding_assignment,
         "q122_block_filtering": _q122_block_filtering,
         "q123_threshold_sweep": _q123_threshold_sweep,
+        "q124_greedy_one_to_one": _q124_greedy_one_to_one,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7333,5 +7371,50 @@ def oracle_sql() -> dict[str, str]:
                     // (2 * tp + fp + (total_true - tp)) AS BIGINT)
                    AS f1_qmicros
         FROM cum, tot
+    """
+    # q124: faithful replay of iterated local dominance (== sequential
+    # greedy matching under the strict (score DESC, a, b) order) with a
+    # recursive CTE — each iteration's working table is the remaining
+    # edge set; dominant edges (min key at BOTH endpoints) are emitted
+    # picked=TRUE, survivors not touching a matched endpoint carry
+    # forward. Key encoding (1e6-sc)*1e12 + a*1e6 + b is strictly
+    # order-isomorphic to (score DESC, a, b) for ids < 1e6, sc < 1e6.
+    out["q124_greedy_one_to_one"] = """
+        WITH RECURSIVE st(a, b, sc, picked) AS (
+          SELECT a.doc_id, b.doc_id,
+                 (37 * (a.doc_id * 3 + b.doc_id)) % 1001, FALSE
+          FROM documents a
+          JOIN documents b
+            ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 2
+          UNION ALL
+          (
+            WITH rem AS (
+              SELECT a, b, sc,
+                     (1000000 - sc) * 1000000000000
+                     + a * 1000000 + b AS k
+              FROM st WHERE NOT picked),
+            nb AS (
+              SELECT node, min(k) AS mk FROM (
+                SELECT a AS node, k FROM rem
+                UNION ALL
+                SELECT b AS node, k FROM rem) GROUP BY node),
+            dom AS (
+              SELECT r.a, r.b, r.sc, r.k FROM rem r
+              JOIN nb na ON na.node = r.a AND na.mk = r.k
+              JOIN nb nbb ON nbb.node = r.b AND nbb.mk = r.k),
+            matched AS (
+              SELECT a AS node FROM dom UNION SELECT b FROM dom)
+            SELECT a, b, sc, TRUE FROM dom
+            UNION ALL
+            SELECT r.a, r.b, r.sc, FALSE
+            FROM rem r
+            WHERE r.a NOT IN (SELECT node FROM matched)
+              AND r.b NOT IN (SELECT node FROM matched)
+              AND EXISTS (SELECT 1 FROM dom)
+          )
+        )
+        SELECT CAST(a AS BIGINT) AS url_a, CAST(b AS BIGINT) AS url_b,
+               CAST(sc AS BIGINT) AS score
+        FROM st WHERE picked
     """
     return out

@@ -976,3 +976,114 @@ def collective_promote(
         "n_support",
         "tier",
     )
+
+
+def greedy_one_to_one(
+    scored: DataFrame,
+    a_col: str = "url_a",
+    b_col: str = "url_b",
+    score_col: str = "score",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Greedy one-to-one matching: the full sequential greedy matching
+    over ALL scored pairs, not just the mutual-best subset.
+
+    ``reciprocal_best_pairs`` keeps only pairs that are each other's
+    single best candidate — high precision, but a record whose best
+    counterpart was "taken" by a better pair is left unmatched even
+    when its second-best candidate is excellent. The classical fix is
+    GREEDY matching: walk pairs in (score DESC, a, b) order and admit
+    each pair whose endpoints are both still free — the 1/2-approx to
+    the maximum-weight assignment that real MDM/ER products ship as
+    their one-to-one resolver.
+
+    The sequential walk is driver-side poison at 10^12 pairs, so this
+    runs the PARALLEL equivalent: iterated LOCAL DOMINANCE (Preis
+    1999; Manne & Bisseling's distributed greedy). Each round admits
+    every pair that is the best REMAINING pair for BOTH of its
+    endpoints (unique under the strict total order (score DESC, a,
+    b)), removes all pairs touching an admitted endpoint, repeats.
+    With a strict total order this fixpoint equals the sequential
+    greedy matching exactly — pair-for-pair — which is what the
+    DuckDB recursive-CTE oracle replays.
+
+    ``scored``: distinct (a, b, score) rows with an integer score
+    (quantize floats upstream; a == b rows are dropped). Returns the
+    admitted pairs (a, b, score).
+
+    Scale notes (100 TB audit): each round is one map-side-combining
+    ``min(struct(-score, a, b))`` per endpoint (hot records with
+    millions of candidates are ONE combining group, never a window),
+    two equi-joins to test dominance, and two broadcast-sized
+    anti-joins on matched endpoints; rounds shrink geometrically —
+    quasi-random scores converge in O(log n) rounds expected
+    (adversarially ordered chains are the known worst case, bounded
+    here by ``max_rounds`` with a loud failure rather than a silent
+    partial result). Remaining-edge state is localCheckpointed per
+    round to cut lineage, mirroring connected_components.
+    """
+    s = (
+        scored.select(
+            F.col(a_col).alias("_a"),
+            F.col(b_col).alias("_b"),
+            F.col(score_col).cast("long").alias("_sc"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .dropDuplicates(["_a", "_b"])
+    )
+    picked: list[DataFrame] = []
+    for _ in range(max_rounds):
+        s = s.localCheckpoint(eager=True)
+        if s.isEmpty():
+            break
+        key = F.struct(
+            (-F.col("_sc")).alias("_neg"),
+            F.col("_a").alias("_ka"),
+            F.col("_b").alias("_kb"),
+        )
+        sk = s.withColumn("_k", key)
+        ends = sk.select(F.col("_a").alias("_node"), "_k").unionByName(
+            sk.select(F.col("_b").alias("_node"), "_k")
+        )
+        best = ends.groupBy("_node").agg(F.min("_k").alias("_mk"))
+        dom = (
+            sk.join(
+                best.select(F.col("_node").alias("_a"), F.col("_mk").alias("_ma")),
+                "_a",
+            )
+            .where(F.col("_k") == F.col("_ma"))
+            .join(
+                best.select(F.col("_node").alias("_b"), F.col("_mk").alias("_mb")),
+                "_b",
+            )
+            .where(F.col("_k") == F.col("_mb"))
+            .select("_a", "_b", "_sc")
+            .localCheckpoint(eager=True)
+        )
+        picked.append(dom)
+        matched = (
+            dom.select(F.col("_a").alias("_node"))
+            .unionByName(dom.select(F.col("_b").alias("_node")))
+            .distinct()
+        )
+        s = s.join(
+            matched.withColumnRenamed("_node", "_a"), "_a", "left_anti"
+        ).join(matched.withColumnRenamed("_node", "_b"), "_b", "left_anti")
+    else:
+        raise RuntimeError(
+            f"greedy_one_to_one did not converge in {max_rounds} rounds; "
+            "adversarially ordered score chains need a larger max_rounds"
+        )
+    if not picked:
+        return s.limit(0).select(
+            F.col("_a").alias(a_col),
+            F.col("_b").alias(b_col),
+            F.col("_sc").alias(score_col),
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, picked).select(
+        F.col("_a").alias(a_col),
+        F.col("_b").alias(b_col),
+        F.col("_sc").alias(score_col),
+    )

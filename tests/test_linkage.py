@@ -442,3 +442,46 @@ def test_collective_promote_support_and_tiers(spark):
         (3, 4): (1, "promoted"),   # 700 + 100*1 >= 800
         (7, 8): (0, "rejected"),   # (5,6) scored 100: not a seed
     }
+
+
+def test_greedy_one_to_one_equals_sequential_greedy(spark):
+    """Iterated local dominance == sequential greedy matching, pinned
+    on seeded pseudo-random band graphs against a pure-python walk of
+    the same (score DESC, a, b) total order (incl a conflict case
+    where reciprocal-best would drop the second pair entirely)."""
+    from sassy_spark.operators.linkage import greedy_one_to_one
+
+    def seq_greedy(edges):
+        used, out = set(), []
+        for a, b, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+            if a not in used and b not in used:
+                used.update((a, b))
+                out.append((a, b, s))
+        return sorted(out)
+
+    for n, seed in ((60, 37), (60, 91), (25, 7)):
+        edges = [
+            (i, i + gap, (seed * (i * 3 + i + gap)) % 1001)
+            for i in range(n)
+            for gap in (1, 2)
+            if i + gap < n
+        ]
+        df = spark.createDataFrame(edges, ["url_a", "url_b", "score"])
+        got = sorted(
+            (r.url_a, r.url_b, r.score)
+            for r in greedy_one_to_one(df).collect()
+        )
+        assert got == seq_greedy(edges)
+
+    # chain 1-2-3 with scores 10 > 9: greedy keeps (2,3) ONLY after
+    # (1,2)?? no — (1,2)=10 wins, 3 left single; then (3,4)=8 admitted:
+    # reciprocal-best would have kept (1,2) and dropped (2,3),(3,4)
+    chain = [(1, 2, 10), (2, 3, 9), (3, 4, 8)]
+    df = spark.createDataFrame(chain, ["url_a", "url_b", "score"])
+    got = sorted(
+        (r.url_a, r.url_b, r.score) for r in greedy_one_to_one(df).collect()
+    )
+    assert got == [(1, 2, 10), (3, 4, 8)]
+    # one-to-one: no endpoint reused
+    seen = [x for a, b, _ in got for x in (a, b)]
+    assert len(seen) == len(set(seen))
