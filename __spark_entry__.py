@@ -3901,6 +3901,29 @@ def _q124_greedy_one_to_one(spark, sf):
     )
 
 
+def _q125_pair_range_tasks(spark, sf):
+    """PairRange comparison-task load balancing (blocking.
+    pair_range_tasks, Dedoop ICDE 2012): within-block comparisons of a
+    lang-blocked slice of documents are enumerated in one global
+    closed-form order and cut into exact 500-pair tasks, so skewed
+    blocks spread across tasks instead of landing on one reducer —
+    the third production blocking knob after q117 (total budget) and
+    q122 (per-record exposure). Oracle replays the in-block rank, the
+    exclusive block offset, and the row-major upper-triangle index
+    with single-node windows."""
+    from sassy_spark.operators.blocking import pair_range_tasks
+
+    d = _load(spark, sf, "documents").where(F.col("doc_id") < 240)
+    memb = d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block"))
+    return pair_range_tasks(memb, cap=500).select(
+        "block",
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "pair_index",
+        "task_id",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -4051,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_block_filtering": _q122_block_filtering,
         "q123_threshold_sweep": _q123_threshold_sweep,
         "q124_greedy_one_to_one": _q124_greedy_one_to_one,
+        "q125_pair_range_tasks": _q125_pair_range_tasks,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7416,5 +7440,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(a AS BIGINT) AS url_a, CAST(b AS BIGINT) AS url_b,
                CAST(sc AS BIGINT) AS score
         FROM st WHERE picked
+    """
+    # q125: single-node replay of the PairRange enumeration — in-block
+    # 0-based rank by id, exclusive global comparison offset in block
+    # order, row-major upper-triangle local index.
+    out["q125_pair_range_tasks"] = """
+        WITH memb AS (
+          SELECT doc_id AS id, lang AS block FROM documents
+          WHERE doc_id < 240),
+        idx AS (
+          SELECT block, id,
+                 row_number() OVER (PARTITION BY block ORDER BY id) - 1
+                     AS i
+          FROM memb),
+        sizes AS (
+          SELECT block, count(*) AS n,
+                 (count(*) * (count(*) - 1)) // 2 AS c
+          FROM memb GROUP BY block
+          HAVING (count(*) * (count(*) - 1)) // 2 > 0),
+        offs AS (
+          SELECT block, n,
+                 sum(c) OVER (ORDER BY block
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - c AS off
+          FROM sizes)
+        SELECT a.block,
+               CAST(a.id AS BIGINT) AS id_a,
+               CAST(b.id AS BIGINT) AS id_b,
+               CAST(o.off + (a.i * (2 * o.n - a.i - 1)) // 2
+                    + (b.i - a.i - 1) AS BIGINT) AS pair_index,
+               CAST((o.off + (a.i * (2 * o.n - a.i - 1)) // 2
+                    + (b.i - a.i - 1)) // 500 AS BIGINT) AS task_id
+        FROM idx a
+        JOIN idx b ON b.block = a.block AND a.i < b.i
+        JOIN offs o ON o.block = a.block
     """
     return out

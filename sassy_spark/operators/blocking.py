@@ -1003,3 +1003,90 @@ def block_filtering(
         .where(F.col("rank") <= int(r))
         .select("id", "block", "block_size", "rank")
     )
+
+
+def pair_range_tasks(
+    doc_blocks: DataFrame,
+    cap: int,
+    id_col: str = "id",
+    block_col: str = "block",
+) -> DataFrame:
+    """PairRange load balancing (Kolb, Thor & Rahm's Dedoop, ICDE
+    2012): enumerate every within-block comparison in one GLOBAL pair
+    order and cut that order into fixed-size tasks of ``cap``
+    comparisons each — so the expensive matching stage runs over
+    equal-work tasks no matter how skewed the blocking was. Block caps
+    (max_block_size) and budgets (block_purging) bound HOW MANY
+    comparisons exist; PairRange bounds WHERE they run: a 10^6-record
+    hot block no longer lands on one reducer, it is sliced across
+    ceil(C(n,2)/cap) tasks.
+
+    The enumeration is fully deterministic and closed-form:
+
+    * records get a 0-based in-block index ``i`` by ascending id
+      (global_rank over (block, id) minus the block's first rank);
+    * blocks get an exclusive global comparison offset ``off`` =
+      prefix sum of C(n,2) in block-key order (global_prefix_sum);
+    * pair (i, j), i < j, in a block of n records has local index
+      ``i*(2n-i-1)/2 + (j-i-1)`` (row-major upper triangle), global
+      index ``off + local``, and ``task_id = global div cap``.
+
+    Returns (block, id_a, id_b, pair_index, task_id): every task
+    except the last holds exactly ``cap`` pairs. Repartition the
+    result by task_id and the comparison stage is balanced by
+    construction.
+
+    Scale notes (100 TB audit): ranks and offsets come from the
+    range-repartition two-level primitives (one collected row per
+    PARTITION, never per block); the pair expansion itself is the
+    block self-join every blocking scheme ultimately pays — its
+    OUTPUT is what this operator balances. Compose with block_purging
+    / block_filtering upstream to bound the total; everything here is
+    pure Catalyst integer arithmetic, no UDF, no sqrt-inverse tricks.
+    """
+    memb = (
+        doc_blocks.select(
+            F.col(id_col).alias("_id"), F.col(block_col).alias("block")
+        )
+        .dropDuplicates(["_id", "block"])
+    )
+    ranked = global_rank(memb, ["block", "_id"], rank_col="_gr")
+    first = ranked.groupBy("block").agg(F.min("_gr").alias("_fr"))
+    idx = (
+        ranked.join(first, "block")
+        .withColumn("_i", (F.col("_gr") - F.col("_fr")).cast("long"))
+        .select("block", "_id", "_i")
+    )
+    sizes = (
+        memb.groupBy("block")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .withColumn("_c", F.expr("(_n * (_n - 1)) div 2"))
+        .where(F.col("_c") > 0)
+    )
+    offs = global_prefix_sum(sizes, ["block"], "_c", out_col="_cum")
+    offs = offs.withColumn("_off", F.col("_cum") - F.col("_c")).select(
+        "block", "_n", "_off"
+    )
+    a = idx.select(
+        "block", F.col("_id").alias("id_a"), F.col("_i").alias("_ia")
+    )
+    b = idx.select(
+        "block", F.col("_id").alias("id_b"), F.col("_i").alias("_ib")
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("_ia") < F.col("_ib"))
+        .join(offs, "block")
+        .withColumn(
+            "pair_index",
+            (
+                F.col("_off")
+                + F.expr("(_ia * (2 * _n - _ia - 1)) div 2")
+                + (F.col("_ib") - F.col("_ia") - 1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "task_id", F.expr(f"pair_index div {int(cap)}").cast("long")
+        )
+        .select("block", "id_a", "id_b", "pair_index", "task_id")
+    )

@@ -634,3 +634,44 @@ def test_block_filtering_keeps_r_smallest(spark):
     assert got[(1, "mid")] == (3, 2)
     # record 5 only sits in 'huge': kept at rank 1 (fewer than r blocks)
     assert got[(5, "huge")] == (6, 1)
+
+
+def test_pair_range_tasks_balanced_enumeration(spark):
+    """PairRange: global pair indices are a 0..total-1 permutation-free
+    dense enumeration; every task except the last has exactly cap
+    pairs; within a block the (i,j) upper-triangle order is replayed by
+    a python reference."""
+    from sassy_spark.operators.blocking import pair_range_tasks
+
+    memb = [(f"r{i:02d}", "A") for i in range(5)]      # C(5,2)=10
+    memb += [(f"s{i:02d}", "B") for i in range(4)]     # C(4,2)=6
+    memb += [(f"t{i:02d}", "C") for i in range(2)]     # C(2,2)=1
+    memb += [("solo", "D")]                            # no pairs
+    df = spark.createDataFrame(memb, ["id", "block"])
+    rows = pair_range_tasks(df, cap=4).collect()
+
+    # dense global enumeration 0..16
+    idxs = sorted(r.pair_index for r in rows)
+    assert idxs == list(range(17))
+    # task sizes: 4,4,4,4,1
+    from collections import Counter
+    tc = Counter(r.task_id for r in rows)
+    assert tc == {0: 4, 1: 4, 2: 4, 3: 4, 4: 1}
+
+    # python replay: blocks in key order, ids ascending, row-major
+    # upper triangle
+    import itertools
+    want = []
+    g = 0
+    for blk, ids in (
+        ("A", [f"r{i:02d}" for i in range(5)]),
+        ("B", [f"s{i:02d}" for i in range(4)]),
+        ("C", [f"t{i:02d}" for i in range(2)]),
+    ):
+        for x, y in itertools.combinations(ids, 2):
+            want.append((blk, x, y, g, g // 4))
+            g += 1
+    got = sorted(
+        (r.block, r.id_a, r.id_b, r.pair_index, r.task_id) for r in rows
+    )
+    assert got == sorted(want)
