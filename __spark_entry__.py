@@ -3924,6 +3924,30 @@ def _q125_pair_range_tasks(spark, sf):
     )
 
 
+def _q126_repeated_substrings(spark, sf):
+    """Span-level training-data dedup (dedup.repeated_substring_spans;
+    Lee et al. ACL 2022): every 15-char window of the first 120 text
+    chars, windows occurring in >= 2 distinct documents marked
+    covered, consecutive covered positions merged into maximal
+    repeated spans per document — the boilerplate catcher that exact
+    (q23) and near-dup (q20/q21) dedup miss. Oracle replays the
+    stride-1 shingling, the distinct-doc filter, and the
+    gaps-and-islands merge single-node."""
+    from sassy_spark.operators.dedup import repeated_substring_spans
+
+    d = _load(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    out = repeated_substring_spans(d, min_len=15)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "span_len",
+        "n_windows",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -4075,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_threshold_sweep": _q123_threshold_sweep,
         "q124_greedy_one_to_one": _q124_greedy_one_to_one,
         "q125_pair_range_tasks": _q125_pair_range_tasks,
+        "q126_repeated_substrings": _q126_repeated_substrings,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7474,5 +7499,34 @@ def oracle_sql() -> dict[str, str]:
         FROM idx a
         JOIN idx b ON b.block = a.block AND a.i < b.i
         JOIN offs o ON o.block = a.block
+    """
+    # q126: stride-1 15-char shingles over the first 120 chars,
+    # covered = window string in >= 2 distinct docs, spans =
+    # gaps-and-islands over consecutive covered positions.
+    out["q126_repeated_substrings"] = """
+        WITH t AS (
+          SELECT doc_id, substring(text, 1, 120) AS tt FROM documents),
+        wins AS (
+          SELECT doc_id, g.i AS pos, substring(tt, g.i, 15) AS w
+          FROM t,
+               unnest(generate_series(1, greatest(length(tt) - 14, 0)))
+                   AS g(i)),
+        covered AS (
+          SELECT w FROM wins GROUP BY w
+          HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT wins.doc_id, wins.pos
+          FROM wins JOIN covered USING (w)),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM cov)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 14 AS BIGINT) AS span_end,
+               CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, grp
     """
     return out

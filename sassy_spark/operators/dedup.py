@@ -930,3 +930,94 @@ def weighted_jaccard_pairs(
             F.col("_uw") > 0, F.expr("(1000000 * _iw) div _uw")
         ).otherwise(z),
     ).drop("_twa", "_twb", "_iw", "_uw")
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the span-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022): find, per document, every maximal span
+    whose ``min_len``-char windows ALL occur in at least one other
+    document. Exact-duplicate and near-duplicate dedup both miss the
+    boilerplate case (one license header / nav bar pasted into
+    millions of otherwise-distinct pages); span-level dedup is the
+    operator that catches it, and the paper's suffix-array formulation
+    re-expressed relationally:
+
+    * every ``min_len``-char window of every document (stride 1) is a
+      shingle row (doc, pos, window);
+    * windows seen in >= 2 distinct documents are "covered";
+    * per document, runs of CONSECUTIVE covered positions merge into
+      maximal spans (gaps-and-islands), reported as
+      (doc, span_start, span_end, span_len, n_windows) with 1-based
+      inclusive char offsets — a span of k consecutive covered windows
+      covers ``k + min_len - 1`` chars.
+
+    ``key='text'`` groups windows on the literal string — exact, what
+    the DuckDB oracle replays. ``key='hash'`` groups on
+    ``xxhash64(window)`` instead: the 100 TB path (the shuffle carries
+    8-byte keys, not min_len-char strings) at a ~n^2/2^64 collision
+    false-positive risk, the standard large-scale trade.
+
+    Scale notes (100 TB audit): the window explode is pure Catalyst
+    (sequence + substring — no UDF) and multiplies rows by ~doc_len,
+    the inherent cost of stride-1 shingling (the suffix array pays the
+    same L factor in memory); the covered-window set comes from one
+    combining groupBy on the window key + one equi-join back; the
+    island merge windows per DOC (bounded by document length, never by
+    corpus size). Cap text length upstream for pathological documents.
+    """
+    L = int(min_len)
+    t = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    wins = t.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(_t) >= {L} THEN"
+                f" sequence(1, length(_t) - {L} + 1)"
+                " ELSE array() END"
+            )
+        ).alias("pos"),
+        F.col("_t"),
+    ).select(
+        "_id", "pos", F.expr(f"substring(_t, pos, {L})").alias("_w")
+    )
+    if key == "hash":
+        wins = wins.withColumn("_w", F.xxhash64("_w"))
+    covered_keys = (
+        wins.groupBy("_w")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_w")
+    )
+    cov = wins.join(covered_keys, "_w").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = cov.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .withColumn(
+            "span_len",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "span_len",
+            "n_windows",
+        )
+    )

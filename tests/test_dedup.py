@@ -319,3 +319,48 @@ def test_weighted_jaccard_identical_docs_score_full(spark):
         spark.createDataFrame(toks, ["id", "token"]),
     ).collect()
     assert got[0]["wj_qmicros"] == 1_000_000
+
+
+def test_repeated_substring_spans_boilerplate(spark):
+    """Planted boilerplate: a shared 12-char block inside otherwise
+    unique texts is found as one maximal span in every carrier, with
+    exact 1-based char offsets; unique docs report nothing; the
+    hash-keyed path agrees with the literal-string path."""
+    from sassy_spark.operators.dedup import repeated_substring_spans
+
+    boiler = "LICENSE-BLOCK"  # 13 chars
+    docs = [
+        (1, "aaaa" + boiler + "zzzz"),          # span at 5..17
+        (2, "bbbbbb" + boiler),                 # span at 7..19
+        (3, "totally unique text here ok"),
+        (4, "x" + boiler + "y" + "q" * 8),      # span at 2..14
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for key in ("text", "hash"):
+        got = {
+            r.doc_id: (r.span_start, r.span_end, r.span_len, r.n_windows)
+            for r in repeated_substring_spans(
+                df, min_len=13, key=key
+            ).collect()
+        }
+        assert got == {
+            1: (5, 17, 13, 1),
+            2: (7, 19, 13, 1),
+            4: (2, 14, 13, 1),
+        }
+
+    # longer shared run: two docs share a 16-char block -> with L=13
+    # that is 4 consecutive covered windows merging into ONE span
+    shared = "ABCDEFGHIJKLMNOP"
+    df2 = spark.createDataFrame(
+        [(1, "uu" + shared + "vv"), (2, shared + "ww")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_len, r.n_windows)
+        for r in repeated_substring_spans(df2, min_len=13).collect()
+    }
+    assert got == {1: (3, 18, 16, 4), 2: (1, 16, 16, 4)}
+    # doc shorter than L: no rows, no crash
+    df3 = spark.createDataFrame([(1, "short"), (2, "short")], ["doc_id", "text"])
+    assert repeated_substring_spans(df3, min_len=13).count() == 0
