@@ -3948,6 +3948,38 @@ def _q126_repeated_substrings(spark, sf):
     )
 
 
+def _q127_swoosh_resolve(spark, sf):
+    """Generic (Swoosh) entity resolution (cluster.swoosh_resolve):
+    documents carry two derived identity columns — v1 = lang:(id div
+    2), v2 = lang:((id+1) div 2) — so consecutive same-lang ids always
+    share a value through ONE of the columns (v1 at even ids, v2 at
+    odd), exercising transitive merge across DIFFERENT match features;
+    entities are therefore maximal same-lang consecutive-id runs,
+    which the oracle derives in closed form (gaps-and-islands on lang
+    changes) along with each golden record's per-column value unions.
+    The operator itself runs the bipartite record-feature CC fixpoint
+    (ICAR order-independence), pinned semantically in
+    tests/test_cluster.py."""
+    from sassy_spark.operators.cluster import swoosh_resolve
+
+    d = _load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(":", "lang", (F.col("doc_id") / 2).cast("long")).alias(
+            "v1"
+        ),
+        F.concat_ws(
+            ":", "lang", ((F.col("doc_id") + 1) / 2).cast("long")
+        ).alias("v2"),
+    )
+    out = swoosh_resolve(d, "id", ["v1", "v2"])
+    return out.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "n_records",
+        "v1_values",
+        "v2_values",
+    )
+
+
 def _q108_suffix_blocking(spark, sf):
     """Suffix-array blocking (Aizawa-Oyama 2005) over a 24-char
     lowercased key: records sharing any suffix of length >= 8 of the
@@ -4100,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_greedy_one_to_one": _q124_greedy_one_to_one,
         "q125_pair_range_tasks": _q125_pair_range_tasks,
         "q126_repeated_substrings": _q126_repeated_substrings,
+        "q127_swoosh_resolve": _q127_swoosh_resolve,
         "q78_majority_vote_lang": _q78_majority_vote_lang,
         "q79_weighted_jaccard": _q79_weighted_jaccard,
     }
@@ -7528,5 +7561,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_len,
                CAST(count(*) AS BIGINT) AS n_windows
         FROM isl GROUP BY doc_id, grp
+    """
+    # q127: the ICAR share-a-(column,value) fixpoint over v1/v2 equals
+    # maximal same-lang consecutive-id runs (v1 links even->odd ids,
+    # v2 links odd->even), so the oracle is gaps-and-islands on
+    # (id step != 1 OR lang change) plus per-column value unions.
+    out["q127_swoosh_resolve"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                 concat(lang, ':', CAST(doc_id // 2 AS VARCHAR)) AS v1,
+                 concat(lang, ':',
+                        CAST((doc_id + 1) // 2 AS VARCHAR)) AS v2
+          FROM documents),
+        f AS (
+          SELECT *, CASE WHEN lag(id) OVER w IS NULL
+                              OR id - lag(id) OVER w <> 1
+                              OR lang <> lag(lang) OVER w
+                     THEN 1 ELSE 0 END AS brk
+          FROM d WINDOW w AS (ORDER BY id)),
+        g AS (SELECT *, sum(brk) OVER (ORDER BY id) AS grp FROM f)
+        SELECT CAST(min(id) AS BIGINT) AS entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               array_to_string(list_sort(list(DISTINCT v1)), '|')
+                   AS v1_values,
+               array_to_string(list_sort(list(DISTINCT v2)), '|')
+                   AS v2_values
+        FROM g GROUP BY grp
     """
     return out

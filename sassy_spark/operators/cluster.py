@@ -1404,3 +1404,92 @@ def progressive_resolution(
         "budget long, n_edges_used long, n_entities long,"
         " largest_entity long, n_records_touched long",
     )
+
+
+def swoosh_resolve(
+    records: DataFrame,
+    id_col: str,
+    value_cols: list[str],
+    max_df: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Generic (Swoosh) entity resolution — Benjelloun, Garcia-Molina
+    et al., "Swoosh: a generic approach to entity resolution" (VLDB J
+    2009) — with the canonical ICAR match/merge pair: two records
+    MATCH iff they share any (column, value) feature, and MERGE by
+    per-column value union. R-Swoosh computes the fixpoint of
+    match-then-merge; because this match/merge is Idempotent,
+    Commutative, Associative and Representative, the fixpoint is
+    order-independent and equals the CONNECTED COMPONENTS of the
+    record-feature bipartite graph — so the sequential
+    pick-compare-merge loop of the paper re-bases onto the engine's
+    checkpointed large-star/small-star CC instead of a driver loop.
+
+    Returns one GOLDEN RECORD per entity: (entity_id = min member id,
+    n_records, and for every value column a ``<col>_values`` string =
+    '|'-joined sorted distinct member values) — the merge closure of
+    the component.
+
+    ``max_df``: features shared by more than ``max_df`` distinct
+    records are stop features — dropped before the graph is built
+    (a value held by half the corpus carries no identity signal and
+    would otherwise glue everything into one entity; same contract as
+    group_linkage's stop keys). None = no cap.
+
+    Scale notes (100 TB audit): matching on the BIPARTITE record ->
+    feature graph sidesteps the hot-feature pair explosion entirely —
+    a feature shared by n records is n bipartite edges, never C(n,2)
+    pair edges; CC shuffles narrow (node, node) tuples with
+    per-iteration checkpointing (resumable via ``checkpoint_dir``);
+    the golden-record merge is one combining groupBy per entity.
+    Singleton records (all features null or stop-dropped) keep their
+    own entity via the coalesce fallback, mirroring resolve_entities.
+    """
+    feats = None
+    for c in value_cols:
+        f = records.select(
+            F.col(id_col).alias("_id"),
+            F.concat_ws(":", F.lit(c), F.col(c).cast("string")).alias(
+                "_feat"
+            ),
+        ).where(F.col(c).isNotNull())
+        feats = f if feats is None else feats.unionByName(f)
+    feats = feats.dropDuplicates(["_id", "_feat"])
+    if max_df is not None:
+        keep = (
+            feats.groupBy("_feat")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_df))
+            .select("_feat")
+        )
+        feats = feats.join(keep, "_feat")
+    edges = feats.select(
+        F.concat(F.lit("r:"), F.col("_id").cast("string")).alias("src"),
+        F.concat(F.lit("f:"), F.col("_feat")).alias("dst"),
+    )
+    labels = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    rec_labels = (
+        records.select(F.col(id_col).alias("_id"), *value_cols)
+        .withColumn("_node", F.concat(F.lit("r:"), F.col("_id").cast("string")))
+        .join(
+            labels.select(
+                F.col("url").alias("_node"), F.col("cluster_id").alias("_c")
+            ),
+            "_node",
+            "left",
+        )
+        .withColumn("_c", F.coalesce("_c", "_node"))
+    )
+    ent = rec_labels.groupBy("_c").agg(
+        F.min("_id").alias("entity_id"),
+        F.count("*").cast("long").alias("n_records"),
+        *[
+            F.array_join(
+                F.sort_array(F.collect_set(F.col(c).cast("string"))), "|"
+            ).alias(f"{c}_values")
+            for c in value_cols
+        ],
+    )
+    return ent.select(
+        "entity_id", "n_records", *[f"{c}_values" for c in value_cols]
+    )

@@ -650,3 +650,45 @@ def test_progressive_resolution_nested_tiers(spark):
         3: (3, 1, 4, 4),   # bridge merges into {1,2,3,4}
         4: (4, 2, 4, 6),   # plus {10,11}
     }
+
+
+def test_swoosh_resolve_icar_fixpoint(spark):
+    """R-Swoosh with share-a-value match + union merge: transitive
+    merges through DIFFERENT columns (1~2 via phone, 2~3 via email)
+    collapse into one golden record with the full value union; stop
+    features (max_df) break over-common values; all-null records stay
+    singletons."""
+    from sassy_spark.operators.cluster import swoosh_resolve
+
+    rows = [
+        (1, "555-0100", None),
+        (2, "555-0100", "a@x.com"),
+        (3, None, "a@x.com"),
+        (4, "555-0199", "b@y.com"),
+        (5, None, None),               # singleton: no features
+        (6, "COMMON", None),           # COMMON shared by 3 records:
+        (7, "COMMON", None),           # dropped at max_df=2
+        (8, "COMMON", "c@z.com"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "phone", "email"])
+    got = {
+        r.entity_id: (r.n_records, r.phone_values, r.email_values)
+        for r in swoosh_resolve(
+            df, "id", ["phone", "email"], max_df=2
+        ).collect()
+    }
+    assert got == {
+        1: (3, "555-0100", "a@x.com"),
+        4: (1, "555-0199", "b@y.com"),
+        5: (1, "", ""),
+        6: (1, "COMMON", ""),
+        7: (1, "COMMON", ""),
+        8: (1, "COMMON", "c@z.com"),
+    }
+    # without the cap, COMMON glues 6/7/8 together (order-independent
+    # fixpoint: same result regardless of record order)
+    got2 = {
+        r.entity_id: (r.n_records, r.email_values)
+        for r in swoosh_resolve(df, "id", ["phone", "email"]).collect()
+    }
+    assert got2[6] == (3, "c@z.com")
