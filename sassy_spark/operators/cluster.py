@@ -367,6 +367,35 @@ def connected_components(
         if known_n is not None and known_n <= small_graph_threshold:
             return finish_small(e, start_iter)
 
+    if not checkpoint_dir and start_iter == 0:
+        # Materialize the input edge set ONCE to a RAM-scratch parquet,
+        # with its count observed on the same job (guide §2.4: remove
+        # repeated subtree execution; §1.5-style single action). The
+        # star rounds reference the edge frame on both union sides and
+        # both join sides, and the final label join reads it twice more
+        # for the node set — without a checkpoint dir every reference
+        # re-executed the upstream subtree, which for the CC queries is
+        # the Myers scoring stage itself (measured at sf0.1: q22 ran
+        # score_pairs 3x inside one call — 4.9s; staged once it runs
+        # once — ~2.4s). The observed count then feeds the small-graph
+        # gate below with no separate count job, so driver-sized graphs
+        # skip the star rounds entirely (previously paid one full star
+        # round before the gate could see a count). Self-loops are kept
+        # in the staged frame so the label join still emits rows for
+        # self-loop-only nodes, exactly as before.
+        obs_in = Observation("cc_input_state")
+        staged_in = stage_parquet(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .observe(obs_in, F.count(F.lit(1)).alias("n")),
+            None,
+            "cc_input",
+        )
+        n_in = int(obs_in.get["n"])
+        e = staged_in.where(F.col("src") != F.col("dst"))
+        orig = staged_in
+        if small_graph_threshold and n_in <= small_graph_threshold:
+            return finish_small(e, 0)
+
     for it in range(start_iter, max_iter):
         # ONE job per iteration: the convergence state (count + content
         # hash) rides on the materialization job as an Observation instead
