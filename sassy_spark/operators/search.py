@@ -108,7 +108,7 @@ def search(
     # one driver job: limit(MAX+1) bounds the collect even on a huge
     # patterns_df, and len() replaces the separate count() job
     pat_rows = (
-        patterns_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).collect()
+        patterns_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).coalesce(1).collect()
     )
     if len(pat_rows) > MAX_PATTERNS:
         raise ValueError(
@@ -126,6 +126,30 @@ def search(
         ]
     if not case_sensitive:
         pats_local = [(pid, p.lower(), s) for pid, p, s in pats_local]
+    from ..kernel.profiles import resolve_profile as _resolve
+
+    if (
+        k == 0
+        and mode == "all"
+        and case_sensitive
+        and end_filter is None
+        and alpha is None
+        and max_overhang is None
+        and _resolve(profile) is None
+        and 0 < len(pats_local) <= 16
+        and all(p for _, p, _ in pats_local)
+    ):
+        # k=0 / mode='all' / exact-profile fast path: every occurrence of
+        # a literal pattern is a codegen'd filter(sequence)+substring
+        # comparison — no Python boundary at all (guide §4.1: built-ins
+        # beat any UDF; the kernel runner cost for k=0 was pure
+        # serialization + per-row Python). Rows are pinned byte-identical
+        # to the kernel runner (cost 0, char offsets, end-exclusive,
+        # '<n>=' cigar, match_region == the pattern) by
+        # tests/test_search.py::test_exact_fast_path_matches_kernel.
+        # Bounded at 16 patterns: each adds one scan branch to the union
+        # — beyond that the broadcast kernel runner's one-pass scan wins.
+        return _exact_search_jvm(pats_local, texts_df, with_trace, text_id, text)
     spark = texts_df.sparkSession
     bc = spark.sparkContext.broadcast(pats_local)
     run = _make_runner(
@@ -158,6 +182,116 @@ def search(
         )
     src = _fan_out_small_input(src, text_id)
     return src.mapInPandas(run, schema=MATCH_SCHEMA)
+
+
+def _exact_search_jvm(
+    pats: list, texts_df: DataFrame, with_trace: bool, text_id: str, text: str
+) -> DataFrame:
+    """JVM-only exact-occurrence search (the k=0 fast path of
+    :func:`search`).
+
+    Two codegen-friendly formulations per pattern, chosen by whether
+    the pattern can overlap itself (has a proper border, i.e. a prefix
+    that is also a suffix — "atta" can; "table" cannot):
+
+    * borderless (the common case): ``split(text, quote(p), -1)`` finds
+      every occurrence in ONE native regex pass (non-overlapping ==
+      all, since self-overlap is impossible); end offsets are running
+      sums over the split parts' lengths — the higher-order fold runs
+      over #occurrences elements, not text length. Measured 0.35s for
+      the sf0.1 corpus scan vs 1.6s for the kernel runner (and 2.6s
+      for a per-position filter(sequence) — interpreted HOFs over
+      text-length arrays are slower than the Python kernel).
+    * bordered: filter(sequence(1, L-|p|+1)) keeps the 1-based
+      positions whose substring equals the literal — handles
+      overlapping occurrences exactly; slower, but bordered patterns
+      are the rare case.
+
+    Offsets are CHARACTER offsets exactly like the kernel path
+    (Spark's length()/substring()/split() count code points, as does
+    the kernel's symbol array). Sequence upper bounds are clamped to
+    >= 1 because sequence(1, n<1) would generate a DESCENDING range;
+    in the bordered branch out-of-range positions fail the substring
+    equality (|p| >= 1), so the clamp never admits a false hit."""
+    tcol = F.col(text)
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+
+    def _pred(p: str, plen: int):
+        # single-arg lambda via closure: default-arg capture would make
+        # PySpark see a 3-parameter higher-order function
+        return lambda i: tcol.substr(i, F.lit(plen)) == F.lit(p)
+
+    def _ends_bordered(p: str, plen: int):
+        # overlap-exact: 1-based end (inclusive position of last char
+        # + 1 == end-exclusive offset) per matching start position
+        n = F.greatest(F.length(tcol) - F.lit(plen - 1), F.lit(1))
+        starts = F.filter(F.sequence(F.lit(1), n), _pred(p, plen))
+        return F.transform(starts, lambda i: i - 1 + plen)
+
+    def _ends_split(plen: int):
+        # occurrence i's end-exclusive char offset = sum of the first i
+        # split parts' lengths + i * |p|; operates on the pre-split
+        # array column _ps (bound once in its own projection — inlined,
+        # the split regex would be re-evaluated per reference)
+        ps = F.col("_ps")
+        m = F.size(ps) - 1
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.when(m >= 1, m).otherwise(F.lit(1))),
+                lambda i: F.aggregate(
+                    F.slice(ps, F.lit(1), i),
+                    F.lit(0),
+                    lambda a, x: a + F.length(x),
+                )
+                + i * plen,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    from .linkage import _fan_out_small_input
+
+    # few-file scans would run the whole split/scan single-task (same
+    # rationale as the kernel runner's fan-out)
+    texts_df = _fan_out_small_input(
+        texts_df.select(F.col(text_id), tcol), text_id
+    )
+    outs = []
+    for pid, p, strand in pats:
+        plen = len(p)
+        bordered = any(p[:b] == p[plen - b :] for b in range(1, plen))
+        if bordered:
+            src = texts_df.select(
+                F.col(text_id).cast("string").alias("text_id"),
+                F.explode(_ends_bordered(p, plen)).alias("_e"),
+            )
+        else:
+            rx = "\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+            src = texts_df.select(
+                F.col(text_id).cast("string").alias("text_id"),
+                F.split(tcol, rx, -1).alias("_ps"),
+            ).select(
+                "text_id", F.explode(_ends_split(plen)).alias("_e")
+            )
+        hit = src
+        outs.append(
+            hit.select(
+                F.lit(pid).alias("pat_id"),
+                "text_id",
+                F.lit(0).cast("int").alias("cost"),
+                F.lit(strand).alias("strand"),
+                (
+                    (F.col("_e") - plen).cast("long") if with_trace else null_l
+                ).alias("start"),
+                F.col("_e").cast("long").alias("end"),
+                (F.lit(p) if with_trace else null_s).alias("match_region"),
+                (F.lit(f"{plen}=") if with_trace else null_s).alias("cigar"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _make_runner(
@@ -387,7 +521,7 @@ def crispr_search(
     # collect the guides ONCE: both the search's broadcast pattern set and
     # the PAM map come from these rows (one driver job on the guide source)
     guide_rows = (
-        guides_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).collect()
+        guides_df.select(pat_id, pattern).limit(MAX_PATTERNS + 1).coalesce(1).collect()
     )
     guides_local = guides_df.sparkSession.createDataFrame(
         [(str(r[0]), str(r[1])) for r in guide_rows], [pat_id, pattern]

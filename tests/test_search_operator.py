@@ -439,3 +439,51 @@ def test_crispr_nonN_iupac_pam(spark):
     assert ("okf", "+") in got
     assert ("okr", "-") in got
     assert all(t != "badf" for t, _ in got)
+
+
+def test_exact_fast_path_matches_kernel(spark):
+    """The k=0/mode='all' JVM fast path must emit byte-identical rows to
+    the kernel runner — including non-ASCII character offsets, overlap
+    handling, rc strands, and both with_trace settings. The kernel path
+    is forced with an always-true end_filter (which disables the fast
+    path but filters nothing)."""
+    rows = [
+        ("t1", "xxneedlexx needle"),
+        ("t2", "aaaa"),             # overlapping occurrences of 'aa'
+        ("t3", "tátá ne tátá"),     # non-ASCII: char offsets != bytes
+        ("t4", ""),
+        ("t5", "short"),
+        ("t6", "attaat"),           # rc overlap: atta + taat share chars
+    ]
+    texts = spark.createDataFrame(rows, ["text_id", "text"])
+    pats = spark.createDataFrame(
+        [("p1", "needle"), ("p2", "aa"), ("p3", "tá")],
+        ["pat_id", "pattern"],
+    )
+
+    def rowset(df):
+        return sorted(
+            (r.pat_id, r.text_id, r.cost, r.strand, r.start, r.end,
+             r.match_region, r.cigar)
+            for r in df.collect()
+        )
+
+    for with_trace in (True, False):
+        fast = search(pats, texts, k=0, mode="all", with_trace=with_trace)
+        slow = search(
+            pats, texts, k=0, mode="all", with_trace=with_trace,
+            end_filter=lambda p, t, s: True,
+        )
+        assert "BatchEvalPython" not in fast._sc._jvm.PythonSQLUtils.explainString(
+            fast._jdf.queryExecution(), "simple"
+        )
+        assert rowset(fast) == rowset(slow)
+
+    dna_pats = spark.createDataFrame([("p1", "atta")], ["pat_id", "pattern"])
+    fast = search(dna_pats, texts, k=0, mode="all", rc=True, with_trace=True)
+    slow = search(
+        dna_pats, texts, k=0, mode="all", rc=True, with_trace=True,
+        end_filter=lambda p, t, s: True,
+    )
+    assert rowset(fast) == rowset(slow)
+    assert {r.strand for r in fast.collect()} == {"+", "-"}
