@@ -798,25 +798,51 @@ def qgram_count_pairs(
     pad upstream). Returns (id_a, id_b, ed), identical to brute force
     on the included keys.
 
+    Round-6 rework (guide §2.3 "shuffle fewer bytes" / §1.2 "fix the
+    distributed algorithm first"): the original formulation joined ALL
+    positional grams of every key and evaluated the count filter in a
+    groupBy over the join output — measured at sf0.1, that join
+    emitted 19.8M rows to keep 2,851 candidates. The paper's own
+    substring-selection idea bounds the probe side instead: if
+    ``ed(a, b) <= k`` then at most ``q*k`` of a's grams are destroyed,
+    so among a's FIRST ``q*k + 1`` grams at least one survives
+    verbatim in b, displaced by at most k positions (hence found at
+    ``pos_b <= q*k + 1 + k``). The candidate join therefore only needs
+    probe grams at ``pos <= q*k + 1`` against index grams at
+    ``pos <= q*k + 1 + k`` — O(q*k) rows per key instead of O(L) —
+    and every true pair still appears (the count filter restricted to
+    this window degenerates to ``>= 1 shared gram``, which is exactly
+    the join condition). Survivors go straight to the banded
+    ``levenshtein(a, b, k)`` verify: computing the full count filter
+    for the surviving candidates costs MORE than the verify itself
+    (the count needs a ~2*(L-q+1)-row join per candidate; the banded
+    verify is one codegen'd O(L*k) expression), measured 6.7s vs 3.4s
+    for the whole chain at sf0.1. Output pinned identical to brute
+    force by test + oracle.
+
     Scale notes (100 TB audit): the join key is NOT the bare gram —
-    hot trigrams ("th(e" in web text) would concentrate the shuffle —
-    but ``(gram, pos div (k+1))``: the probe side fans each gram to
-    its 3 adjacent position buckets (|delta pos| <= k spans at most
-    one bucket boundary at width k+1), so one hot gram spreads over
-    L/(k+1) keys and each matched (pos_a, pos_b) lands in EXACTLY one
-    bucket combination (no double counting). The count filter then
-    shrinks pairs before the text-touching verify join, all in one
-    map-side-combining groupBy.
+    hot trigrams ("the" in web text) would concentrate the shuffle —
+    but ``(gram, pos div (k+1))``: the probe side fans each windowed
+    gram to its 3 adjacent position buckets (|delta pos| <= k spans at
+    most one bucket boundary at width k+1). Per record the join sees
+    <= 3*(q*k+1) probe rows and <= q*k+1+k index rows, independent of
+    key length; candidates are deduped (narrow id pairs) before the
+    text-touching verify joins. Worst-case candidate count (a corpus
+    sharing its first q*k+1+q-1 characters) degrades toward the true
+    pair count like every lossless scheme.
     """
     lb_floor = q * (k + 1)
+    w = q * k + 1
     key = F.col(key_col)
     base = records.where(F.length(key) >= lb_floor).select(
         F.col(id_col).alias("_id"),
         key.alias("_key"),
         F.length(key).alias("_len"),
     )
+    # only the window grams are ever joined — build just those
+    # (pos <= w + k; probe further restricts to pos <= w)
     gram_expr = (
-        f"transform(sequence(1, _len - {q} + 1),"
+        f"transform(sequence(1, least(_len - {q} + 1, {w + k})),"
         f" p -> struct(substring(_key, p, {q}) AS g, p AS pos))"
     )
     grams = base.select(
@@ -828,7 +854,7 @@ def qgram_count_pairs(
         F.col("_g.pos").alias("_pos"),
         F.expr(f"_g.pos div {k + 1}").alias("_bkt"),
     )
-    probe = grams.select(
+    probe = grams.where(F.col("_pos") <= w).select(
         F.col("_id").alias("id_a"),
         F.col("_len").alias("la"),
         "_gram",
@@ -846,16 +872,17 @@ def qgram_count_pairs(
     )
     cand = (
         probe.join(idx, ["_gram", "_bkt"])
-        .where(F.col("id_a") < F.col("id_b"))
+        # != rather than <: the window pigeonhole is directional (the
+        # surviving gram lives in the PROBE key's prefix), so both
+        # orientations must be generated, then canonicalized
+        .where(F.col("id_a") != F.col("id_b"))
         .where(F.abs(F.col("pa") - F.col("pb")) <= k)
         .where(F.abs(F.col("la") - F.col("lb")) <= k)
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("_n"),
-            F.max(F.greatest("la", "lb")).alias("_lmax"),
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
         )
-        .where(F.col("_n") >= F.col("_lmax") - q + 1 - q * k)
-        .select("id_a", "id_b")
+        .distinct()
     )
     ka = base.select(F.col("_id").alias("id_a"), F.col("_key").alias("_ka"))
     kb = base.select(F.col("_id").alias("id_b"), F.col("_key").alias("_kb"))
