@@ -672,9 +672,15 @@ def grid_distance_pairs(
     per point; the join is an equi-join on (cell_x, cell_y) int pairs;
     a dense hot cell degrades to its own pair count, bounded by
     density * cell^2 — pick ``cell`` near ``radius`` (never larger
-    than needed) to keep per-cell membership minimal. Floor division
-    (``div``) keeps negative coordinates on the same grid on both
-    engines. No UDFs, no driver collect.
+    than needed) to keep per-cell membership minimal. Note on negative
+    coordinates: SQL ``div`` truncates toward zero (identically in
+    Spark and DuckDB, which is what keeps the two engines bit-equal),
+    so the cell containing the origin spans (-cell, cell) — width
+    2*cell-1 rather than cell. Losslessness is unaffected (cells
+    remain intervals, and any span <= radius <= cell still touches at
+    most two adjacent cells per axis), but per-cell density at the
+    origin can be ~2x the stated bound per axis. No UDFs, no driver
+    collect.
     """
     c = int(cell) if cell is not None else int(radius)
     if c < radius:

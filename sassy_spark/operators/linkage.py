@@ -1070,10 +1070,16 @@ def greedy_one_to_one(
             matched.withColumnRenamed("_node", "_a"), "_a", "left_anti"
         ).join(matched.withColumnRenamed("_node", "_b"), "_b", "left_anti")
     else:
-        raise RuntimeError(
-            f"greedy_one_to_one did not converge in {max_rounds} rounds; "
-            "adversarially ordered score chains need a larger max_rounds"
-        )
+        # a matching that empties the edge set in exactly max_rounds
+        # dominance rounds has converged — the loop just never got the
+        # max_rounds+1-th top-of-loop emptiness check; only raise when
+        # edges genuinely remain
+        if not s.isEmpty():
+            raise RuntimeError(
+                f"greedy_one_to_one did not converge in {max_rounds} "
+                "rounds; adversarially ordered score chains need a "
+                "larger max_rounds"
+            )
     if not picked:
         return s.limit(0).select(
             F.col("_a").alias(a_col),

@@ -692,3 +692,58 @@ def test_swoosh_resolve_icar_fixpoint(spark):
         for r in swoosh_resolve(df, "id", ["phone", "email"]).collect()
     }
     assert got2[6] == (3, "c@z.com")
+
+
+def test_swoosh_resolve_matches_reference_union_find(spark):
+    """Randomized pin for the hashed feature-node encoding (round 6):
+    swoosh_resolve's entity grouping must equal a driver union-find
+    over the EXACT string features — hashing the feature nodes may not
+    change any grouping or emitted value."""
+    import random
+
+    from sassy_spark.operators.cluster import swoosh_resolve
+
+    rng = random.Random(606)
+    rows = []
+    for i in range(200):
+        phone = f"555-{rng.randrange(40):04d}" if rng.random() < 0.8 else None
+        email = f"u{rng.randrange(60)}@x.com" if rng.random() < 0.7 else None
+        rows.append((i, phone, email))
+    df = spark.createDataFrame(rows, ["id", "phone", "email"])
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_feat = {}
+    for i, phone, email in rows:
+        for col, v in (("phone", phone), ("email", email)):
+            if v is not None:
+                by_feat.setdefault((col, v), []).append(i)
+    for members in by_feat.values():
+        for m in members[1:]:
+            union(members[0], m)
+    comps = {}
+    for i, _, _ in rows:
+        comps.setdefault(find(i), []).append(i)
+    want = {}
+    for members in comps.values():
+        eid = min(members)
+        phones = sorted({p for i, p, _ in rows if i in set(members) and p})
+        emails = sorted({e for i, _, e in rows if i in set(members) and e})
+        want[eid] = (len(members), "|".join(phones), "|".join(emails))
+
+    got = {
+        r.entity_id: (r.n_records, r.phone_values, r.email_values)
+        for r in swoosh_resolve(df, "id", ["phone", "email"]).collect()
+    }
+    assert got == want

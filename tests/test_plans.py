@@ -161,3 +161,51 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def test_passjoin_and_qgram_plans_stay_jvm_side(spark):
+    """Round-6 pins for the two lossless edit-distance joins (the r5
+    bench's heaviest lines): no Python eval node anywhere, the verify
+    is the codegen'd banded levenshtein, and candidate generation is
+    bounded explodes + one dedup aggregate — no window, no cartesian."""
+    from sassy_spark.operators.blocking import passjoin_pairs, qgram_count_pairs
+
+    rows = [(i, f"acme corporation {i % 7}{i}") for i in range(40)]
+    keys = spark.createDataFrame(rows, ["id", "key"])
+    for op, kw in ((passjoin_pairs, {}), (qgram_count_pairs, {"q": 3})):
+        q = op(keys, k=2, **kw)
+        plan = plans.physical_plan(q)
+        plans.assert_no_python_in_scan_path(q)
+        assert "levenshtein" in plan, plan[:1500]
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Generate explode" in plan
+
+
+def test_score_pairs_narrow_shuffle_shape(spark):
+    """Round-6 pin for the ER scoring stage's physical shape (the r5
+    throughput work): the pre-kernel exchange partitions the NARROW
+    pair rows (never a text column), and when the corpus fits the
+    broadcast threshold both text attachments are broadcast joins —
+    the wide payload is never shuffled."""
+    from sassy_spark.operators.linkage import score_pairs
+    from sassy_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, seed=3).drop("cluster_id")
+    # parquet-backed pages so Catalyst has a real size estimate for the
+    # broadcast gate (generator frames estimate as unknown/huge)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="plans_pages_")
+    pages.write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    pairs = spark.createDataFrame([("u1", "u2"), ("u2", "u3")], ["url_a", "url_b"])
+    q = score_pairs(pairs, pages, k=5)
+    plan = plans.physical_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # the explicit repartition must carry only narrow columns
+    rep = [
+        ln for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln
+    ]
+    assert rep and all("text" not in ln for ln in rep), rep
