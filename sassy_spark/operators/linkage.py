@@ -55,12 +55,21 @@ def _fan_out_small_input(df: DataFrame, key: str) -> DataFrame:
 # --------------------------------------------------------------- stage 1
 
 
-def host_block_keys(pages: DataFrame, url: str = "url") -> DataFrame:
-    """(url, block_key) from the URL host — the cheap structural block."""
-    return pages.select(
+def host_block_keys(
+    pages: DataFrame, url: str = "url", len_of: str | None = None
+) -> DataFrame:
+    """(url, block_key) from the URL host — the cheap structural block.
+
+    ``len_of``: name of a text column whose length should ride along as
+    ``_l`` (saves the downstream keys-with-lens join in candidate_pairs —
+    the len is computed in the same scan that reads the url anyway)."""
+    cols = [
         F.col(url).alias("url"),
         F.concat(F.lit("host:"), url_host(F.col(url))).alias("block_key"),
-    )
+    ]
+    if len_of is not None:
+        cols.append(F.length(F.col(len_of)).cast("long").alias("_l"))
+    return pages.select(*cols)
 
 
 def minhash_band_keys(
@@ -71,12 +80,18 @@ def minhash_band_keys(
     bands: int = 16,
     ngram: int = 5,
     seed: int = 42,
+    with_len: bool = False,
 ) -> DataFrame:
     """(url, block_key) LSH band keys: minhash signature split into
     ``bands`` bands of n_hashes/bands rows; band key = hash(band index +
     band slice). Two docs share a band key iff all rows in that band
     agree — the classic LSH S-curve. Deterministic across runs (seeded
-    permutations) so checkpoints are resumable."""
+    permutations) so checkpoints are resumable.
+
+    ``with_len=True`` adds a ``_l`` column (codepoint length of the RAW
+    text, computed JVM-side and passed through the sketch UDF) so
+    candidate_pairs can push the |len_a-len_b| prefilter without a
+    separate keys-with-lens join."""
     rows_per_band = n_hashes // bands
     from ..functions.hashing import (
         _splitmix64,
@@ -99,9 +114,15 @@ def minhash_band_keys(
             keep = pdf["_norm"].astype(bool)
             urls_in = pdf["url"][keep].to_numpy()
             texts_in = pdf["_norm"][keep].tolist()
+            lens_in = (
+                pdf["_l"][keep].to_numpy() if with_len else None
+            )
             n_docs = len(texts_in)
             if n_docs == 0:
-                yield pd.DataFrame({"url": [], "block_key": []})
+                empty = {"url": [], "block_key": []}
+                if with_len:
+                    empty["_l"] = []
+                yield pd.DataFrame(empty)
                 continue
             h_all, doc_idx, _ = shingle_hashes_batch(texts_in, ngram)
             h_all ^= seed_mix
@@ -117,13 +138,19 @@ def minhash_band_keys(
                 f"band:{i}:{v:016x}"
                 for i, v in zip(bidx.tolist(), bh.ravel().tolist())
             ]
-            yield pd.DataFrame({"url": urls, "block_key": keys_out})
+            res = {"url": urls, "block_key": keys_out}
+            if with_len:
+                res["_l"] = np.repeat(lens_in, bands)
+            yield pd.DataFrame(res)
 
-    src = pages.select(
-        F.col(url).alias("url"), normalize(F.col(text_col)).alias("_norm")
-    )
+    cols = [F.col(url).alias("url"), normalize(F.col(text_col)).alias("_norm")]
+    schema = "url string, block_key string"
+    if with_len:
+        cols.append(F.length(F.col(text_col)).alias("_l"))
+        schema += ", _l long"
+    src = pages.select(*cols)
     src = _fan_out_small_input(src, "url")
-    return src.mapInPandas(bandify, schema="url string, block_key string")
+    return src.mapInPandas(bandify, schema=schema)
 
 
 def blocking_keys(
@@ -135,14 +162,23 @@ def blocking_keys(
     bands: int = 16,
     ngram: int = 5,
     seed: int = 42,
+    with_len: bool = False,
 ) -> DataFrame:
     parts = []
     if use_host:
-        parts.append(host_block_keys(pages))
+        parts.append(
+            host_block_keys(pages, len_of=text_col if with_len else None)
+        )
     if use_minhash:
         parts.append(
             minhash_band_keys(
-                pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
+                pages,
+                text_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                ngram=ngram,
+                seed=seed,
+                with_len=with_len,
             )
         )
     out = parts[0]
@@ -195,9 +231,14 @@ def candidate_pairs(
     never materializes blocks). Pair set is pinned identical to the join
     formulation by test_linkage.
     """
-    has_len = lens is not None
-    if has_len:
+    # `_l` may already ride along from blocking_keys(with_len=True) — the
+    # length then came from the same scan that produced the key, and the
+    # keys-with-lens join below (one broadcast build + probe over the
+    # whole key table) disappears from the plan entirely
+    has_len = "_l" in keys.columns
+    if not has_len and lens is not None:
         keys = keys.join(lens.select("url", F.col("len").alias("_l")), "url")
+        has_len = True
 
     def _pair_bound():
         la, lb = F.col("p.la"), F.col("p.lb")
@@ -432,6 +473,12 @@ def score_pairs(
     # on the text side's layout. The hint is applied only under the same
     # size bound the planner uses, so the at-scale behavior (sort-merge
     # when texts don't fit) is unchanged.
+    # (Round 6 measured-and-rejected: replacing these two broadcast
+    # joins with a driver-built Python broadcast dict of pre-encoded
+    # texts — 10 interleaved A/B reps at 12k pages showed median paired
+    # delta ~+0.4 s AGAINST the dict: the join attach is already
+    # shuffle-free, and the dict path re-pays the corpus as a driver
+    # collect + 24 MB pickle broadcast per job.)
     spark = df.sparkSession
     try:
         thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
@@ -711,7 +758,13 @@ def link(
             },
         }
     keys = blocking_keys(
-        pages, text_col, n_hashes=n_hashes, bands=bands, ngram=ngram, seed=seed
+        pages,
+        text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+        with_len=True,
     )
     if checkpoint_dir is not None:
         # snapshot only for resumability: since the candidate gate was
@@ -722,9 +775,10 @@ def link(
         # at 12k pages: staged median 8.31s / unstaged 7.56s, unstaged
         # faster in all 5)
         keys = _stage(keys, checkpoint_dir, "block_keys", fingerprint)
-    lens = pages.select("url", F.length(text_col).alias("len"))
+    # lengths already ride along on the key table (with_len=True above);
+    # candidate_pairs sees `_l` and skips its keys-with-lens join
     pairs = candidate_pairs(
-        keys, max_block_size=max_block_size, lens=lens, k=k, k_frac=k_frac
+        keys, max_block_size=max_block_size, k=k, k_frac=k_frac
     )
     if checkpoint_dir is not None:
         # snapshot only when resumability was asked for: pairs has exactly
