@@ -515,13 +515,21 @@ def passjoin_pairs(
         probe.join(
             idx,
             (probe["_seg"] == idx["_seg"])
+            # strict <: the segment pigeonhole holds for EITHER side as
+            # the indexed one (k edits between a and b destroy <= k of
+            # WHICHEVER key's k+1 segments, so the other key contains one
+            # of them verbatim within +-k positions) — fixing min-id as
+            # the probe emits each candidate in one orientation instead
+            # of two and halves the join output feeding the distinct
+            # (round 6; candidate true-pair coverage unchanged, pinned by
+            # the brute-force test + oracle)
             & (F.abs(F.col("pos_p") - F.col("start_i")) <= k)
             & (F.abs(F.col("len_p") - F.col("len_i")) <= k)
-            & (F.col("id_p") != F.col("id_i")),
+            & (F.col("id_p") < F.col("id_i")),
         )
         .select(
-            F.least("id_p", "id_i").alias("id_a"),
-            F.greatest("id_p", "id_i").alias("id_b"),
+            F.col("id_p").alias("id_a"),
+            F.col("id_i").alias("id_b"),
         )
         .distinct()
     )
