@@ -197,6 +197,7 @@ def candidate_pairs(
     k: int | None = None,
     k_frac: float | None = None,
     fused: bool = True,
+    out_partitions: int | None = None,
 ) -> DataFrame:
     """Canonical (url_a < url_b) pairs within block keys.
 
@@ -216,6 +217,15 @@ def candidate_pairs(
     INTO pair generation, before the dedup shuffle: at 200k pages this cuts
     the deduped pair set 6x (3.1M -> ~0.5M) and lets score_pairs skip its
     length joins (len_a/len_b ride along in the output).
+
+    ``out_partitions``: hash-repartition the PRE-dedup pair stream to
+    exactly this many partitions on (url_a, url_b) and run the dedup
+    aggregation in place (its required distribution is then already
+    satisfied, so no second exchange) — the output arrives partitioned
+    for a downstream scorer that asks for the same count, letting it
+    skip its own fan-out exchange entirely (``link`` wires this to
+    score_pairs' 1-task/core kernel fan-out: one exchange of the pair
+    stream instead of dedup-exchange + repartition-exchange).
 
     ``fused=True`` (default) generates pairs with ONE shuffle of the key
     table — ``groupBy(block_key).collect_list(struct(url, len))`` + JVM
@@ -245,6 +255,17 @@ def candidate_pairs(
         if k_frac is not None:
             return F.abs(la - lb) <= F.ceil(F.greatest(la, lb) * F.lit(k_frac))
         return F.abs(la - lb) <= F.lit(int(k if k is not None else 1 << 30))
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        # out_partitions: one exchange serves both the dedup and the
+        # downstream scorer's fan-out (REPARTITION_BY_NUM is exempt from
+        # AQE coalescing; the dedup agg's ClusteredDistribution on the
+        # same keys is satisfied, so it adds no exchange of its own)
+        if out_partitions:
+            df = df.repartition(
+                out_partitions, F.col("url_a"), F.col("url_b")
+            )
+        return df.dropDuplicates(["url_a", "url_b"])
 
     if fused:
         member = (
@@ -312,16 +333,20 @@ def candidate_pairs(
         )
         if has_len:
             exploded = exploded.where(_pair_bound())
-            return exploded.select(
+            return _dedup(
+                exploded.select(
+                    F.col("p.url_a").alias("url_a"),
+                    F.col("p.url_b").alias("url_b"),
+                    F.col("p.la").cast("int").alias("len_a"),
+                    F.col("p.lb").cast("int").alias("len_b"),
+                )
+            )
+        return _dedup(
+            exploded.select(
                 F.col("p.url_a").alias("url_a"),
                 F.col("p.url_b").alias("url_b"),
-                F.col("p.la").cast("int").alias("len_a"),
-                F.col("p.lb").cast("int").alias("len_b"),
-            ).dropDuplicates(["url_a", "url_b"])
-        return exploded.select(
-            F.col("p.url_a").alias("url_a"),
-            F.col("p.url_b").alias("url_b"),
-        ).dropDuplicates(["url_a", "url_b"])
+            )
+        )
 
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("bs"))
     n_salt = F.ceil(F.col("bs") / F.lit(max_block_size))
@@ -352,17 +377,21 @@ def candidate_pairs(
         else:
             bound = F.lit(int(k if k is not None else 1 << 30))
         j = j.where(F.abs(la - lb) <= bound)
-        pairs = j.select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
-            la.cast("int").alias("len_a"),
-            lb.cast("int").alias("len_b"),
-        ).dropDuplicates(["url_a", "url_b"])
+        pairs = _dedup(
+            j.select(
+                F.col("a.url").alias("url_a"),
+                F.col("b.url").alias("url_b"),
+                la.cast("int").alias("len_a"),
+                lb.cast("int").alias("len_b"),
+            )
+        )
     else:
-        pairs = j.select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
-        ).dropDuplicates(["url_a", "url_b"])
+        pairs = _dedup(
+            j.select(
+                F.col("a.url").alias("url_a"),
+                F.col("b.url").alias("url_b"),
+            )
+        )
     return pairs
 
 
@@ -776,9 +805,26 @@ def link(
         # faster in all 5)
         keys = _stage(keys, checkpoint_dir, "block_keys", fingerprint)
     # lengths already ride along on the key table (with_len=True above);
-    # candidate_pairs sees `_l` and skips its keys-with-lens join
+    # candidate_pairs sees `_l` and skips its keys-with-lens join.
+    # On the no-checkpoint path, fuse the dedup exchange with the
+    # scorer's fan-out: the pair stream is hash-repartitioned ONCE to
+    # the kernel's task count, deduped in place, and score_pairs
+    # inherits that partitioning (score_partitions=0) — one exchange of
+    # the pair stream instead of dedup-exchange + fan-out-exchange.
+    # A checkpointed run reads pairs back from parquet (partitioning
+    # lost), so it keeps the explicit scorer-side repartition.
+    fuse_fanout = checkpoint_dir is None and score_partitions != 0
+    eff_parts = (
+        score_partitions
+        if score_partitions
+        else pages.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = candidate_pairs(
-        keys, max_block_size=max_block_size, k=k, k_frac=k_frac
+        keys,
+        max_block_size=max_block_size,
+        k=k,
+        k_frac=k_frac,
+        out_partitions=eff_parts if fuse_fanout else None,
     )
     if checkpoint_dir is not None:
         # snapshot only when resumability was asked for: pairs has exactly
@@ -791,7 +837,7 @@ def link(
         k=k,
         k_frac=k_frac,
         text_col=text_col,
-        score_partitions=score_partitions,
+        score_partitions=0 if fuse_fanout else score_partitions,
     )
 
 
