@@ -303,27 +303,44 @@ def candidate_pairs(
             .agg(F.collect_list("m").alias("ms"))
             .where(F.size("ms") >= 2)
         )
-        pairs_arr = F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ms"), i + F.lit(2),
-                        F.size(F.col("ms")) - i - F.lit(1),
-                    ),
-                    lambda y: F.struct(
-                        F.least(x["url"], y["url"]).alias("url_a"),
-                        F.greatest(x["url"], y["url"]).alias("url_b"),
-                        F.when(x["url"] < y["url"], x["_l"])
-                        .otherwise(y["_l"])
-                        .alias("la"),
-                        F.when(x["url"] < y["url"], y["_l"])
-                        .otherwise(x["_l"])
-                        .alias("lb"),
-                    ),
+        def _arr_bound(x, y):
+            la, lb = x["_l"], y["_l"]
+            if k_frac is not None:
+                return F.abs(la - lb) <= F.ceil(
+                    F.greatest(la, lb) * F.lit(k_frac)
+                )
+            return F.abs(la - lb) <= F.lit(
+                int(k if k is not None else 1 << 30)
+            )
+
+        def _expand(x, i):
+            tail = F.slice(
+                F.col("ms"), i + F.lit(2),
+                F.size(F.col("ms")) - i - F.lit(1),
+            )
+            if has_len and (k is not None or k_frac is not None):
+                # length bound INSIDE the array expansion: a discarded
+                # pair costs one predicate eval instead of a struct
+                # allocation + an exploded row + a row filter (measured
+                # 49% of pre-dedup pairs discarded at 12k pages — the
+                # post-explode _pair_bound() below becomes a no-op but
+                # stays as the single source of the bound's semantics)
+                tail = F.filter(tail, lambda y: _arr_bound(x, y))
+            return F.transform(
+                tail,
+                lambda y: F.struct(
+                    F.least(x["url"], y["url"]).alias("url_a"),
+                    F.greatest(x["url"], y["url"]).alias("url_b"),
+                    F.when(x["url"] < y["url"], x["_l"])
+                    .otherwise(y["_l"])
+                    .alias("la"),
+                    F.when(x["url"] < y["url"], y["_l"])
+                    .otherwise(x["_l"])
+                    .alias("lb"),
                 ),
             )
-        )
+
+        pairs_arr = F.flatten(F.transform(F.col("ms"), _expand))
         exploded = (
             small.unionByName(salted)
             .select(F.explode(pairs_arr).alias("p"))
