@@ -231,15 +231,18 @@ def candidate_pairs(
     table — ``groupBy(block_key).collect_list(struct(url, len))`` + JVM
     in-array combination expansion — the same rework that took q20's LSH
     gate from 3 key-table shuffles to 1 (dedup.py:135-167). Over-cap
-    blocks keep IDENTICAL salted-refinement semantics: their collected
-    members are re-exploded with the deterministic xxhash64 salt and
-    re-grouped — a second (tiny) shuffle that only the rare hot blocks
-    pay. Trade-off, as in the fused LSH gate: an over-cap block
-    materializes its member array once before refinement (a 10^6-member
-    host block is ~100 MB in one reducer row — acceptable transiently;
-    ``fused=False`` keeps the size-count + self-join formulation that
-    never materializes blocks). Pair set is pinned identical to the join
-    formulation by test_linkage.
+    blocks keep IDENTICAL salted-refinement semantics, applied IN-ARRAY:
+    a big block's members partition into ceil(bs/cap)^2 sub-arrays by
+    the deterministic xxhash64(url) salt and each sub-array expands
+    independently — no second shuffle, and (round 6) no union branch
+    that would re-execute the groupBy subtree (the previous two-branch
+    shape ran the key shuffle + sketch UDF twice per job). Trade-off, as
+    in the fused LSH gate: an over-cap block materializes its member
+    array once before refinement (a 10^6-member host block is ~100 MB in
+    one reducer row — acceptable transiently; ``fused=False`` keeps the
+    size-count + self-join formulation that never materializes blocks).
+    Pair set is pinned identical to the join formulation by
+    test_linkage.
     """
     # `_l` may already ride along from blocking_keys(with_len=True) — the
     # length then came from the same scan that produced the key, and the
@@ -275,34 +278,38 @@ def candidate_pairs(
         )
         grouped = keys.groupBy("block_key").agg(
             F.collect_list(member).alias("ms")
-        )
-        small = grouped.where(
-            (F.size("ms") >= 2) & (F.size("ms") <= max_block_size)
-        )
-        # over-cap refinement: explode members back out with the SAME
-        # deterministic salt as the join formulation (xxhash64(url) mod
-        # ceil(bs/max)^2) and re-group — only hot blocks take this path
-        big = grouped.where(F.size("ms") > max_block_size)
+        ).where(F.size("ms") >= 2)
+        # over-cap refinement IN-ARRAY (round 6, session 2): the previous
+        # shape filtered `grouped` into a small branch and a big branch
+        # that exploded + re-salted + re-grouped — a UNION whose two
+        # branches each re-executed the whole upstream (key-table shuffle
+        # AND the sketch UDF ran twice per job; AQE's exchange reuse did
+        # not fire across the branches — executed-plan evidence in
+        # plans/r06). Salting now happens inside the collected array with
+        # the SAME deterministic function (xxhash64(url) mod
+        # ceil(bs/cap)^2): a big block's members are partitioned into
+        # sub-arrays per salt value and each sub-array pair-expands
+        # independently — the pair set is identical (pairs agree on the
+        # salt iff they shared a salted sub-block before), and `grouped`
+        # now has exactly ONE consumer: one groupBy, one exchange, one
+        # sketch pass. Cost accepted: a bs-member over-cap block pays
+        # bs * ns interpreted membership evals (bounded, hot blocks only).
         n_salt = F.ceil(F.size("ms") / F.lit(max_block_size))
         n_salt = (n_salt * n_salt).cast("long")
-        salted = (
-            big.select(
-                F.col("block_key"),
-                n_salt.alias("_ns"),
-                F.explode("ms").alias("m"),
+        sub_arrays = F.when(
+            F.size("ms") <= max_block_size, F.array(F.col("ms"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_salt - F.lit(1)),
+                lambda s: F.filter(
+                    F.col("ms"),
+                    lambda m: F.pmod(F.xxhash64(m["url"]), n_salt) == s,
+                ),
             )
-            .select(
-                F.concat(
-                    F.col("block_key"),
-                    F.lit("#"),
-                    F.pmod(F.xxhash64("m.url"), F.col("_ns")).cast("string"),
-                ).alias("block_key"),
-                F.col("m").alias("m"),
-            )
-            .groupBy("block_key")
-            .agg(F.collect_list("m").alias("ms"))
-            .where(F.size("ms") >= 2)
         )
+        blocks = grouped.select(
+            F.explode(sub_arrays).alias("ms")
+        ).where(F.size("ms") >= 2)
         def _arr_bound(x, y):
             la, lb = x["_l"], y["_l"]
             if k_frac is not None:
@@ -342,7 +349,7 @@ def candidate_pairs(
 
         pairs_arr = F.flatten(F.transform(F.col("ms"), _expand))
         exploded = (
-            small.unionByName(salted)
+            blocks
             .select(F.explode(pairs_arr).alias("p"))
             # strict <: duplicate url values in one block would otherwise
             # emit (u, u) self-pairs the join formulation excludes
