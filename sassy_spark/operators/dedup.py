@@ -177,7 +177,18 @@ def minhash_lsh_candidates(
     except Exception:  # noqa: BLE001 — stats unavailable: assume big
         _docs_bytes = 1 << 62
     sigs_small = fused and 0 < _docs_bytes * 4 <= _thr
-    if not sigs_small:
+    if sigs_small:
+        # LAZY persist (round 6, session 2): executed-plan evidence
+        # showed the sketch UDF running 3x inside the one staging job
+        # (band path + both estimate-prefilter broadcast builds —
+        # exchange reuse does NOT fire across alias-renamed subtrees,
+        # verified with a minimal repro). A lazy persist keeps the
+        # single-job, no-barrier shape: the first stage that touches
+        # sigs (a broadcast build) populates the cache, every later
+        # stage reads it — sketch runs once. Released below, after the
+        # candidate set is staged.
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
         # eager persist: the signature table feeds band keys (size agg +
         # both self-join sides) AND the estimate pre-filter joins —
         # lazily, the sketch UDF would run once per branch. Released
@@ -274,8 +285,7 @@ def minhash_lsh_candidates(
             .select("id_a", "id_b")
         )
     cand = stage_parquet(cand, candidates_out, "minhash_cand")
-    if not sigs_small:
-        sigs.unpersist()
+    sigs.unpersist()
     if bk is not None:
         bk.unpersist()
     return cand
