@@ -820,10 +820,10 @@ def link(
         with_len=True,
     )
     if checkpoint_dir is not None:
-        # snapshot only for resumability: since the candidate gate was
-        # fused (one groupBy whose small/big branches share the same
-        # exchange), the key table has a single effective consumer and
-        # the sketch UDF runs exactly once per action — the RAM-scratch
+        # snapshot only for resumability: the candidate gate is one
+        # groupBy with a single consumer (over-cap refinement happens
+        # in-array — no union branch re-executes the subtree), so the
+        # sketch UDF runs exactly once per action and the RAM-scratch
         # stage write+read bought nothing (round 6, 5 interleaved reps
         # at 12k pages: staged median 8.31s / unstaged 7.56s, unstaged
         # faster in all 5)
