@@ -337,6 +337,10 @@ def test_candidate_pairs_fused_equals_join(spark):
         {},  # no lens
         {"lens": lens, "k": 10},
         {"lens": lens, "k_frac": 0.05},
+        # out_partitions: the dedup exchange doubles as the scorer
+        # fan-out — pair set must be unchanged and the output must
+        # arrive in exactly that many partitions
+        {"lens": lens, "k": 10, "out_partitions": 16},
     ):
         got_f = candidate_pairs(
             keys, max_block_size=64, fused=True, **kwargs
@@ -348,6 +352,10 @@ def test_candidate_pairs_fused_equals_join(spark):
         # canonical order + no self-pairs
         bad = got_f.where(F.col("url_a") >= F.col("url_b")).count()
         assert bad == 0
+        if kwargs.get("out_partitions"):
+            assert (
+                got_f.rdd.getNumPartitions() == kwargs["out_partitions"]
+            )
 
 
 def test_reciprocal_best_pairs(spark):
