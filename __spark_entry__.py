@@ -2544,6 +2544,14 @@ def _q87_scheme_comparison(spark, sf):
             F.col("url_b").cast("long").alias("id_b"),
         )
     )
+    # NOTE (round 6, measured and rejected): scheme_stats reads truth
+    # from two branches (coverage join + total-count crossJoin), so the
+    # k=220 scoring pass above executes twice per run. Staging truth to
+    # RAM-scratch parquet to dedupe it measured SLOWER in a 6-rep
+    # interleaved A/B (staged min 0.96 / median 1.03 vs unstaged 0.80 /
+    # 0.90 at sf0.1): the 499-pair kernel re-run costs less than the
+    # extra sequential stage write+read job. Revisit only if the truth
+    # rule ever becomes expensive relative to a narrow-pairs stage.
     n_records = d.count()
     return scheme_stats(
         blocks, truth, n_records, id_col="doc_id"
